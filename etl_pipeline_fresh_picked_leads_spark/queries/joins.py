@@ -1,0 +1,293 @@
+"""§2B-C: joins.
+
+Scale notes baked into each query:
+
+- dimension joins (region/nation/customer-sized) use ``F.broadcast``
+  explicitly — no shuffle of the fact side, the single most important
+  join optimization at 100 TB;
+- fact-fact equi-joins rely on sort-merge/shuffle-hash chosen by
+  Catalyst + AQE (skew splitting on);
+- the as-of join Spark lacks natively is composed as equi-join +
+  windowed row_number, the standard shuffle-once formulation;
+- the range join keeps an equality key (user_id) so it plans as an
+  equi-join with a range post-filter, not a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import read_table
+from .registry import dsum, dsum_sql, query
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM customer c LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderpriority == "1-URGENT")
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "q_join_right",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000 OR o.o_orderkey IS NULL
+""",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .filter((F.col("c_acctbal") > 9000) | F.col("o_orderkey").isNull())
+        .select("o_orderkey", "c_custkey")
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+SELECT a.uid AS uid_clicks, b.uid AS uid_purchases, a.n_clicks, b.n_purchases
+FROM (SELECT user_id AS uid, COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' AND user_id % 3 = 0
+      GROUP BY user_id) a
+FULL JOIN (SELECT user_id AS uid, COUNT(*) AS n_purchases
+           FROM events WHERE event_type = 'purchase' AND user_id % 2 = 0
+           GROUP BY user_id) b
+  ON a.uid = b.uid
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    a = (
+        e.filter((F.col("event_type") == "click") & (F.col("user_id") % 3 == 0))
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    b = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 0))
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return a.join(b, a.uid == b.uid, "full").select(
+        a.uid.alias("uid_clicks"),
+        b.uid.alias("uid_purchases"),
+        "n_clicks",
+        "n_purchases",
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with explicitly broadcast dims: the fact
+    table never shuffles for the join (verified by plan test in
+    tests/test_plans.py)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    r = F.broadcast(read_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta",
+    oracle=f"""
+SELECT p.p_partkey, COUNT(*) AS n_lines, {dsum_sql('l.l_quantity')} AS sum_qty
+FROM lineitem l JOIN part p
+  ON l.l_partkey = p.p_partkey AND l.l_quantity < p.p_size
+GROUP BY p.p_partkey
+""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + theta condition: plans as a hash/sort-merge join on
+    l_partkey with the inequality as a join-time filter — never a
+    cartesian."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    cond = (l.l_partkey == p.p_partkey) & (l.l_quantity < p.p_size)
+    return (
+        l.join(p, cond)
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: pairs of events of the same user within 1h.
+    The user_id equality keeps this an equi-join; the time band is a
+    post-condition."""
+    e = read_table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+SELECT purchase_id, last_click_id, last_click_ts
+FROM (
+  SELECT p.event_id AS purchase_id,
+         c.event_id AS last_click_id,
+         c.ts AS last_click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+) WHERE rn = 1
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same
+    user at or before it.  Spark has no native ASOF: composed as
+    equi-join + row_number over (ts DESC, event_id DESC) — one shuffle
+    for the join, one for the window, both in the same key family."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+    )
+    w = Window.partitionBy(F.col("p.event_id")).orderBy(
+        F.col("c.ts").desc(), F.col("c.event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("last_click_id"),
+            F.col("c.ts").alias("last_click_ts"),
+        )
+    )
+
+
+@query(
+    "q_join_multikey",
+    oracle="""
+SELECT a.l_orderkey, a.l_linenumber, b.l_quantity AS qty_twin
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+WHERE a.l_orderkey % 50 = 0
+""",
+)
+def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_orderkey") % 50 == 0).alias("a")
+    b = l.alias("b")
+    return a.join(b, ["l_orderkey", "l_linenumber"]).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+        F.col("b.l_quantity").alias("qty_twin"),
+    )

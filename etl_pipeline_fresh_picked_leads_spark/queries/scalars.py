@@ -1,0 +1,377 @@
+"""§2B-H: scalar function surface (string / date / math / array / map
+/ JSON / conditional).
+
+Grounding: date parameterization mirrors the reference's
+``get_custom_dates`` formats (%m%d / %d,
+/root/reference/fresh_picked_leads.py:140-154), lower-casing mirrors
+its table-name normalization (/root/reference/big_uery_handler.py:74),
+DATE literals its UPDATE (:190).  Everything here is a built-in JVM
+expression inside whole-stage codegen — no Python in the row path.
+
+Cross-engine gotchas handled below: DuckDB ``dayofweek`` is 0=Sunday
+vs Spark 1=Sunday; DuckDB ``ceil/floor`` return DOUBLE vs Spark LONG;
+``%`` keeps the dividend sign vs Spark ``pmod``; ``round`` on DOUBLE
+is binary-value-based in DuckDB but decimal-string-based in Spark, so
+rounding goes through DECIMAL on both sides; Spark ``array_position``
+returns 0 when absent vs DuckDB ``list_position`` NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..sources.readers import read_table
+from .registry import query
+
+
+@query(
+    "q_str_basic",
+    oracle="""
+SELECT c_custkey,
+       lower(c_name) AS name_lower,
+       upper(c_mktsegment) AS seg_upper,
+       trim(concat('  ', c_name, ' ')) AS name_trimmed,
+       length(c_name) AS name_len,
+       substr(c_name, 1, 8) AS name_prefix,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name
+FROM customer
+""",
+)
+def q_str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/trim/length/substr/concat — the reference's name
+    normalization surface (big_uery_handler.py:74)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+@query(
+    "q_str_split",
+    oracle="""
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS first_word,
+       string_split(p_name, ' ')[-1] AS last_word,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+FROM part
+""",
+)
+def q_str_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        toks.getItem(0).alias("first_word"),
+        F.element_at(toks, -1).alias("last_word"),
+        F.size(toks).alias("n_words"),
+    )
+
+
+@query(
+    "q_str_regex",
+    oracle="""
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_digit,
+       regexp_replace(o_orderpriority, '[0-9]+-', '') AS prio_word,
+       regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot
+FROM orders
+""",
+)
+def q_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1).alias("prio_digit"),
+        F.regexp_replace("o_orderpriority", r"[0-9]+-", "").alias("prio_word"),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_hot"),
+    )
+
+
+@query(
+    "q_date_fmt",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%m%d') AS mmdd,
+       strftime(o_orderdate, '%d') AS dd,
+       strftime(o_orderdate, '%Y-%m') AS year_month
+FROM orders
+""",
+)
+def q_date_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly the reference's %m%d / %d formats
+    (fresh_picked_leads.py:140-154)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "MMdd").alias("mmdd"),
+        F.date_format("o_orderdate", "dd").alias("dd"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+    )
+
+
+@query(
+    "q_date_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_shipdate AS DATE) - 1 AS day_before_ship,
+       CAST(l_shipdate AS DATE) + 30 AS ship_plus_30,
+       CAST(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            AS INT) AS order_to_ship_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_sub/date_add/datediff — yesterday-window arithmetic
+    (fresh_picked_leads.py:140-154) generalized."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    ship = F.col("l_shipdate").cast("date")
+    return l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_sub(ship, 1).alias("day_before_ship"),
+        F.date_add(ship, 30).alias("ship_plus_30"),
+        F.datediff(ship, F.col("o_orderdate").cast("date")).alias(
+            "order_to_ship_days"
+        ),
+    )
+
+
+@query(
+    "q_date_parts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(quarter(o_orderdate) AS INT) AS qtr
+FROM orders
+""",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday — oracle adds 1.
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@query(
+    "q_date_trunc",
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("month", "ts").alias("month_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "q_math",
+    oracle="""
+SELECT o_orderkey,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+         AS price_r1,
+       abs(o_totalprice - 250000.0) AS dist_mid,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_kilo_ceil,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kilo_floor,
+       pow(o_custkey % 10, 2) AS cust_sq,
+       ((o_orderkey % 7) + 7) % 7 AS key_mod7,
+       CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS mid_sign,
+       sqrt(o_totalprice) AS price_sqrt
+FROM orders
+""",
+)
+def q_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        # Round via DECIMAL on both sides: DuckDB rounds the binary
+        # double, Spark rounds its shortest decimal repr — they
+        # disagree on x.x5 boundaries unless the value is decimal first.
+        F.round(price.cast("decimal(18,2)"), 1).cast("double").alias("price_r1"),
+        F.abs(price - 250000.0).alias("dist_mid"),
+        F.ceil(price / 1000.0).alias("price_kilo_ceil"),
+        F.floor(price / 1000.0).alias("price_kilo_floor"),
+        F.pow(F.col("o_custkey") % 10, 2).alias("cust_sq"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.signum(price - 250000.0).alias("mid_sign"),
+        F.sqrt(price).alias("price_sqrt"),
+    )
+
+
+@query(
+    "q_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open?') AS status_or_default,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+FROM orders
+""",
+)
+def q_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif — the Ingestion_date coalesce
+    shape (big_uery_handler.py:183-194)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open?")).alias(
+            "status_or_default"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "is_urgent"
+        ),
+    )
+
+
+@query(
+    "q_arr_basic",
+    oracle="""
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+       list_contains(string_split(d.text, ' '), 'spark') AS has_spark,
+       CAST(COALESCE(list_position(string_split(d.text, ' '), 'table'), 0)
+            AS BIGINT) AS pos_table,
+       (SELECT CAST(len(e.embedding) AS INT) FROM embeddings e
+        WHERE e.vec_id = d.doc_id) AS emb_len
+FROM documents d
+""",
+)
+def q_arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.size("embedding").alias("emb_len")
+    )
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.join(e, d.doc_id == e.vec_id, "left")
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+            F.array_position(toks, "table").alias("pos_table"),
+            "emb_len",
+        )
+    )
+
+
+@query(
+    "q_arr_explode",
+    oracle="""
+-- embeddings are fixed 64-dim; DuckDB 1.0 can't lateral-join
+-- generate_series on a column, so the bound is a constant here
+SELECT e.vec_id, CAST(i - 1 AS INT) AS pos, e.embedding[CAST(i AS INT)] AS val
+FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+WHERE e.vec_id % 10 = 0 AND i <= len(e.embedding)
+""",
+)
+def q_arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+@query(
+    "q_arr_transform",
+    oracle="""
+SELECT vec_id,
+       round(list_aggregate(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6)
+         AS emb_sum,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       round(list_aggregate(
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         'sum'), 6) AS emb_sq_sum
+FROM embeddings
+""",
+)
+def q_arr_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate) —
+    the JVM-side substrate the similarity operators build on."""
+    e = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("emb_sum"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("emb_sq_sum"),
+    )
+
+
+@query(
+    "q_map_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
+FROM events
+""",
+)
+def q_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+@query(
+    "q_map_ops",
+    oracle="""
+SELECT event_id,
+       value * 2 AS doubled,
+       value + 1 AS plus_one,
+       2 AS n_keys
+FROM events
+""",
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map build/lookup/keys in Spark; the oracle checks the extracted
+    scalar results (DuckDB's MAP surface differs shape-wise, per
+    SURVEY §2B-H)."""
+    e = read_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("doubled"), F.col("value") * 2, F.lit("plus_one"), F.col("value") + 1
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "doubled").alias("doubled"),
+        F.element_at(m, "plus_one").alias("plus_one"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )

@@ -1,0 +1,151 @@
+"""§2B-A: scans, ingestion reconciliation, sinks.
+
+Grounding: the reference's CSV autodetect load
+(/root/reference/big_uery_handler.py:110-118), append-via-staging
+reconciliation (:124-165) and Ingestion_date maintenance (:173-194).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.ingest import reconcile, stamp_ingestion_date
+from ..sources.readers import read_csv_inferred, read_table
+from .registry import query
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "fpl_spark_scratch")
+
+
+@query("q_scan_parquet", oracle="SELECT * FROM lineitem")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan (columnar source; Catalyst prunes/pushes on
+    top of this in every other query)."""
+    return read_table(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_scan_csv_infer",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with header + schema inference
+    (big_uery_handler.py:110-118).
+
+    The landing CSV is materialized deterministically from the nation
+    table, then read back with inference; the result must round-trip
+    to the original values.
+    """
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = os.path.join(_SCRATCH, "nation.csv")
+    pdf = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").toPandas()
+    pdf.to_csv(path, index=False)
+    df = read_csv_inferred(spark, path)
+    return df.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+# Reconciliation target: o_orderkey arrives as a string with every
+# 97th value corrupted (try_cast -> NULL), o_comment is absent from the
+# input (NULL-filled), the input's extra column is dropped, and output
+# order follows the target schema (big_uery_handler.py:147-156).
+_RECONCILE_TARGET = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_comment", StringType()),
+        StructField("o_orderpriority", StringType()),
+    ]
+)
+
+_RECONCILE_ORACLE = """
+SELECT
+  TRY_CAST(
+    CAST(o_orderkey AS VARCHAR)
+      || CASE WHEN o_orderkey % 97 = 0 THEN 'x' ELSE '' END
+    AS BIGINT) AS o_orderkey,
+  o_totalprice,
+  CAST(NULL AS VARCHAR) AS o_comment,
+  o_orderpriority
+FROM orders
+"""
+
+
+@query("q_ingest_reconcile", oracle=_RECONCILE_ORACLE)
+def q_ingest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-schema reconciliation (big_uery_handler.py:124-165):
+    try_cast matched columns, NULL-fill missing, drop extra, target
+    column order."""
+    raw = read_table(spark, sf_dir, "orders").select(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("x")).otherwise(F.lit("")),
+        ).alias("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice"),
+        F.lit("dropped").alias("utm_campaign"),  # input-only column (:148)
+    )
+    return reconcile(raw, _RECONCILE_TARGET)
+
+
+_STAMP_ORACLE = """
+SELECT
+  o_orderkey,
+  COALESCE(
+    CASE WHEN o_orderkey % 2 = 0 THEN DATE '2020-01-01' END,
+    DATE '2024-06-01') AS Ingestion_date
+FROM orders
+"""
+
+
+@query("q_ingest_stamp", oracle=_STAMP_ORACLE)
+def q_ingest_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-date stamping (big_uery_handler.py:183-194): existing
+    values are kept, NULLs get the run date — write-time equivalent of
+    the reference's UPDATE."""
+    df = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("2020-01-01").cast("date")).alias(
+            "Ingestion_date"
+        ),
+    )
+    return stamp_ingestion_date(df, run_date=date(2024, 6, 1))
+
+
+@query("sink_overwrite")  # rows-only: side-effecting, verified by re-read
+def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite sink (WRITE_TRUNCATE, big_uery_handler.py:114,133):
+    write, then re-read and return — row count must equal the source."""
+    target = os.path.join(_SCRATCH, "sink_overwrite")
+    read_table(spark, sf_dir, "region").write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target).orderBy("r_regionkey")
+
+
+@query("sink_append")  # rows-only: side-effecting, verified by re-read
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append sink (INSERT INTO ... SELECT, big_uery_handler.py:158-165):
+    overwrite then append the same batch -> exactly 2x rows."""
+    target = os.path.join(_SCRATCH, "sink_append")
+    src = read_table(spark, sf_dir, "region")
+    src.write.mode("overwrite").parquet(target)
+    src.write.mode("append").parquet(target)
+    return (
+        spark.read.parquet(target)
+        .groupBy("r_regionkey")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .orderBy("r_regionkey")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Local testing runs ``local[N]``; the configs below are chosen so the
+same code is cluster-ready: AQE handles runtime re-planning and skew,
+the broadcast threshold keeps dimension joins shuffle-free, and Arrow
+makes the Pandas-UDF path (similarity / multimodal operators) fast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def build_session(
+    app_name: str = "etl-pipeline-fresh-picked-leads-spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    Defaults are deliberately cluster-shaped even on local[*]:
+
+    - AQE on (coalesce post-shuffle partitions, skew-join splitting):
+      at 100 TB the static shuffle-partition number is always wrong;
+      AQE re-plans from runtime stats.
+    - broadcast threshold 64 MB: region/nation/customer-sized dims
+      broadcast instead of shuffling the fact table.
+    - Arrow enabled for the pandas_udf / applyInPandas slow path.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # The events table carries parquet TIMESTAMP(NANOS), which
+        # Spark's type system cannot represent; read as raw nanos and
+        # convert to microsecond timestamps at scan time (readers.py),
+        # matching DuckDB's ns->us truncation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
