@@ -1,3 +1,171 @@
-"""§2B-J: Structured Streaming queries (filled in stage 4)."""
+"""§2B-J: Structured Streaming queries, oracle-checked via
+``availableNow`` replay of the static events table (SURVEY §2B-J
+strategy: tumbling/sliding/session/dedup/static-join are exactly
+batch-expressible; watermark emission and foreachBatch are
+rows-only/invariant-checked).
+"""
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_table
+from ..streaming.dedup import dedup_by_id
+from ..streaming.joins import enrich_with_dim
+from ..streaming.runner import run_available_now
+from ..streaming.sinks import foreach_batch_upsert
+from ..streaming.source import events_stream
+from ..streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    watermarked_tumbling,
+)
+from .registry import query
+
+_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+         AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q_stream_tumbling", oracle=_TUMBLING_ORACLE)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        tumbling_counts(events_stream(spark, sf_dir)), spark, "complete"
+    )
+
+
+# Each event falls into exactly width/slide = 4 sliding windows whose
+# starts are the event's 15-min bucket minus 0..3 slides (epoch-aligned
+# like Spark's window()).
+_SLIDING_ORACLE = """
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + (CAST(floor(epoch(ts) / 900) AS BIGINT) - t.i) * 900
+           * INTERVAL 1 SECOND AS window_start,
+       TIMESTAMP '1970-01-01 00:00:00'
+         + ((CAST(floor(epoch(ts) / 900) AS BIGINT) - t.i) * 900 + 3600)
+           * INTERVAL 1 SECOND AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN generate_series(0, 3) t(i)
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_sliding", oracle=_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        sliding_counts(events_stream(spark, sf_dir)), spark, "complete"
+    )
+
+
+# Gaps-and-islands formulation of gap-based sessionization: a new
+# session starts when the previous event of the user is > gap behind;
+# session end = last event + gap (Spark session_window semantics).
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@query("q_stream_session", oracle=_SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        session_counts(events_stream(spark, sf_dir)), spark, "complete"
+    )
+
+
+@query("q_stream_watermark")  # rows-only: append-mode emission semantics
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg in append mode: only windows the final
+    watermark (max ts - 1h) has passed are emitted; the trailing
+    unfinalized windows stay in state.  Late-row exclusion is
+    invariant-tested in tests/test_streaming.py with a two-file replay
+    (FIXTURES.md B4)."""
+    return run_available_now(
+        watermarked_tumbling(events_stream(spark, sf_dir)), spark, "append"
+    )
+
+
+@query("q_stream_dedup", oracle="SELECT * FROM events")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup over an at-least-once feed: the same file
+    replayed through two source streams (every row duplicated) must
+    come out exactly once."""
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )
+    return run_available_now(dedup_by_id(doubled), spark, "append")
+
+
+_STATIC_JOIN_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@query("q_stream_static_join", oracle=_STATIC_JOIN_ORACLE)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer")
+    joined = enrich_with_dim(stream, dim, "user_id", "c_custkey").select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+    return run_available_now(joined, spark, "append")
+
+
+@query("q_stream_foreachbatch")  # rows-only: side-effecting sink
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert (the reference's append +
+    ingestion-date flow, big_uery_handler.py:158-194, made
+    micro-batch): final table must hold each event_id exactly once,
+    every row stamped."""
+    base = os.path.join(tempfile.gettempdir(), "fpl_spark_scratch", "upsert_tbl")
+    for p in (base, base + "_chk"):
+        shutil.rmtree(p, ignore_errors=True)
+    stream = events_stream(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    q = foreach_batch_upsert(stream, spark, base, "event_id")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("foreachBatch upsert did not finish")
+    return (
+        spark.read.parquet(base)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.count(F.when(F.col("Ingestion_date").isNull(), 1)).alias(
+                "n_unstamped"
+            ),
+        )
+    )

@@ -195,5 +195,10 @@ def ingest_directory(
             dest = os.path.join(landing_dir, "failed")
         if archive:
             os.makedirs(dest, exist_ok=True)
-            shutil.move(path, os.path.join(dest, name))
+            target = os.path.join(dest, name)
+            n = 1
+            while os.path.exists(target):  # same name re-landed: keep both
+                target = os.path.join(dest, f"{name}.{n}")
+                n += 1
+            shutil.move(path, target)
     return result
