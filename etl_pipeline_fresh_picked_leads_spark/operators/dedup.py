@@ -1,0 +1,239 @@
+"""Deduplication operators (SURVEY §2B-K, north_star "dedup").
+
+Four tiers, in increasing recall-per-cost:
+
+1. exact row / keyed dedup       — hash groupBy (queries/aggregates.py)
+2. content-hash dedup            — md5/sha256 fingerprint equality
+3. MinHash-LSH near-dup          — banding join, subquadratic
+4. SimHash near-dup              — 64-bit signature, pigeonhole-banded
+   hamming join
+plus an exact n-gram-Jaccard all-pairs verifier used as ground truth.
+
+Everything is seeded-hash deterministic (xxhash64, no RNG): the same
+corpus gives the same pairs on any cluster size — required for the
+oracle and for reproducible data lineage at 100 TB.
+
+Scale shape: candidate generation is a shuffle on short band keys
+(8 rows/doc for MinHash, 4 for SimHash), never an all-pairs product;
+only the candidate pairs (tiny vs n^2) fetch shingle sets for exact
+verification.  AQE's skew-join handles pathological bands (e.g. a
+boilerplate shingle shared by millions of docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+# 16 minhash permutations, banded 8 x 2: detection probability
+# 1-(1-j^2)^8 — ~0.65 at j=0.35, ~0.97 at j=0.6, ~1 at j>=0.8.
+N_HASHES = 16
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", shingles(tokens(F.col("text")), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> array<long> of N_HASHES min-hashes over word
+    n-gram shingles.  hash family = xxhash64(shingle, seed)."""
+    sh = _with_shingles(docs, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda x, s=s: F.xxhash64(x, F.lit(s)))
+            )
+            for s in range(N_HASHES)
+        ]
+    )
+    return sh.select("doc_id", F.col("sh").alias("shingles"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH banding with exact-Jaccard
+    verification: (doc_id_a < doc_id_b, jaccard >= threshold).
+
+    Pipeline: signature -> explode 8 band keys -> self-join on band
+    key -> distinct candidates -> verify on exact shingle Jaccard.
+    """
+    sigs = minhash_signatures(docs, n)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                            F.lit(b),
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    return verify_jaccard(candidates, _with_shingles(docs, n), threshold)
+
+
+def verify_jaccard(
+    pairs: DataFrame, doc_shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs at or
+    above threshold.  Only candidates (not n^2) pay this cost."""
+    sa = doc_shingles.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    )
+    sb = doc_shingles.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.35, n: int = 3
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold — the ground-truth
+    (quadratic) formulation used to measure LSH recall, and the
+    correctness oracle for minhash_lsh_pairs.  Keep off 100 TB paths;
+    shown here because at sf scale it doubles as the SQL-checkable
+    contract."""
+    sh = _with_shingles(docs, n)
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 64
+N_CHUNKS = 4  # pigeonhole: hamming <= 3  =>  >=1 of 4 16-bit chunks equal
+CHUNK_BITS = SIMHASH_BITS // N_CHUNKS
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over tokens: bit j is the sign of the sum of
+    (+-1) votes from each token's xxhash64 bit j.  Token multiplicity
+    acts as the weight."""
+    toks = tokens(F.col("text"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = lambda j: F.aggregate(  # noqa: E731
+        hashes,
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(
+                bit_votes(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return docs.select("doc_id", sig.alias("simhash")).filter(
+        F.size(tokens(F.col("text"))) > 0
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found via
+    chunk-equality banding (any pair within hamming 3 shares at least
+    one equal 16-bit chunk) then exact popcount on candidates."""
+    sigs = simhash_signatures(docs)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                        .alias("chunk"),
+                    )
+                    for c in range(N_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def content_hash_dedup(docs: DataFrame) -> DataFrame:
+    """Exact-content dedup via md5 of normalized text: one survivor
+    (lowest doc_id) per hash — the cheapest dedup tier, always run
+    first at scale."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashed = docs.select("doc_id", "lang", F.md5(norm).alias("content_md5"))
+    survivors = hashed.groupBy("content_md5").agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return survivors

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (SURVEY §2B-K,
+north_star "similarity search").
+
+- exact cosine top-k / threshold self-join: brute force with JVM
+  higher-order functions (zip_with + aggregate) — the correctness
+  baseline, quadratic, fine up to ~10^5 x 10^5 with pruning;
+- IVF approximate top-k: deterministic coarse quantizer (first
+  ``nlist`` vectors as centroids), assign each vector to its nearest
+  centroid partition, probe the ``nprobe`` centroids nearest the
+  query — the 100 TB path: candidate set shrinks by ~nlist/nprobe,
+  and the assignment is a broadcast join (centroid table is tiny).
+
+All float math is widened to double before accumulating; cosine
+scores are rounded to 6 dp at the operator boundary (SURVEY §2B
+hash-stability note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norms(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return vecs.select(
+        "vec_id", v.alias("v"), _norm(v).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+
+
+def cosine_topk(
+    vecs: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector (excluding
+    itself).  The 1-row query side is broadcast; ordering is on the
+    rounded score with vec_id tie-break for determinism."""
+    base = with_norms(vecs)
+    q = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = base.filter(F.col("vec_id") != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    return (
+        scored.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_self_join(vecs: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — exact.  At scale,
+    replace the raw cross join with the IVF partitioning below or an
+    LSH band join; the scoring expression is identical."""
+    base = with_norms(vecs)
+    a = base.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a", "vec_id_b", F.round(cos, 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    vecs: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= threshold): same
+    machinery as cosine_self_join, tuned as a dedup gate."""
+    return cosine_self_join(vecs, threshold)
+
+
+# --- IVF (inverted-file) approximate search --------------------------------
+
+
+def ivf_assign(
+    vecs: DataFrame, nlist: int = 16, vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic coarse quantizer: centroids = the first ``nlist``
+    vectors by vec_id (a k-means fit would slot in identically — the
+    partitioning contract is 'every vector belongs to its nearest
+    centroid').  Returns (centroids, assignments); the centroid table
+    is broadcast-sized by construction."""
+    base = with_norms(vecs, vec_col)
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(nlist)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "nrm", "centroid_id", F.round(cos, 6).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "centroid_id")
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: search only the ``nprobe`` centroid
+    partitions nearest the query.  Candidate count ~ n * nprobe/nlist;
+    recall grows with nprobe (nprobe = nlist degenerates to exact)."""
+    centroids, assignments = ivf_assign(vecs, nlist)
+    q = assignments.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    ccos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", F.round(ccos, 6).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cands = assignments.join(F.broadcast(probe), "centroid_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def l2_normalize(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalized copy of the embedding column + the norm itself;
+    elementwise values rounded at the operator boundary."""
+    v = _as_double(F.col(vec_col))
+    nrm = _norm(v)
+    return vecs.select(
+        "vec_id",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.transform(v, lambda x: F.round(x / nrm, 6)).alias("unit_vec"),
+    )

@@ -1,0 +1,189 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY §2B-K /
+BASELINE.json north_star "text analysis").
+
+All of these are pure JVM expression compositions (split / explode /
+higher-order array functions) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with document count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# A small function-word list per language for the n-gram/stopword
+# language-ID heuristic.  (The synthetic corpus shares one vocabulary
+# across langs, so on testdata this exercises the machinery rather
+# than the linguistics.)
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "de", "et", "que"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, lowercased, empty-safe."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND
+    word/punct/digit boundaries (a BPE-flavored regex, not a trained
+    tokenizer)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+|(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})"),
+        lambda t: t != "",
+    )
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (the unit of
+    near-dup comparison in dedup.py)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus stats: doc counts, token counts, avg token
+    length — the profiling pass every training-data pipeline runs
+    before filtering."""
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("token_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+            ).alias("avg_tokens_per_doc"),
+            (
+                F.sum("token_chars").cast("double") / F.sum("n_tokens")
+            ).alias("avg_token_len"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def term_frequencies(docs: DataFrame, top_n: int = 5) -> DataFrame:
+    """Top-n terms per language by frequency (ties broken
+    alphabetically): explode -> two-level aggregation -> windowed
+    top-k.  The explode fan-out is bounded by total token count, and
+    the window group-limit keeps the shuffle small at scale."""
+    tf = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("lang", "term", "freq", "rank")
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals per document: length, mean token
+    length, stopword ratio, alpha ratio, repetition (distinct/total
+    tokens).  Mirrors the usual pre-training quality filters
+    (C4/Gopher-style thresholds would sit on top as plain WHEREs)."""
+    toks = tokens(F.col("text"))
+    all_stop = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+         / F.length("text")).alias("alpha_ratio"),
+        (F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+         .cast("double") / n_tok).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+            .cast("double")
+            / n_tok
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: score = share of tokens in each
+    language's function-word list; argmax with deterministic
+    alphabetical tie-break, 'und' (undetermined) when no list matches.
+    A trained n-gram model would slot in the same shape."""
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    def _in_list(ws: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        # single-param lambda on purpose: pyspark infers higher-order
+        # lambda arity from the signature (2 params would mean (x, i))
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: (
+            F.size(F.filter(toks, _in_list(ws))).cast("double") / n_tok
+        ).alias(f"score_{lang}")
+        for lang, ws in STOPWORDS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    pred = F.lit("und")
+    # reversed alphabetical fold => earliest alphabetical lang wins ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_pred"),
+        F.round(best, 6).alias("confidence"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: md5/sha256 of the normalized text (exact-
+    dup key), a 16-hex-char prefix bucket (shard key), and a rolling
+    min-hash-of-shingles sketch value (near-dup indicator)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("md5_hex"),
+        F.sha2(norm, 256).alias("sha256_hex"),
+        F.substring(F.md5(norm), 1, 4).alias("shard_bucket"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish token counts per doc — the budget
+    columns a training-mix planner aggregates."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4).alias("chars_div4_est"),
+    )

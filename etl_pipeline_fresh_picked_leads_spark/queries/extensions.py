@@ -1,3 +1,381 @@
-"""§2B-K: LLM-data-pipeline extension queries (filled in stage 5)."""
+"""§2B-K + training-data-pipeline extension queries.
+
+The documents corpus ships with natural near-duplicates (shingle
+Jaccard up to ~0.99), so the dedup operators verify against real
+structure.  SQL-oracle entries reproduce the exact math in DuckDB
+(positions + double sums, rounded 6 dp per the §2B note); hash-family
+operators (MinHash/SimHash/IVF) are rows-only with recall invariants
+in tests/test_extensions.py.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    content_hash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import extract_features, payload_metadata
+from ..operators.similarity import (
+    cosine_self_join,
+    cosine_topk,
+    embedding_near_dup,
+    ivf_topk,
+    l2_normalize,
+)
+from ..operators.text import (
+    doc_stats,
+    fingerprints,
+    language_id,
+    quality_scores,
+    term_frequencies,
+    token_counts,
+)
+from ..sources.readers import read_table
+from .registry import query
+
+# ---------------------------------------------------------------- dedup ----
+
+
+@query("q_dedup_fuzzy")  # rows-only: candidate set depends on xxhash64 family
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at Jaccard >= 0.5.  Recall vs the
+    exact q_dedup_ngram ground truth is asserted in tests."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       len(list_intersect(a.s, b.s)) * 1.0
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard >= 0.35 — ground truth for
+    the LSH variant, SQL-oracle-checked."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.35)
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 signature family
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk
+    banding."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+_CONTENT_HASH_ORACLE = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS content_md5,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("q_dedup_content_hash", oracle=_CONTENT_HASH_ORACLE)
+def q_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup: md5-of-normalized-text survivor table
+    (cheapest dedup tier, always first at 100 TB)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return content_hash_dedup(docs)
+
+
+# The embedding near-dup gate needs actual near-dupes; the corpus has
+# none above 0.52, so the query plants deterministic perturbed clones
+# (vec_id + 100000, v -> 0.9v + 0.05) — reproducible on both sides.
+_EMBED_DUP_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 50
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> 0.9 * x + 0.05) FROM base
+),
+flat AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM corpus CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, SUM(a.x * b.x) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_id_a, vec_id_b,
+       round(dot / (x.nrm * y.nrm), 6) AS cosine
+FROM dots
+JOIN norms x ON vec_id_a = x.vec_id
+JOIN norms y ON vec_id_b = y.vec_id
+WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.9
+"""
+
+
+@query("q_dedup_embed", oracle=_EMBED_DUP_ORACLE)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * 0.9 + 0.05
+        ).alias("embedding"),
+    )
+    corpus = base.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(clones)
+    return embedding_near_dup(corpus, threshold=0.9)
+
+
+# ----------------------------------------------------------- similarity ----
+
+_TOPK_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+q AS (SELECT i, x FROM flat WHERE vec_id = 0),
+dots AS (
+  SELECT f.vec_id, SUM(f.x * q.x) AS dot
+  FROM flat f JOIN q ON f.i = q.i
+  WHERE f.vec_id <> 0
+  GROUP BY 1
+)
+SELECT d.vec_id,
+       round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6)
+         AS cosine
+FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+"""
+
+
+@query("q_sim_topk", oracle=_TOPK_ORACLE)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec 0 (brute force baseline)."""
+    return cosine_topk(read_table(spark, sf_dir, "embeddings"), 0, k=10)
+
+
+_SIM_JOIN_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, SUM(a.x * b.x) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_id_a, vec_id_b,
+       round(dot / (x.nrm * y.nrm), 6) AS cosine
+FROM dots
+JOIN norms x ON vec_id_a = x.vec_id
+JOIN norms y ON vec_id_b = y.vec_id
+WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4
+"""
+
+
+@query("q_sim_join", oracle=_SIM_JOIN_ORACLE)
+def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine similarity self-join (pairs >= 0.4)."""
+    return cosine_self_join(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@query("q_sim_ann_ivf")  # rows-only: approximate by design
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for vec 0 (nlist=16, nprobe=4): the
+    scale path — recall vs exact asserted in tests."""
+    return ivf_topk(
+        read_table(spark, sf_dir, "embeddings"), 0, k=10, nlist=16, nprobe=4
+    )
+
+
+_EMBED_NORM_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1)
+SELECT e.vec_id,
+       round(n.nrm, 6) AS l2_norm,
+       list_transform(e.embedding,
+                      x -> round(CAST(x AS DOUBLE) / n.nrm, 6)) AS unit_vec
+FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
+"""
+
+
+@query("q_embed_norm", oracle=_EMBED_NORM_ORACLE)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return l2_normalize(read_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------ text ----
+
+_TEXT_STATS_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         len(t) AS n_tokens,
+         length(text) AS n_chars,
+         list_aggregate(list_transform(t, x -> length(x)), 'sum')
+           AS token_chars
+  FROM (SELECT lang, text,
+               list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')
+                 AS t
+        FROM documents)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+       CAST(SUM(token_chars) AS DOUBLE) / SUM(n_tokens) AS avg_token_len,
+       CAST(MAX(n_chars) AS INT) AS max_chars
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@query("q_text_stats", oracle=_TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_stats(read_table(spark, sf_dir, "documents"))
+
+
+_TEXT_TOKENS_ORACLE = """
+WITH tf AS (
+  SELECT lang, tok AS term, COUNT(*) AS freq
+  FROM (SELECT lang, unnest(list_filter(
+           string_split(lower(trim(text)), ' '), x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang, term, freq, CAST(rank AS INT) AS rank FROM (
+  SELECT lang, term, freq,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, term) AS rank
+  FROM tf
+) WHERE rank <= 5
+"""
+
+
+@query("q_text_tokens", oracle=_TEXT_TOKENS_ORACLE)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_frequencies(read_table(spark, sf_dir, "documents"), top_n=5)
+
+
+@query("q_text_langid")  # rows-only: heuristic classifier, invariant-tested
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(read_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = """
+SELECT doc_id, lang,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / length(text) AS alpha_ratio,
+       CAST(len(list_filter(t, x -> list_contains(
+           ['the','a','and','of','to','el','la','de','y','que',
+            'der','die','das','und','zu','le','et'], x))) AS DOUBLE)
+         / len(t) AS stopword_ratio,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+       CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+            AS DOUBLE) / len(t) AS avg_token_len
+FROM (SELECT doc_id, lang, text,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')
+               AS t
+      FROM documents)
+"""
+
+
+@query("q_text_quality", oracle=_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(read_table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(n) AS md5_hex,
+       sha256(n) AS sha256_hex,
+       substr(md5(n), 1, 4) AS shard_bucket,
+       CAST(length(n) AS INT) AS norm_len
+FROM (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+      FROM documents)
+"""
+
+
+@query("q_text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id, lang,
+       CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                            x -> x <> '')) AS INT) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text),
+                            '[^a-z0-9]+'), x -> x <> '')) AS INT)
+         AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4_est
+FROM documents
+"""
+
+
+@query("q_text_token_counts", oracle=_TOKEN_COUNT_ORACLE)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(read_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ multimodal ----
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id, lang,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
+FROM documents
+"""
+
+
+@query("q_multimodal", oracle=_MULTIMODAL_ORACLE)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata: size + content hashes + magic bytes,
+    all JVM-side (dedup/shard layer for media columns)."""
+    return payload_metadata(read_table(spark, sf_dir, "documents"))
+
+
+@query("q_multimodal_features")  # rows-only: stubbed decoder (no codec here)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature pipeline with the deterministic fake
+    decoder (real codec slots into operators/multimodal.decode_image)."""
+    return extract_features(read_table(spark, sf_dir, "documents"))

@@ -33,7 +33,7 @@ SELECT c_custkey,
        lower(c_name) AS name_lower,
        upper(c_mktsegment) AS seg_upper,
        trim(concat('  ', c_name, ' ')) AS name_trimmed,
-       length(c_name) AS name_len,
+       CAST(length(c_name) AS INT) AS name_len,
        substr(c_name, 1, 8) AS name_prefix,
        concat_ws('|', c_mktsegment, c_name) AS seg_name
 FROM customer
@@ -182,9 +182,11 @@ GROUP BY 1
 """,
 )
 def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F.date_trunc returns tz-aware TIMESTAMP even for NTZ input; cast
+    # back (identity under the UTC session) for output-schema parity
     e = read_table(spark, sf_dir, "events")
     return e.groupBy(
-        F.date_trunc("month", "ts").alias("month_start")
+        F.date_trunc("month", "ts").cast("timestamp_ntz").alias("month_start")
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 

@@ -28,6 +28,17 @@ from ..streaming.windows import (
 )
 from .registry import query
 
+
+def _ntz(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast tz-aware result timestamps to NTZ (identity under the UTC
+    session) so output schemas match the parquet/oracle convention;
+    event-time processing itself must stay tz-aware (Spark requires
+    TIMESTAMP for watermarks)."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
 _TUMBLING_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
@@ -42,9 +53,10 @@ GROUP BY 1, 2, 3
 
 @query("q_stream_tumbling", oracle=_TUMBLING_ORACLE)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(
+    out = run_available_now(
         tumbling_counts(events_stream(spark, sf_dir)), spark, "complete"
     )
+    return _ntz(out, "window_start", "window_end")
 
 
 # Each event falls into exactly width/slide = 4 sliding windows whose
@@ -66,9 +78,10 @@ GROUP BY 1, 2
 
 @query("q_stream_sliding", oracle=_SLIDING_ORACLE)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(
+    out = run_available_now(
         sliding_counts(events_stream(spark, sf_dir)), spark, "complete"
     )
+    return _ntz(out, "window_start", "window_end")
 
 
 # Gaps-and-islands formulation of gap-based sessionization: a new
@@ -100,9 +113,10 @@ GROUP BY user_id, sid
 
 @query("q_stream_session", oracle=_SESSION_ORACLE)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(
+    out = run_available_now(
         session_counts(events_stream(spark, sf_dir)), spark, "complete"
     )
+    return _ntz(out, "session_start", "session_end")
 
 
 @query("q_stream_watermark")  # rows-only: append-mode emission semantics
@@ -112,9 +126,10 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfinalized windows stay in state.  Late-row exclusion is
     invariant-tested in tests/test_streaming.py with a two-file replay
     (FIXTURES.md B4)."""
-    return run_available_now(
+    out = run_available_now(
         watermarked_tumbling(events_stream(spark, sf_dir)), spark, "append"
     )
+    return _ntz(out, "window_start", "window_end")
 
 
 @query("q_stream_dedup", oracle="SELECT * FROM events")
@@ -125,7 +140,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = events_stream(spark, sf_dir).unionByName(
         events_stream(spark, sf_dir)
     )
-    return run_available_now(dedup_by_id(doubled), spark, "append")
+    out = run_available_now(dedup_by_id(doubled), spark, "append")
+    return _ntz(out, "ts")
 
 
 _STATIC_JOIN_ORACLE = """

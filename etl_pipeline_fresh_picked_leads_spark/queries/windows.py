@@ -22,8 +22,8 @@ from .registry import query
     "q_win_rownum",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       ROW_NUMBER() OVER (PARTITION BY o_custkey
-                          ORDER BY o_orderdate, o_orderkey) AS rn
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
 FROM orders
 """,
 )
@@ -39,9 +39,10 @@ def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_rank",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_quantity,
-       RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rnk,
-       DENSE_RANK() OVER (PARTITION BY l_orderkey
-                          ORDER BY l_quantity DESC) AS drnk
+       CAST(RANK() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_quantity DESC) AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_quantity DESC) AS INT) AS drnk
 FROM lineitem
 """,
 )
@@ -63,7 +64,8 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_ntile",
     oracle="""
 SELECT o_orderkey,
-       NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+         AS quartile
 FROM orders
 """,
 )

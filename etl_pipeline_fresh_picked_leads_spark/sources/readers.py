@@ -51,9 +51,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
             # integer div (not /, which goes through double and loses
-            # precision above 2^53 ns) then micros -> timestamp
+            # precision above 2^53 ns) then micros -> timestamp; cast
+            # to NTZ to match how Spark reads the other parquet
+            # timestamps (isAdjustedToUTC=false -> TimestampNTZ)
             df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+                    "timestamp_ntz"
+                ),
             )
     return df
 

@@ -41,5 +41,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema  # raw: ts is bigint nanos
     df = spark.readStream.schema(schema).parquet(_staging_dir(path))
     if dict(df.dtypes).get("ts") == "bigint":
+        # stays tz-aware TIMESTAMP here: watermarks/event-time require
+        # it; query wrappers cast result columns to NTZ for output
+        # parity (identity under the UTC session)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -63,6 +63,31 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _arrow_type_name(t) -> str:
+    """Normalized arrow type label: timestamps compare tz-insensitively
+    (Spark is always tz-aware, DuckDB naive; values align under the
+    UTC session), everything else must match exactly."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_type_name(t.value_type)}>"
+    return str(t)
+
+
+def compare_types(spark_tbl, oracle_tbl) -> list[str]:
+    st = {f.name: _arrow_type_name(f.type) for f in spark_tbl.schema}
+    ot = {f.name: _arrow_type_name(f.type) for f in oracle_tbl.schema}
+    return [
+        f"dtype[{c}] spark={st[c]} oracle={ot[c]}"
+        for c in sorted(set(st) & set(ot))
+        if st[c] != ot[c]
+    ]
+
+
 def compare(qid: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_df) != len(oracle_df):
@@ -106,7 +131,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            stbl = fn(spark, sf_dir).toArrow()
+            sdf = stbl.to_pandas()
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR  {qid}: spark side raised: {exc}")
             n_err += 1
@@ -118,12 +144,13 @@ def main() -> int:
         try:
             # go through Arrow so DATE stays date (df() coerces to
             # datetime64 and would spuriously mismatch Spark dates)
-            odf = con.sql(ORACLE[qid]).arrow().to_pandas()
+            otbl = con.sql(ORACLE[qid]).arrow()
+            odf = otbl.to_pandas()
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR  {qid}: oracle side raised: {exc}")
             n_err += 1
             continue
-        problems = compare(qid, sdf, odf)
+        problems = compare_types(stbl, otbl) + compare(qid, sdf, odf)
         if problems:
             n_fail += 1
             print(f"FAIL   {qid}: {'; '.join(problems)}")
