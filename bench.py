@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>}
+
+Execution is forced with the noop sink (full computation, no driver
+collect) so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
+from etl_pipeline_fresh_picked_leads_spark.session import build_session
+
+# Representative spread: scan+agg, joins (shuffle + broadcast + theta),
+# windows, pivot, set-heavy dedup, similarity, text, streaming replay.
+HEADLINE = [
+    "q_agg_group",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_theta",
+    "q_join_asof",
+    "q_topk_pergroup",
+    "q_win_running",
+    "q_pivot",
+    "q_agg_rollup",
+    "q_dedup_fuzzy",
+    "q_dedup_content_hash",
+    "q_sim_topk",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = build_session(app_name="fpl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest table so per-query timings
+    # measure steady-state execution.
+    QUERIES["q_agg_group"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        t0 = time.time()
+        QUERIES[qid](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,16 +34,60 @@ N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
+# NOTES on expression shape (both measured ~10-25x at 5k docs):
+#
+# 1. Token arrays are ALWAYS projected as a real column before
+#    shingling: element_at(tokens(text), i) inside a higher-order
+#    lambda re-evaluates the full tokenize subtree per index (Catalyst
+#    does not CSE through lambda scopes).
+# 2. NEVER post-filter on an expensive computed column
+#    (.filter(size(sh) > 0)): predicate pushdown clones the whole
+#    expression into an interpreted Filter and evaluates it a second
+#    time per row.  Pre-filter on cheap raw-text predicates instead;
+#    docs shorter than n tokens yield empty shingle sets that the
+#    jaccard >= tau condition (NULL for 0/0) filters out naturally.
+
+
+def _parallel(docs: DataFrame) -> DataFrame:
+    """Single-file inputs arrive as one partition; fan out before
+    per-row-expensive work.  No-op when the source is already split
+    (the 100 TB case — there the extra shuffle would be harmful)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        return docs.repartition(target)
+    return docs
+
+
 def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select(
-        "doc_id", shingles(tokens(F.col("text")), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    toked = _parallel(
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    ).select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toked.select("doc_id", shingles(F.col("toks"), n).alias("sh"))
+
+
+def _with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Shingle sets as xxhash64 longs: array_distinct/array_intersect
+    over fixed-width longs instead of strings (string set ops are
+    quadratic in shingle count with full string compares).  Collision
+    probability at 64 bits is negligible for any realistic corpus."""
+    toked = _parallel(
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    ).select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    sh = F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toked.select("doc_id", sh.alias("sh"))
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id -> array<long> of N_HASHES min-hashes over word
-    n-gram shingles.  hash family = xxhash64(shingle, seed)."""
-    sh = _with_shingles(docs, n)
+    """doc_id -> array<long> of N_HASHES min-hashes over hashed word
+    n-gram shingles.  hash family = xxhash64(shingle_hash, seed)."""
+    sh = _with_hashed_shingles(docs, n)
     sig = F.array(
         *[
             F.array_min(
@@ -61,10 +105,18 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs by MinHash-LSH banding with exact-Jaccard
     verification: (doc_id_a < doc_id_b, jaccard >= threshold).
 
-    Pipeline: signature -> explode 8 band keys -> self-join on band
+    Pipeline: shingle+signature (ONE materialized pass — the self-join
+    and the verify join both branch off it, and without persistence
+    Spark would recompute the whole tokenize/hash pipeline once per
+    branch, 4x the work) -> explode 8 band keys -> self-join on band
     key -> distinct candidates -> verify on exact shingle Jaccard.
+    At 100 TB this materialization is the standard
+    signatures-checkpoint; it is ~1% the size of the corpus.
     """
-    sigs = minhash_signatures(docs, n)
+    base = minhash_signatures(docs, n).persist()
+    base.count()  # eager: both join branches must hit the cache, not
+    # race to recompute the signature pipeline in parallel
+    sigs = base.select("doc_id", "sig")
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -100,7 +152,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return verify_jaccard(candidates, _with_shingles(docs, n), threshold)
+    doc_shingles = base.select("doc_id", F.col("shingles").alias("sh"))
+    return verify_jaccard(candidates, doc_shingles, threshold)
 
 
 def verify_jaccard(
@@ -116,14 +169,11 @@ def verify_jaccard(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union)  # empty sets -> NULL
     return (
         pairs.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -141,13 +191,10 @@ def ngram_jaccard_pairs(
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union)  # empty sets -> NULL
     return (
         a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -162,11 +209,18 @@ CHUNK_BITS = SIMHASH_BITS // N_CHUNKS
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: bit j is the sign of the sum of
     (+-1) votes from each token's xxhash64 bit j.  Token multiplicity
-    acts as the weight."""
-    toks = tokens(F.col("text"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    acts as the weight.  Token hashes are projected once (see the CSE
+    note above) before the 64 per-bit vote folds."""
+    hashed = _parallel(
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    ).select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
+            "hashes"
+        ),
+    )
     bit_votes = lambda j: F.aggregate(  # noqa: E731
-        hashes,
+        F.col("hashes"),
         F.lit(0),
         lambda acc, h: acc
         + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -178,9 +232,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                 bit_votes(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)
             ).otherwise(F.lit(0).cast("long"))
         )
-    return docs.select("doc_id", sig.alias("simhash")).filter(
-        F.size(tokens(F.col("text"))) > 0
-    )
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -56,14 +56,17 @@ def shingles(toks: Column, n: int = 3) -> Column:
 def doc_stats(docs: DataFrame) -> DataFrame:
     """Per-language corpus stats: doc counts, token counts, avg token
     length — the profiling pass every training-data pipeline runs
-    before filtering."""
-    toks = tokens(F.col("text"))
-    per_doc = docs.select(
+    before filtering.  (Tokens are projected once per row before any
+    multi-reference expression — see the CSE note in dedup.py.)"""
+    toked = docs.select(
+        "lang", F.length("text").alias("n_chars"), tokens(F.col("text")).alias("toks")
+    )
+    per_doc = toked.select(
         "lang",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
+        F.size("toks").alias("n_tokens"),
+        "n_chars",
         F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+            F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
         ).alias("token_chars"),
     )
     return (
@@ -105,10 +108,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     length, stopword ratio, alpha ratio, repetition (distinct/total
     tokens).  Mirrors the usual pre-training quality filters
     (C4/Gopher-style thresholds would sit on top as plain WHEREs)."""
-    toks = tokens(F.col("text"))
     all_stop = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    toked = docs.select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks)
-    return docs.select(
+    return toked.select(
         "doc_id",
         "lang",
         F.length("text").alias("n_chars"),
@@ -133,7 +139,8 @@ def language_id(docs: DataFrame) -> DataFrame:
     language's function-word list; argmax with deterministic
     alphabetical tie-break, 'und' (undetermined) when no list matches.
     A trained n-gram model would slot in the same shape."""
-    toks = tokens(F.col("text"))
+    docs = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     def _in_list(ws: tuple[str, ...]):
         arr = F.array(*[F.lit(w) for w in ws])
