@@ -1,0 +1,19 @@
+"""Physical-plan introspection helpers (scale hygiene checks)."""
+
+from .explain import (
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_take_ordered,
+    has_wholestage_codegen,
+    n_exchanges,
+)
+
+__all__ = [
+    "formatted_plan",
+    "has_broadcast_join",
+    "has_pushed_filters",
+    "has_take_ordered",
+    "has_wholestage_codegen",
+    "n_exchanges",
+]

@@ -298,10 +298,10 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_ORACLE = """
 SELECT
   l_returnflag,
-  (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
-  SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty,
-  (s11 - sq * sp / n)
-    / (SQRT(s2 - sq * sq / n) * SQRT(sp2 - sp * sp / n)) AS corr_qty_price
+  round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_qty,
+  round(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_qty,
+  round((s11 - sq * sp / n)
+    / (SQRT(s2 - sq * sq / n) * SQRT(sp2 - sp * sp / n)), 6) AS corr_qty_price
 FROM (
   SELECT
     l_returnflag,
@@ -334,13 +334,17 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     sq, sp, sp2, s11 = F.col("sq"), F.col("sp"), F.col("sp2"), F.col("s11")
+    # rounded at the boundary: the moment sums are bit-identical but
+    # the engines may associate the final expression differently (1-ulp
+    # drift observed on corr at sf0.001)
     return base.select(
         "l_returnflag",
-        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_qty"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_qty"),
-        (
+        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round(
             (s11 - sq * sp / n)
-            / (F.sqrt(s2 - sq * sq / n) * F.sqrt(sp2 - sp * sp / n))
+            / (F.sqrt(s2 - sq * sq / n) * F.sqrt(sp2 - sp * sp / n)),
+            6,
         ).alias("corr_qty_price"),
     )
 

@@ -108,7 +108,24 @@ def reconcile(df: DataFrame, target: StructType) -> DataFrame:
         elif isinstance(f.dataType, StringType):
             cols.append(F.col(src).cast("string").alias(f.name))
         else:
-            cols.append(F.col(src).try_cast(f.dataType).alias(f.name))
+            c = F.col(src).try_cast(f.dataType)
+            if isinstance(f.dataType, DateType):
+                # BigQuery DATE is bounded to [0001-01-01, 9999-12-31];
+                # Spark's try_cast happily parses '-1000' as year -1000.
+                # Clamp to the reference's domain (out-of-range -> NULL,
+                # the same answer BigQuery SAFE_CAST gives).
+                c = F.when(
+                    c.between(
+                        F.lit("0001-01-01").cast("date"),
+                        F.lit("9999-12-31").cast("date"),
+                    ),
+                    c,
+                )
+            elif isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+                lo = F.lit("0001-01-01 00:00:00").cast(f.dataType)
+                hi = F.lit("9999-12-31 23:59:59.999999").cast(f.dataType)
+                c = F.when(c.between(lo, hi), c)
+            cols.append(c.alias(f.name))
     return df.select(*cols)
 
 

@@ -1,0 +1,75 @@
+"""Physical-plan hygiene: the 100 TB contract enforced on explain
+output — pushdown, broadcast, top-k plan shape, shuffle counts
+(SURVEY §4.3 'free vs custom' dividing line).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_fresh_picked_leads_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_take_ordered,
+    has_wholestage_codegen,
+    n_exchanges,
+)
+from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
+from etl_pipeline_fresh_picked_leads_spark.sources.readers import read_table
+
+from conftest import SF_SMALL
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q_filter_cmp"](spark, SF_SMALL)
+    assert has_pushed_filters(df, "l_quantity")
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = read_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    plan = formatted_plan(df)
+    # ReadSchema must not include unprojected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    assert has_broadcast_join(QUERIES["q_join_broadcast"](spark, SF_SMALL))
+    # stream-static enrich also broadcasts (same rule)
+    assert has_broadcast_join(QUERIES["q_join_inner"](spark, SF_SMALL))
+
+
+def test_global_topk_avoids_total_sort(spark):
+    assert has_take_ordered(QUERIES["q_topk_global"](spark, SF_SMALL))
+
+
+def test_flagship_minimal_shuffles(spark):
+    # scan -> partial agg -> exchange -> final agg -> sort exchange: 2
+    df = QUERIES["q_agg_group"](spark, SF_SMALL)
+    assert n_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    assert has_wholestage_codegen(QUERIES["q_agg_group"](spark, SF_SMALL))
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    # Python only where declared (UDF/extension queries); relational
+    # surface must stay JVM-side
+    for qid in ["q_agg_group", "q_join_inner", "q_win_running", "q_pivot",
+                "q_text_stats", "q_dedup_ngram"]:
+        plan = formatted_plan(QUERIES[qid](spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, qid
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = formatted_plan(QUERIES["q_agg_group"](spark, SF_SMALL))
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_" in plan
+
+
+def test_semi_join_does_not_materialize_right(spark):
+    plan = formatted_plan(QUERIES["q_join_semi"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
