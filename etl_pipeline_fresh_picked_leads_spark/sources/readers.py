@@ -47,6 +47,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicate pushdown into the scan, so callers should filter/select
     on the returned DataFrame rather than pre-materializing.
     """
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":

@@ -37,6 +37,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, with the same
     TIMESTAMP(NANOS) -> microsecond conversion as the batch reader
     (sources/readers.py)."""
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema  # raw: ts is bigint nanos
     df = spark.readStream.schema(schema).parquet(_staging_dir(path))
