@@ -1,0 +1,88 @@
+"""Join strategy helpers for scale: bucketed co-located joins and
+salted skew joins.
+
+These are the two knobs Catalyst can't turn by itself:
+
+- **Bucketing** is a storage-time decision: writing both fact tables
+  bucketed by the join key lets every subsequent join/aggregation on
+  that key run with ZERO shuffle (plan shows no Exchange).  At 100 TB
+  the shuffle is the bottleneck, so recurring join keys (orderkey,
+  custkey) should be bucketed at ingest.  Verified by
+  tests/test_plans.py::test_bucketed_join_has_no_shuffle.
+- **Salting** splinters a pathologically hot key across N sub-keys so
+  one reducer doesn't receive the whole key's data.  AQE's skew-join
+  splitting handles sort-merge skew automatically; explicit salting
+  remains necessary for skewed *aggregations* and for joins AQE can't
+  split (e.g. broadcast-ineligible with a single monster key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table;
+    joins/aggs on ``bucket_col`` between tables bucketed the same way
+    are co-located — no Exchange in the plan."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key: shuffle-free
+    by construction."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the fact side gets a deterministic
+    salt (hash of a row-unique tuple, NOT rand() — reproducibility),
+    the dim side is exploded across all salts, and the join key
+    becomes (key, salt).  Each hot key now spreads over ``n_salts``
+    tasks.  Use when one side is too big to broadcast and a key is hot
+    enough to stall a stage."""
+    salted_facts = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_facts.join(salted_dim, [key, "_salt"])
+    return out.drop("_salt")
+
+
+def skewed_agg_two_phase(
+    df: DataFrame, key: str, value: str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase (salted) aggregation: partial-aggregate on
+    (key, salt), then final-aggregate on key.  The classic fix for a
+    hot group key that overwhelms a single reducer; exact same result
+    as a direct groupBy (sum is associative), verified in tests."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(F.col(value).cast("decimal(18,2)")).alias("_psum"),
+        F.count(F.lit(1)).alias("_pcnt"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").cast("double").alias(f"sum_{value}"),
+        F.sum("_pcnt").alias("n_rows"),
+    )

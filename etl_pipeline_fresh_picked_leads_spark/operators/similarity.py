@@ -167,6 +167,58 @@ def ivf_topk(
     )
 
 
+def cosine_topk_vectorized(
+    vecs: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Arrow/numpy formulation of cosine_topk: each partition's
+    embeddings become one (rows x dim) matrix, scored with a single
+    BLAS matvec per Arrow batch via mapInPandas, then a global top-k
+    merge.  Same results as the JVM expression form (same oracle);
+    this is the shape that wins when dim is large (BLAS beats
+    per-element codegen) — the JVM form wins when k and dim are small.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_row = (
+        vecs.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()
+    )
+    if not q_row:
+        raise ValueError(f"query vec {query_vec_id} not found")
+    q = np.asarray(q_row[0][0], dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cosine", DoubleType())]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            m = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = (m @ q) / (norms * qn)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cosine": np.round(cos, 6)}
+            )
+
+    scored = (
+        vecs.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, schema)
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
 def l2_normalize(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalized copy of the embedding column + the norm itself;
     elementwise values rounded at the operator boundary."""

@@ -211,6 +211,18 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_topk_vectorized", oracle=_TOPK_ORACLE)
+def q_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy (BLAS matvec per batch) formulation of exact top-k
+    — same oracle as q_sim_topk; the winning shape for high-dim
+    embeddings."""
+    from ..operators.similarity import cosine_topk_vectorized
+
+    return cosine_topk_vectorized(
+        read_table(spark, sf_dir, "embeddings"), 0, k=10
+    )
+
+
 @query("q_sim_ann_ivf")  # rows-only: approximate by design
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for vec 0 (nlist=16, nprobe=4): the

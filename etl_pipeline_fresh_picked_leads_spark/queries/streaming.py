@@ -160,6 +160,28 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, spark, "append")
 
 
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q_stream_stateful", oracle=_STATEFUL_ORACLE)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals.  After an availableNow replay the final state
+    equals the batch aggregate — cents-exact accumulation makes it
+    hash-match the DECIMAL oracle."""
+    from ..streaming.stateful import running_user_totals
+
+    return run_available_now(
+        running_user_totals(events_stream(spark, sf_dir)), spark, "update"
+    )
+
+
 @query("q_stream_foreachbatch")  # rows-only: side-effecting sink
 def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental upsert (the reference's append +

@@ -1,0 +1,72 @@
+"""Bucketed co-located joins (zero shuffle) and salted skew handling —
+the storage-time join optimizations Catalyst can't apply by itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_fresh_picked_leads_spark.operators.joins import (
+    bucketed_join,
+    salted_join,
+    skewed_agg_two_phase,
+    write_bucketed,
+)
+from etl_pipeline_fresh_picked_leads_spark.plans import n_exchanges
+from etl_pipeline_fresh_picked_leads_spark.sources.readers import read_table
+
+from conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = read_table(spark, SF_SMALL, "orders")
+    lineitem = read_table(spark, SF_SMALL, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 4, sort_col="o_orderkey")
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        4,
+        sort_col="o_orderkey",
+    )
+    joined = bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+    # co-located: the join itself introduces no shuffle Exchange
+    assert n_exchanges(joined) == 0
+    # and the result matches the plain shuffled join
+    plain = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    )
+    assert joined.count() == plain.count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    facts = read_table(spark, SF_SMALL, "orders")
+    dim = read_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    salted = salted_join(facts, dim, "o_custkey", n_salts=4)
+    plain = facts.join(dim, "o_custkey")
+    assert salted.count() == plain.count()
+    a = {(r.o_orderkey, r.c_name) for r in salted.select("o_orderkey", "c_name").collect()}
+    b = {(r.o_orderkey, r.c_name) for r in plain.select("o_orderkey", "c_name").collect()}
+    assert a == b
+
+
+def test_two_phase_agg_matches_direct(spark):
+    l = read_table(spark, SF_SMALL, "lineitem")
+    two = {
+        (r.l_returnflag, r.sum_l_quantity, r.n_rows)
+        for r in skewed_agg_two_phase(l, "l_returnflag", "l_quantity", 4).collect()
+    }
+    direct = {
+        (r.l_returnflag, r.sum_l_quantity, r.n_rows)
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_l_quantity"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert two == direct

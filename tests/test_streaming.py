@@ -23,108 +23,133 @@ from etl_pipeline_fresh_picked_leads_spark.streaming.windows import (
 )
 
 
+BASE_US = 1700000000_000000  # 2023-11-14 22:13:20 UTC, microseconds
+
+
 @pytest.fixture()
 def replay_dir(spark, tmp_path):
-    """Two-file ordered replay: batch0 = on-time events, batch1 = the
-    same stream one hour later plus LATE stragglers >1h behind its max
-    ts (the B4 watermark fixture), written as separate files so the
-    file source delivers them as ordered micro-batches."""
-    base = spark.range(0, 200).select(
+    """Two-stage replay for watermark semantics.  availableNow
+    processes everything currently visible in ONE batch (observed:
+    maxFilesPerTrigger is not honored under that trigger), so late
+    arrival is modeled the realistic way: run 1 sees the on-time
+    stream (~4h of events), then the source gains a second file with
+    newer events plus ancient stragglers and run 2 resumes from the
+    same checkpoint — i.e. a restart, FIXTURES.md B4."""
+    base = spark.range(0, 600).select(
         F.col("id").alias("event_id"),
         (F.col("id") % 7).alias("user_id"),
         F.timestamp_micros(
-            (F.lit(1700000000_000000) + F.col("id") * 30_000_000).cast("long")
+            (F.lit(BASE_US) + F.col("id") * 30_000_000).cast("long")
         ).alias("ts"),
         (F.col("id") % 5.0).alias("value"),
     )
     d = str(tmp_path / "replay")
     os.makedirs(d)
-    base.filter("event_id < 100").coalesce(1).write.mode("overwrite").parquet(
+    base.filter("event_id < 500").coalesce(1).write.mode("overwrite").parquet(
         d + "/b0"
     )
     late = spark.range(0, 5).select(
         (F.col("id") + 10_000).alias("event_id"),
         F.lit(0).cast("long").alias("user_id"),
-        # ~83 h before the on-time batch: far outside any 1h watermark
-        F.timestamp_micros(F.lit(1700000000_000000 - 300_000_000_000)).alias(
-            "ts"
-        ),
+        # ~83 h before the on-time data: far outside the 1h watermark
+        F.timestamp_micros(F.lit(BASE_US - 300_000_000_000)).alias("ts"),
         F.lit(1.0).alias("value"),
     )
-    base.filter("event_id >= 100").unionByName(late).coalesce(1).write.mode(
+    base.filter("event_id >= 500").unionByName(late).coalesce(1).write.mode(
         "overwrite"
     ).parquet(d + "/b1")
-    # flat dir with both files, named in arrival order
+
+    import shutil
+
     flat = str(tmp_path / "flat")
     os.makedirs(flat)
-    i = 0
-    for sub in ["b0", "b1"]:
+    staged = {}
+    for i, sub in enumerate(["b0", "b1"]):
         for f in sorted(os.listdir(f"{d}/{sub}")):
             if f.endswith(".parquet"):
-                os.link(f"{d}/{sub}/{f}", f"{flat}/batch{i}.parquet")
-                i += 1
-    return flat
+                staged[sub] = (f"{d}/{sub}/{f}", f"{flat}/batch{i}.parquet")
+    shutil.copyfile(*staged["b0"])  # run 1 sees only the on-time file
+    return {"dir": flat, "pending": staged["b1"]}
 
 
 def _stream(spark, path):
     schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
-        .parquet(path)
-    )
+    return spark.readStream.schema(schema).parquet(path)
 
 
-def test_watermark_drops_late_rows(spark, replay_dir):
+def test_watermark_drops_late_rows(spark, replay_dir, tmp_path):
     """Rows arriving >1h behind the observed max ts must be excluded
-    from their (already-finalized) windows; on-time windows whose end
-    the final watermark passed are emitted exactly once."""
-    out = run_available_now(
-        watermarked_tumbling(_stream(spark, replay_dir), "1 hour", "1 hour"),
-        spark,
-        "append",
-    )
-    emitted = {
-        (r.window_start, r.n_events) for r in out.collect()
-    }
-    # the late stragglers' ancient window must not appear
-    assert not any(n == 5 for _, n in emitted)
-    assert all(r.n_events > 0 for r in out.collect())
-    # batch equivalent of the on-time data for cross-checking counts:
+    from their (already-finalized) windows across a checkpointed
+    restart; finalized on-time windows are emitted exactly once."""
+    import shutil
+
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            watermarked_tumbling(
+                _stream(spark, replay_dir["dir"]), "1 hour", "1 hour"
+            )
+            .writeStream.format("parquet")  # file sink: checkpoint-recoverable
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    # watermark after run1 = (b0 max ts) - 1h -> b1's ancient rows are
+    # hopelessly late when run2 resumes from the checkpoint
+    shutil.copyfile(*replay_dir["pending"])
+    run()
+    emitted = [
+        (r.window_start.replace(tzinfo=None), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    ]
+
+    # exactly-once: no window emitted twice across the restart
+    assert len({w for w, _ in emitted}) == len(emitted)
+    # the late stragglers' ancient window (5 rows ~83h early) never
+    # appears, and nothing smaller than a real window leaked
     batch = (
-        spark.read.parquet(replay_dir)
+        spark.read.parquet(replay_dir["dir"])
         .filter("event_id < 10000")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     batch_counts = {
-        (r.w.start, r.n) for r in batch.collect()
+        (r.w.start.replace(tzinfo=None), r.n) for r in batch.collect()
     }
-    # every emitted window matches its batch count exactly
+    assert emitted, "finalized on-time windows should have been emitted"
     for ws, n in emitted:
-        assert (ws.replace(tzinfo=None), n) in {
-            (w.replace(tzinfo=None), n2) for w, n2 in batch_counts
-        }
+        assert (ws, n) in batch_counts, (ws, n)
+    ancient = min(w for w, _ in emitted)
+    assert ancient.year == 2023 and ancient.month == 11 and ancient.day == 14
 
 
 def test_streaming_dedup_two_batches(spark, replay_dir):
-    """The same event_id arriving in a later micro-batch (within the
-    watermark) must be dropped: replay the flat dir twice via union."""
-    s = _stream(spark, replay_dir)
-    doubled = s.unionByName(_stream(spark, replay_dir))
+    """The same event_id arriving twice (within the watermark) must be
+    dropped: replay the source twice via union."""
+    s = _stream(spark, replay_dir["dir"])
+    doubled = s.unionByName(_stream(spark, replay_dir["dir"]))
     out = run_available_now(
         dedup_by_id(doubled, lateness="200 hours"), spark, "append"
     )
     ids = [r.event_id for r in out.select("event_id").collect()]
     assert len(ids) == len(set(ids))
-    assert len(ids) == spark.read.parquet(replay_dir).select(
+    assert len(ids) == spark.read.parquet(replay_dir["dir"]).select(
         "event_id"
     ).distinct().count()
 
 
 def test_foreach_batch_upsert_idempotent_merge(spark, replay_dir, tmp_path):
     target = str(tmp_path / "tbl")
-    s = _stream(spark, replay_dir).select("event_id", "user_id", "ts", "value")
+    s = _stream(spark, replay_dir["dir"]).select(
+        "event_id", "user_id", "ts", "value"
+    )
     q = foreach_batch_upsert(s, spark, target, "event_id")
     assert q.awaitTermination(120)
     final = spark.read.parquet(target)
