@@ -354,6 +354,36 @@ def q_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_map_json_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events
+""",
+)
+def q_map_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via from_json(schema) — the schema-on-read
+    path for semi-structured columns (vs get_json_object's per-path
+    extraction in q_map_json).  One parse per row regardless of how
+    many fields are read."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json(
+            "props", StructType([StructField("k", LongType())])
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    )
+
+
+@query(
     "q_map_ops",
     oracle="""
 SELECT event_id,
