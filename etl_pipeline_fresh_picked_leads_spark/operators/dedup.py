@@ -300,6 +300,47 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def minhash_lsh_pairs_ml(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Spark ML MinHashLSH formulation (SURVEY §4.3: ML first, custom
+    banding only when insufficient): shingles -> HashingTF binary
+    vectors -> MinHashLSH.approxSimilarityJoin.  Seeded, so runs are
+    reproducible; note ML computes Jaccard on the HASHED feature space
+    (HashingTF buckets can collide), so the custom xxhash64 pipeline
+    (minhash_lsh_pairs) remains the engine default — this exists as
+    the library-parity variant and cross-check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = _with_shingles(docs, n).filter(F.size("sh") > 0)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sh).filter(
+        F.size("sh") > 0
+    )  # MinHashLSH requires >=1 set bit
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_a"),
+            F.col("datasetB.doc_id").alias("doc_id_b"),
+            (1.0 - F.col("jaccard_dist")).alias("jaccard"),
+        )
+    )
+
+
 def content_hash_dedup(docs: DataFrame) -> DataFrame:
     """Exact-content dedup via md5 of normalized text: one survivor
     (lowest doc_id) per hash — the cheapest dedup tier, always run

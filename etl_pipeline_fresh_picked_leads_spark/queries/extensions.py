@@ -75,6 +75,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.35)
 
 
+@query("q_dedup_fuzzy_ml")  # rows-only: seeded ML hash family
+def q_dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML MinHashLSH variant (library-parity cross-check of
+    q_dedup_fuzzy; seeded for reproducibility)."""
+    from ..operators.dedup import minhash_lsh_pairs_ml
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_ml(docs, threshold=0.5)
+
+
 @query("q_dedup_simhash")  # rows-only: xxhash64 signature family
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk
