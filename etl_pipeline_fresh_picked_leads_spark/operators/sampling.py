@@ -1,0 +1,77 @@
+"""Deterministic sampling, splitting and chunking for training-data
+pipelines.
+
+Sampling uses content-hash thresholds (md5 of the key), NOT
+rand()/sampleBy: the sample is then a pure function of the key —
+identical on any cluster size, stable across reruns, and expressible
+in plain SQL for the oracle.  This is how reproducible train/val/test
+membership is done at 100 TB (resampling a shard never flips another
+shard's rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _hash01(key: Column) -> Column:
+    """Uniform-ish [0,1) from the first 8 hex chars of md5(key) —
+    deterministic and SQL-portable (same construction in DuckDB)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / float(1 << 32)
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float
+) -> DataFrame:
+    """Keep ~fraction of rows, membership decided by md5(key)."""
+    return df.withColumn("_u", _hash01(F.col(key))).filter(
+        F.col("_u") < fraction
+    ).drop("_u")
+
+
+def train_eval_split(
+    df: DataFrame, key: str, eval_frac: float = 0.1, test_frac: float = 0.1
+) -> DataFrame:
+    """Assign a stable split label per key: test / eval / train by
+    disjoint hash ranges."""
+    u = _hash01(F.col(key))
+    split = (
+        F.when(u < test_frac, "test")
+        .when(u < test_frac + eval_frac, "eval")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 50
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (the
+    sequence-prep step before packing/tokenization): one output row
+    per (doc_id, chunk_id) with the chunk text and its token count.
+    Pure explode — no shuffle, output rows ~ total_tokens/chunk."""
+    toked = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    chunked = toked.select(
+        "doc_id",
+        "lang",
+        F.col("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * chunk_tokens + 1, chunk_tokens
+    )
+    return chunked.select(
+        "doc_id",
+        "lang",
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )

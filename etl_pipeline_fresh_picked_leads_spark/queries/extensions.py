@@ -377,6 +377,77 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(read_table(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------- sampling / chunking ----
+
+# u < 0.2 on the Spark side is exact (N/2^32 with N < 2^32 is an exact
+# double), so it's equivalent to the 8-hex-char prefix being <=
+# 0x33333333 — which DuckDB can check lexicographically.
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '33333333'
+"""
+
+
+@query("q_sample_hash", oracle=_SAMPLE_ORACLE)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample by content hash of the key — stable
+    across cluster sizes and reruns, unlike rand()-based sampling."""
+    from ..operators.sampling import hash_sample
+
+    return hash_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", 0.2
+    ).select("doc_id", "lang")
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE
+         WHEN h <= '19999999' THEN 'test'
+         WHEN h <= '33333333' THEN 'eval'
+         ELSE 'train'
+       END AS split
+FROM (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+)
+"""
+
+
+@query("q_split_train_eval", oracle=_SPLIT_ORACLE)
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/eval/test assignment by disjoint hash ranges."""
+    from ..operators.sampling import train_eval_split
+
+    return train_eval_split(
+        read_table(spark, sf_dir, "documents"), "doc_id", 0.1, 0.1
+    ).select("doc_id", "split")
+
+
+_CHUNK_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(t[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text,
+       CAST(least(50, len(t) - i * 50) AS INT) AS chunk_tokens
+FROM toked CROSS JOIN generate_series(0, 63) s(i)
+WHERE i < CAST(ceil(len(t) / 50.0) AS BIGINT)
+"""
+
+
+@query("q_text_chunk", oracle=_CHUNK_ORACLE)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (sequence prep): one row per
+    (doc, chunk) with text + token count."""
+    from ..operators.sampling import chunk_documents
+
+    return chunk_documents(read_table(spark, sf_dir, "documents"), 50)
+
+
 # ------------------------------------------------------------ multimodal ----
 
 _MULTIMODAL_ORACLE = """
