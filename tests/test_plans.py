@@ -73,3 +73,29 @@ def test_partial_aggregation_before_shuffle(spark):
 def test_semi_join_does_not_materialize_right(spark):
     plan = formatted_plan(QUERIES["q_join_semi"](spark, SF_SMALL))
     assert "LeftSemi" in plan
+
+
+def test_partitioned_write_prunes_at_scan(spark):
+    from datetime import date
+
+    from etl_pipeline_fresh_picked_leads_spark.sources.ingest import (
+        stamp_ingestion_date,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.sources.sinks import (
+        read_partition,
+        write_partitioned,
+    )
+
+    o = read_table(spark, SF_SMALL, "orders").select("o_orderkey")
+    write_partitioned(
+        stamp_ingestion_date(o, date(2024, 6, 1)), "orders_part", mode="overwrite"
+    )
+    write_partitioned(stamp_ingestion_date(o, date(2024, 6, 2)), "orders_part")
+    one_day = read_partition(
+        spark, "orders_part", "Ingestion_date", date(2024, 6, 2)
+    )
+    plan = formatted_plan(one_day)
+    # planner prunes to the single partition directory
+    assert "PartitionFilters" in plan and "Ingestion_date" in plan
+    assert one_day.count() == o.count()
+    assert spark.table("orders_part").count() == 2 * o.count()
