@@ -22,7 +22,12 @@ from pyspark.sql.types import (
 )
 
 from ..sources.ingest import reconcile, stamp_ingestion_date
-from ..sources.readers import read_csv_inferred, read_table
+from ..sources.readers import (
+    read_csv_inferred,
+    read_json_inferred,
+    read_table,
+    register_tables,
+)
 from .registry import query
 
 _SCRATCH = os.path.join(tempfile.gettempdir(), "fpl_spark_scratch")
@@ -124,6 +129,48 @@ def q_ingest_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return stamp_ingestion_date(df, run_date=date(2024, 6, 1))
+
+
+@query(
+    "q_scan_json_infer",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_scan_json_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with schema inference: deterministic round-trip
+    of the region table through the third interchange format."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = os.path.join(_SCRATCH, "region.jsonl")
+    pdf = read_table(spark, sf_dir, "region").orderBy("r_regionkey").toPandas()
+    pdf.to_json(path, orient="records", lines=True)
+    df = read_json_inferred(spark, path)
+    return df.select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"),
+        F.col("r_name").cast("string").alias("r_name"),
+    )
+
+
+@query(
+    "q_sql_interface",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > 200000
+GROUP BY o_orderpriority
+""",
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-first entry point: tables registered as views, query
+    expressed in plain Spark SQL — the habit path for users coming
+    from the reference's BigQuery world."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > 200000
+        GROUP BY o_orderpriority
+        """
+    )
 
 
 @query("sink_overwrite")  # rows-only: side-effecting, verified by re-read

@@ -66,6 +66,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every standard table as a temp view so the entire
+    engine surface is reachable from plain ``spark.sql(...)`` — the
+    SQL-first entry point a BigQuery-habituated user of the reference
+    expects."""
+    registered = []
+    for name in TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered
+
+
+def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines scan with schema inference — same autodetect
+    contract as the CSV reader (big_uery_handler.py:113 pattern) for
+    the third common interchange format."""
+    return spark.read.json(path)
+
+
 def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
     """CSV scan with header + schema inference.
 
