@@ -78,6 +78,42 @@ def q_str_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_str_fuzzy",
+    oracle="""
+SELECT c_custkey,
+       CAST(levenshtein(lower(c_name), 'customer#000000042') AS INT)
+         AS edit_dist,
+       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+       -- DuckDB 1.0 has no initcap; segments are single words so
+       -- first-upper-rest-lower is equivalent
+       upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+         AS seg_title,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(translate(c_name, '#', '-'), 'Customer', 'Lead') AS renamed
+FROM customer
+""",
+)
+def q_str_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching + normalization — the lead-dedup
+    primitives (edit distance against a canonical form, casing,
+    padding, character translation) a leads pipeline applies before
+    keyed dedup."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.lower("c_name"), F.lit("customer#000000042")).alias(
+            "edit_dist"
+        ),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_replace(
+            F.translate("c_name", "#", "-"), "Customer", "Lead"
+        ).alias("renamed"),
+    )
+
+
+@query(
     "q_str_regex",
     oracle="""
 SELECT o_orderkey,
