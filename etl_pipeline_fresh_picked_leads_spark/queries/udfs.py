@@ -127,6 +127,68 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udf_cogroup",
+    oracle="""
+SELECT o.o_orderkey,
+       o.o_totalprice,
+       COUNT(l.l_orderkey) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 10 = 0
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the two-sided custom-merge surface:
+    both groups for a key arrive as pandas frames in one Python call.
+    Here a per-order line rollup (decimal-exact so it hash-matches the
+    SQL join+group formulation); the same shell implements custom
+    as-of merges or interval alignment that SQL can't express."""
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("n_lines", LongType()),
+            StructField("sum_qty", DoubleType()),
+        ]
+    )
+
+    def merge(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty or lines_pdf.empty:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in schema.fields}
+            )
+        cents = int(lines_pdf["l_quantity"].mul(100).round().astype("int64").sum())
+        return pd.DataFrame(
+            {
+                "o_orderkey": [orders_pdf["o_orderkey"].iloc[0]],
+                "o_totalprice": [orders_pdf["o_totalprice"].iloc[0]],
+                "n_lines": [len(lines_pdf)],
+                "sum_qty": [cents / 100.0],
+            }
+        )
+
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    # mirror the key predicate on BOTH sides: cogroup pays one Python
+    # invocation per distinct key, so unfiltered line keys would 10x
+    # the calls only to meet an empty orders group
+    l = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_quantity")
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(l.groupBy("l_orderkey"))
+        .applyInPandas(merge, schema)
+    )
+
+
+@query(
     "q_udtf_mapinpandas",
     oracle="""
 SELECT o.o_orderkey,
