@@ -131,12 +131,19 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
 """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order.  (The unconditioned form —
+    customers with no orders at all — is empty on this data, which
+    would make the oracle comparison vacuous.)"""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

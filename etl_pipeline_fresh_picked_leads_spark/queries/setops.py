@@ -70,17 +70,16 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-SELECT s_nationkey FROM supplier
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 EXCEPT
-SELECT c_nationkey AS s_nationkey
-FROM customer WHERE c_mktsegment = 'BUILDING'
+SELECT o_custkey FROM orders WHERE o_totalprice > 250000
 """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = read_table(spark, sf_dir, "supplier").select("s_nationkey")
-    b = (
-        read_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.col("c_nationkey").alias("s_nationkey"))
-    )
-    return s.subtract(b)
+    """Customers with urgent orders but no quarter-million order.
+    (Nation-key difference sets are empty on this data — a vacuous
+    oracle — so the difference is taken over customer keys.)"""
+    o = read_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return urgent.subtract(big)
