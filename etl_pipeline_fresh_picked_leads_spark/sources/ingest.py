@@ -146,11 +146,13 @@ def stamp_ingestion_date(df: DataFrame, run_date: date | None = None) -> DataFra
 
 @dataclass
 class IngestResult:
-    """Per-run ledger — replaces the reference's delete-file-as-ledger
-    (big_uery_handler.py:84-89) with an explicit record."""
+    """Per-run summary — the persistent cross-run record is the
+    IngestLedger (ledger.py), replacing the reference's
+    delete-file-as-ledger (big_uery_handler.py:84-89)."""
 
     loaded: list[str] = field(default_factory=list)
     failed: dict[str, str] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
 
 
 def table_name_for_file(file_name: str) -> str:
@@ -192,24 +194,45 @@ def ingest_directory(
     landing_dir: str,
     run_date: date | None = None,
     archive: bool = True,
+    ledger: "IngestLedger | None" = None,
 ) -> IngestResult:
     """Scan a landing directory and load every ``*.csv``
     (big_uery_handler.py:68-89), with per-file error isolation
     (:78-83).  Successful files move to processed/, failed files to
     failed/ (deviation from the reference's unconditional delete,
-    :84-89)."""
+    :84-89).  With a ledger, files whose content checksum was already
+    loaded are skipped — exactly-once across reruns/replays."""
+    from .ledger import file_checksum
+
     result = IngestResult()
     for name in sorted(os.listdir(landing_dir)):
         if not name.lower().endswith(".csv"):
             continue
         path = os.path.join(landing_dir, name)
+        checksum = file_checksum(path) if ledger else ""
+        if ledger and ledger.already_loaded(checksum):
+            result.skipped.append(name)
+            dest = os.path.join(landing_dir, "processed")
+            if archive:
+                os.makedirs(dest, exist_ok=True)
+                target = os.path.join(dest, name)
+                n = 1
+                while os.path.exists(target):
+                    target = os.path.join(dest, f"{name}.{n}")
+                    n += 1
+                shutil.move(path, target)
+            continue
         try:
-            ingest_csv(spark, path, run_date=run_date)
+            table = ingest_csv(spark, path, run_date=run_date)
             result.loaded.append(name)
             dest = os.path.join(landing_dir, "processed")
+            if ledger:
+                ledger.record(checksum, name, table, "loaded")
         except Exception as exc:  # noqa: BLE001 — per-file isolation (:78-83)
             result.failed[name] = str(exc)
             dest = os.path.join(landing_dir, "failed")
+            if ledger:
+                ledger.record(checksum, name, table_name_for_file(name), "failed")
         if archive:
             os.makedirs(dest, exist_ok=True)
             target = os.path.join(dest, name)

@@ -196,6 +196,37 @@ def test_ingest_header_only_csv(spark, tmp_path):
     assert spark.table("empty_t").count() == 0
 
 
+def test_ingest_ledger_exactly_once(spark, tmp_path):
+    """Re-landing identical bytes (same or different name) is a no-op
+    when a ledger is attached — exactly-once across reruns."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.ledger import IngestLedger
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ledger_path = str(tmp_path / "ledger.jsonl")
+    content = "k,v\n1,a\n2,b\n"
+    _write(os.path.join(landing, "ledg_t.csv"), content)
+    r1 = ingest_directory(
+        spark, landing, ledger=IngestLedger(ledger_path)
+    )
+    assert r1.loaded == ["ledg_t.csv"] and not r1.skipped
+    assert spark.table("ledg_t").count() == 2
+
+    # same bytes re-landed under a different name: skipped, no reload
+    _write(os.path.join(landing, "ledg_t_copy.csv"), content)
+    r2 = ingest_directory(
+        spark, landing, ledger=IngestLedger(ledger_path)  # fresh read of ledger
+    )
+    assert r2.skipped == ["ledg_t_copy.csv"] and not r2.loaded
+    assert spark.table("ledg_t").count() == 2  # unchanged
+
+    # genuinely new bytes load normally
+    _write(os.path.join(landing, "ledg_t.csv"), "k,v\n3,c\n")
+    r3 = ingest_directory(spark, landing, ledger=IngestLedger(ledger_path))
+    assert r3.loaded == ["ledg_t.csv"]
+    assert spark.table("ledg_t").count() == 3
+
+
 def test_ingest_error_isolation(spark, tmp_path):
     # big_uery_handler.py:78-83 — one bad file doesn't stop the run
     landing = str(tmp_path)
