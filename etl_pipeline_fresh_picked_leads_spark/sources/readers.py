@@ -95,9 +95,17 @@ def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
     autodetect=True``).  Note inference requires an extra pass over the
     file; the ingest engine (ingest.py) only infers on first load of a
     table and reconciles to the stored target schema afterwards.
+
+    ``multiLine`` matches BigQuery's handling of quoted embedded
+    newlines (allow_quoted_newlines).  Tradeoff: a multiLine CSV file
+    is not splittable — one task per file.  That matches the ingest
+    shape (many daily files), and bulk analytics reads parquet, where
+    splitting is structural.
     """
     return (
         spark.read.option("header", True)
         .option("inferSchema", True)
+        .option("multiLine", True)
+        .option("escape", '"')
         .csv(path)
     )

@@ -188,6 +188,32 @@ def test_ingest_directory_end_to_end(spark, tmp_path):
     assert processed == ["leads_e2e.csv", "leads_e2e.csv.1"]
 
 
+def test_ingest_quoted_and_unicode_csv(spark, tmp_path):
+    """Quoted fields with embedded commas/newlines and non-ASCII text
+    survive the inference load and a reconciled append untouched."""
+    landing = str(tmp_path)
+    _write(
+        os.path.join(landing, "messy_t.csv"),
+        'id,note,city\n'
+        '1,"hello, world","München"\n'
+        '2,"line one\nline two","São Paulo"\n',
+    )
+    r = ingest_directory(spark, landing)
+    assert r.loaded == ["messy_t.csv"] and not r.failed
+    rows = {r.id: r for r in spark.table("messy_t").collect()}
+    assert rows[1].note == "hello, world" and rows[1].city == "München"
+    assert rows[2].note == "line one\nline two"
+    # second batch appends through reconciliation, keeping unicode
+    _write(
+        os.path.join(landing, "messy_t.csv"),
+        'city,id,note\n"Zürich",3,"ok"\n',
+    )
+    r2 = ingest_directory(spark, landing)
+    assert r2.loaded == ["messy_t.csv"]
+    rows = {r.id: r for r in spark.table("messy_t").collect()}
+    assert rows[3].city == "Zürich"
+
+
 def test_ingest_header_only_csv(spark, tmp_path):
     # FIXTURES.md B3: header-only file loads without crashing
     _write(os.path.join(str(tmp_path), "empty_t.csv"), "a,b,c\n")
