@@ -316,13 +316,13 @@ def minhash_lsh_pairs_ml(
     the library-parity variant and cross-check."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # MinHashLSH requires >=1 set bit per vector; filter once on the
+    # shingle set (secondary variant — hot path is minhash_lsh_pairs)
     sh = _with_shingles(docs, n).filter(F.size("sh") > 0)
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(sh).filter(
-        F.size("sh") > 0
-    )  # MinHashLSH requires >=1 set bit
+    feats = tf.transform(sh)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables,
         seed=seed,

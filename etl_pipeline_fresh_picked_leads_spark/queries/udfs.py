@@ -134,7 +134,7 @@ SELECT o.o_orderkey,
        COUNT(l.l_orderkey) AS n_lines,
        CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderkey % 10 = 0
+WHERE o.o_orderkey % 50 = 0
 GROUP BY o.o_orderkey, o.o_totalprice
 """,
 )
@@ -170,15 +170,15 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = (
         read_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 10 == 0)
+        .filter(F.col("o_orderkey") % 50 == 0)
         .select("o_orderkey", "o_totalprice")
     )
     # mirror the key predicate on BOTH sides: cogroup pays one Python
-    # invocation per distinct key, so unfiltered line keys would 10x
-    # the calls only to meet an empty orders group
+    # invocation per distinct key (~ms each), so unfiltered line keys
+    # would 50x the calls only to meet an empty orders group
     l = (
         read_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 10 == 0)
+        .filter(F.col("l_orderkey") % 50 == 0)
         .select("l_orderkey", "l_quantity")
     )
     return (
