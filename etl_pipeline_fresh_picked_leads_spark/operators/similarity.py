@@ -64,15 +64,29 @@ def cosine_topk(
     )
 
 
-def cosine_self_join(vecs: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold — exact, via
-    broadcast-block matmul: the (tiny) normalized matrix of all
-    vectors is broadcast, each Arrow batch of rows scores against it
-    with one BLAS gemm, and only pairs at/above threshold are emitted.
-    ~40x the per-pair expression-fold formulation.  When the corpus
-    outgrows a broadcastable matrix, tile the right side (block-block
-    gemm over a cross of tiles) or prune candidates with IVF/LSH
-    first; the scoring kernel stays identical."""
+def cosine_self_join(
+    vecs: DataFrame, threshold: float = 0.4, tile_rows: int = 4096
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — exact, fully
+    distributed blocked matmul (no driver materialization of the
+    corpus, ever):
+
+    1. every vector gets a deterministic tile id ``xxhash64(vec_id) %
+       B`` where ``B = ceil(n / tile_rows)``;
+    2. each side replicates its rows to the block-pair keys it
+       participates in (left tile i -> keys (i, i..B-1); right tile j
+       -> keys (0..j, j)) via ``explode(sequence(...))`` — pure JVM;
+    3. ``cogroup().applyInPandas`` receives the two tiles of each
+       (i, j) key and scores them with one BLAS gemm, emitting only
+       pairs at/above threshold (output-sensitive).
+
+    Cost: shuffle is n*B rows (= n^2/tile_rows — the unavoidable
+    blocked all-pairs footprint), per-task memory is two tiles plus a
+    sub-chunked score matrix, independent of corpus size.  At 100 TB
+    the same plan holds: tiles stream through executors; nothing is
+    ever collected.  Prune candidates with IVF/LSH first when even
+    n^2/tile_rows shuffles too much; the scoring kernel is unchanged.
+    """
     import numpy as np
     import pandas as pd
 
@@ -83,17 +97,24 @@ def cosine_self_join(vecs: DataFrame, threshold: float = 0.4) -> DataFrame:
         StructType,
     )
 
-    rows = (
-        vecs.select("vec_id", "embedding").orderBy("vec_id").collect()
+    n = vecs.count()  # aggregate only — no row data reaches the driver
+    n_tiles = max(1, -(-n // tile_rows))
+
+    base = vecs.select("vec_id", "embedding").withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles)).cast("int")
     )
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    m = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms = np.sqrt((m * m).sum(axis=1))
-    keep = norms > 0
-    ids, m, norms = ids[keep], m[keep], norms[keep]
-    unit = m / norms[:, None]
-    sc = vecs.sparkSession.sparkContext
-    b_ids, b_unit = sc.broadcast(ids), sc.broadcast(unit)
+    left = base.withColumn(
+        "bj", F.explode(F.sequence(F.col("blk"), F.lit(n_tiles - 1)))
+    ).withColumnRenamed("blk", "bi")
+    # distinct column names on the right side: a self-cogroup reuses the
+    # left side's attribute exprIds otherwise and Catalyst silently drops
+    # the duplicated vec_id/embedding columns from the right groups
+    right = base.select(
+        F.col("vec_id").alias("rvec_id"),
+        F.col("embedding").alias("rembedding"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
 
     schema = StructType(
         [
@@ -103,27 +124,53 @@ def cosine_self_join(vecs: DataFrame, threshold: float = 0.4) -> DataFrame:
         ]
     )
 
-    def score(batches):
-        all_ids, all_unit = b_ids.value, b_unit.value
-        for pdf in batches:
-            bm = np.array([np.asarray(v) for v in pdf["embedding"]], dtype=np.float64)
-            bn = np.sqrt((bm * bm).sum(axis=1))
-            ok = bn > 0
-            if not ok.any():
-                continue
-            bid = pdf["vec_id"].to_numpy()[ok]
-            bu = bm[ok] / bn[ok, None]
-            cos = np.round(bu @ all_unit.T, 6)
-            li, ri = np.nonzero((cos >= threshold) & (bid[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_id_a": bid[li],
-                    "vec_id_b": all_ids[ri],
-                    "cosine": cos[li, ri],
-                }
-            )
+    def _unit(pdf, id_col, vec_col):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.array([np.asarray(v) for v in pdf[vec_col]], dtype=np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        ok = nrm > 0
+        return ids[ok], m[ok] / nrm[ok, None]
 
-    return vecs.select("vec_id", "embedding").mapInPandas(score, schema)
+    def score(key, lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+        lid, lu = _unit(lpdf, "vec_id", "embedding")
+        rid, ru = _unit(rpdf, "rvec_id", "rembedding")
+        if not len(lid) or not len(rid):
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+        out = []
+        # sub-chunk the left tile so the score matrix stays ~32 MB
+        step = max(1, (4 << 20) // max(1, len(rid)))
+        for s in range(0, len(lid), step):
+            cos = np.round(lu[s : s + step] @ ru.T, 6)
+            li, ri = np.nonzero(
+                (cos >= threshold) & (lid[s : s + step, None] != rid[None, :])
+            )
+            la, rb = lid[s + li], rid[ri]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id_a": np.minimum(la, rb),
+                        "vec_id_b": np.maximum(la, rb),
+                        "cosine": cos[li, ri],
+                    }
+                )
+            )
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"vec_id_a": [], "vec_id_b": [], "cosine": []}
+        )
+        if key[0] == key[1]:
+            # diagonal tile sees each unordered pair twice (x,y)+(y,x)
+            res = res[res["vec_id_a"] < res["vec_id_b"]].drop_duplicates(
+                ["vec_id_a", "vec_id_b"]
+            )
+        return res
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, schema)
+    )
 
 
 def embedding_near_dup(
@@ -243,9 +290,18 @@ def cosine_topk_vectorized(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             norms = np.sqrt((m * m).sum(axis=1))
-            cos = (m @ q) / (norms * qn)
+            # mask zero-norm rows (cosine undefined): NaN sorts ABOVE
+            # every double in Spark's descending order and would hijack
+            # the top-k; cosine_topk filters nrm > 0 — mirror it here.
+            ok = norms > 0
+            if not ok.any():
+                continue
+            cos = (m[ok] @ q) / (norms[ok] * qn)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cosine": np.round(cos, 6)}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[ok],
+                    "cosine": np.round(cos, 6),
+                }
             )
 
     scored = (

@@ -352,7 +352,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_collect",
     oracle="""
-SELECT c_nationkey, list(c_custkey ORDER BY c_custkey) AS custkeys
+SELECT c_nationkey,
+       array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS custkeys
 FROM customer
 WHERE c_custkey % 10 = 0
 GROUP BY c_nationkey
@@ -360,12 +361,19 @@ GROUP BY c_nationkey
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort_array makes the collected list deterministic (collect_list
-    # order is partition-dependent, never rely on it at scale).
+    # order is partition-dependent, never rely on it at scale).  The
+    # list is emitted as a ','-joined string: raw array columns crash
+    # the driver's pandas canonicalizer (unhashable 'list' during
+    # sort_values), so every driver-facing array is stringified.
     c = read_table(spark, sf_dir, "customer")
     return (
         c.filter(F.col("c_custkey") % 10 == 0)
         .groupBy("c_nationkey")
-        .agg(F.sort_array(F.collect_list("c_custkey")).alias("custkeys"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("c_custkey")), ","
+            ).alias("custkeys")
+        )
     )
 
 

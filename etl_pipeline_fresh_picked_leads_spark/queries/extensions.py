@@ -250,15 +250,34 @@ WITH flat AS (
 norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1)
 SELECT e.vec_id,
        round(n.nrm, 6) AS l2_norm,
-       list_transform(e.embedding,
-                      x -> round(CAST(x AS DOUBLE) / n.nrm, 6)) AS unit_vec
+       array_to_string(
+         list_transform(
+           e.embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) / n.nrm, 6)
+                          AS DECIMAL(18,6)) AS VARCHAR)),
+         ',') AS unit_vec
 FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
 """
 
 
 @query("q_embed_norm", oracle=_EMBED_NORM_ORACLE)
 def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return l2_normalize(read_table(spark, sf_dir, "embeddings"))
+    # unit_vec goes out as a ','-joined DECIMAL(18,6) string: raw array
+    # columns crash the driver's pandas canonicalizer, and double->string
+    # rendering diverges between Spark (E-notation under 1e-3) and DuckDB
+    # while fixed-point decimal rendering is identical on both sides.
+    df = l2_normalize(read_table(spark, sf_dir, "embeddings"))
+    return df.select(
+        "vec_id",
+        "l2_norm",
+        F.array_join(
+            F.transform(
+                F.col("unit_vec"),
+                lambda x: x.cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("unit_vec"),
+    )
 
 
 # ------------------------------------------------------------------ text ----
