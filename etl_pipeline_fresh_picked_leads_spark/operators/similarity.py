@@ -185,34 +185,94 @@ def embedding_near_dup(
 
 
 def ivf_assign(
-    vecs: DataFrame, nlist: int = 16, vec_col: str = "embedding"
+    vecs: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int = 100_000,
+    replicas: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic coarse quantizer: centroids = the first ``nlist``
-    vectors by vec_id (a k-means fit would slot in identically — the
-    partitioning contract is 'every vector belongs to its nearest
-    centroid').  Returns (centroids, assignments); the centroid table
-    is broadcast-sized by construction."""
+    """Coarse quantizer: seeded spherical k-means (Spark ML KMeans on
+    L2-normalized vectors — Euclidean on the unit sphere is monotone
+    in cosine, so the fit clusters by the same geometry the search
+    ranks by).  At scale the fit runs on a hash-deterministic sample
+    (``xxhash64(vec_id) % mod == 0``, capped at ``sample_cap`` rows —
+    k-means quality saturates long before that); the full-corpus
+    assignment is one JVM ``model.transform`` pass, no cross join.
+    Returns (centroids, assignments); the centroid table is
+    nlist x dim — broadcast-sized by construction."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     base = with_norms(vecs, vec_col)
-    centroids = (
-        base.orderBy("vec_id")
-        .limit(nlist)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
+    unit = base.withColumn(
+        "features",
+        array_to_vector(F.transform(F.col("v"), lambda x: x / F.col("nrm"))),
+    )
+
+    fit_df = unit
+    n = base.count()  # aggregate only
+    if n > sample_cap:
+        mod = n // sample_cap + 1
+        fit_df = unit.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
+
+    model = KMeans(
+        k=nlist,
+        seed=seed,
+        maxIter=20,
+        featuresCol="features",
+        predictionCol="centroid_id",
+    ).fit(fit_df.select("features"))
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    spark = vecs.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "centroid_id int, cv array<double>",
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    # Multi-assignment: each vector is indexed under its ``replicas``
+    # nearest cells (index is replicas x larger; recall no longer caps
+    # near nprobe/nlist on isotropic corpora — the standard IVF
+    # replication tradeoff).  The centroid matrix is nlist x dim and
+    # lives in the plan as a literal array, so cell selection is a
+    # map-only JVM expression: per row, score all centroids, sort,
+    # slice top-r, explode.  No shuffle, no window, no Python.
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    cn_lit = [
+        float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers
+    ]
+
+    def cell_score(c):
+        cos = _dot(F.col("v"), c["cv"]) / (
+            F.col("nrm")
+            * F.element_at(F.array(*[F.lit(x) for x in cn_lit]), c["cid"] + 1)
         )
-    )
-    cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    scored = base.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "nrm", "centroid_id", F.round(cos, 6).alias("ccos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id")
-    )
+        return F.struct((-cos).alias("negcos"), c["cid"].alias("cid"))
+
     assignments = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "centroid_id")
+        unit.withColumn(
+            "cells",
+            F.slice(
+                F.sort_array(F.transform(cent_lit, cell_score)),
+                1,
+                min(replicas, nlist),
+            ),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.explode(F.col("cells.cid")).alias("centroid_id"),
+        )
     )
     return centroids, assignments
 
@@ -223,13 +283,24 @@ def ivf_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
+    replicas: int = 4,
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` centroid
-    partitions nearest the query.  Candidate count ~ n * nprobe/nlist;
-    recall grows with nprobe (nprobe = nlist degenerates to exact)."""
-    centroids, assignments = ivf_assign(vecs, nlist)
-    q = assignments.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    partitions nearest the query.  Candidate count ~ n * nprobe *
+    replicas / nlist; recall grows with nprobe and replicas
+    (nprobe = nlist degenerates to exact)."""
+    centroids, assignments = ivf_assign(vecs, nlist, replicas=replicas)
+    # the assignment pipeline (norms + model.transform) feeds both the
+    # query-row lookup and the candidate scan — persist so it computes
+    # once, not once per branch (the dedup.py:116 recompute trap)
+    assignments = assignments.persist()
+    # multi-assignment emits one row per (vector, cell): collapse the
+    # query back to a single row or every downstream crossJoin(q)
+    # multiplies by `replicas` (duplicate probes, duplicate top-k rows)
+    q = (
+        assignments.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .limit(1)
     )
     ccos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
     probe = (
@@ -239,8 +310,12 @@ def ivf_topk(
         .limit(nprobe)
         .select("centroid_id")
     )
-    cands = assignments.join(F.broadcast(probe), "centroid_id").filter(
-        F.col("vec_id") != query_vec_id
+    cands = (
+        assignments.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        # multi-assignment can land a vector in several probed cells —
+        # score each candidate once
+        .dropDuplicates(["vec_id"])
     )
     cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
     return (

@@ -93,8 +93,9 @@ def test_ivf_recall_vs_exact(embeddings):
     exact = [r.vec_id for r in cosine_topk(embeddings, 0, k=10).collect()]
     approx = [r.vec_id for r in ivf_topk(embeddings, 0, k=10, nlist=16, nprobe=4).collect()]
     overlap = len(set(exact) & set(approx)) / 10
-    # nprobe=4/16 partitions: expect decent-but-not-perfect recall
-    assert overlap >= 0.3, f"IVF recall {overlap}"
+    # seeded spherical k-means centroids: recall@10 must clear 0.9 at
+    # nprobe=4/nlist=16 (round-1 verdict item 4 done-criterion)
+    assert overlap >= 0.9, f"IVF recall {overlap}"
     # full probe must equal exact (sanity: IVF degenerates correctly)
     full = [r.vec_id for r in ivf_topk(embeddings, 0, k=10, nlist=16, nprobe=16).collect()]
     assert full == exact
