@@ -174,11 +174,26 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals.  After an availableNow replay the final state
     equals the batch aggregate — cents-exact accumulation makes it
-    hash-match the DECIMAL oracle."""
+    hash-match the DECIMAL oracle.
+
+    Update mode emits one row per key per micro-batch it changed in,
+    so the memory sink holds the full emission history when the replay
+    spans several batches (multi-file source, maxFilesPerTrigger).
+    Collapse to the final state per key: n_events is strictly
+    increasing across a key's emissions, so the max-n_events row IS
+    the last one — no reliance on sink insertion order."""
+    from pyspark.sql import Window
+
     from ..streaming.stateful import running_user_totals
 
-    return run_available_now(
+    hist = run_available_now(
         running_user_totals(events_stream(spark, sf_dir)), spark, "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        hist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

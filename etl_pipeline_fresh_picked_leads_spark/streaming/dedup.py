@@ -10,7 +10,15 @@ from pyspark.sql import DataFrame
 
 
 def dedup_by_id(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
-    """Drop duplicate event_ids.  The watermark bounds the dedup state:
-    an id older than ``lateness`` behind the stream can be evicted,
-    which is what keeps state finite on an unbounded 100 TB feed."""
-    return stream.withWatermark("ts", lateness).dropDuplicates(["event_id"])
+    """Drop duplicate event_ids.  ``dropDuplicatesWithinWatermark``
+    (not plain ``dropDuplicates``) is what makes the watermark bound
+    the dedup state: plain dropDuplicates only evicts state when the
+    event-time column is part of the key subset, so keying by event_id
+    alone would grow state forever on an unbounded feed.  The
+    within-watermark variant evicts any key once it falls ``lateness``
+    behind the stream — finite state on a 100 TB feed, at the cost of
+    re-admitting a duplicate that arrives later than ``lateness``
+    (which the watermark contract already declares out of scope)."""
+    return stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
