@@ -202,7 +202,12 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental upsert (the reference's append +
     ingestion-date flow, big_uery_handler.py:158-194, made
     micro-batch): final table must hold each event_id exactly once,
-    every row stamped."""
+    every row stamped.  The target is a TxTable (sources/txtable.py):
+    each batch merge rewrites only key-colliding files and commits
+    atomically, so replays after a crash cannot duplicate or lose
+    rows."""
+    from ..sources.txtable import TxTable
+
     base = os.path.join(tempfile.gettempdir(), "fpl_spark_scratch", "upsert_tbl")
     for p in (base, base + "_chk"):
         shutil.rmtree(p, ignore_errors=True)
@@ -212,7 +217,7 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("foreachBatch upsert did not finish")
     return (
-        spark.read.parquet(base)
+        TxTable(spark, base).read()
         .groupBy()
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -57,3 +57,24 @@ def set_ingestion_date_where_null(
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {table}__rewrite RENAME TO {table}")
     return n_null
+
+
+def set_ingestion_date_where_null_tx(
+    spark: SparkSession, root: str, run_date: date | None = None
+) -> int:
+    """The same UPDATE against a transaction-log table
+    (sources/txtable.py): only the parquet files that actually contain
+    NULL Ingestion_date rows are rewritten; every other file carries
+    into the new snapshot by reference, and the commit is atomic.
+    O(affected files) instead of O(table) — on a 100 TB table where
+    only the last batch is unstamped, this touches one commit's worth
+    of files.  With delta-spark present the identical call maps to
+    ``DeltaTable.update`` (see txtable.delta_available); the TxTable
+    path is the self-contained equivalent."""
+    from .txtable import TxTable
+
+    t = TxTable(spark, root)
+    d = F.lit(str(run_date)).cast("date") if run_date else F.current_date()
+    return t.update(
+        F.col(INGESTION_DATE_COL).isNull(), {INGESTION_DATE_COL: d}
+    )
