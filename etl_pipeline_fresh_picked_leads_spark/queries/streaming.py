@@ -197,6 +197,60 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_stream_ingest")  # rows-only: side-effecting landing-dir drain
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CSV landing ingest (streaming/ingest.py — the
+    Auto-Loader-shaped scale mapping of big_uery_handler.py:68-89):
+    two availableNow drains with a file landed in between; the TxTable
+    target must hold every row exactly once, reconciled and stamped."""
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.txtable import TxTable
+    from ..streaming.ingest import stream_ingest_directory
+
+    base = os.path.join(tempfile.gettempdir(), "fpl_spark_scratch", "stream_ing")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    target_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+            StructField("Ingestion_date", DateType()),
+        ]
+    )
+    with open(os.path.join(landing, "a.csv"), "w") as f:
+        f.write("id,name,score\n1,alice,1.5\n2,bob,oops\n")
+
+    def drain():
+        q = stream_ingest_directory(
+            spark, landing, os.path.join(base, "tbl"), target_schema,
+            checkpoint=os.path.join(base, "chk"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream ingest did not finish")
+
+    drain()
+    with open(os.path.join(landing, "b.csv"), "w") as f:
+        f.write("id,name,score\n3,carol,2.5\n")
+    drain()
+    t = TxTable(spark, os.path.join(base, "tbl")).read()
+    return t.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.count(F.when(F.col("Ingestion_date").isNull(), 1)).alias("n_unstamped"),
+    )
+
+
 @query("q_stream_foreachbatch")  # rows-only: side-effecting sink
 def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental upsert (the reference's append +

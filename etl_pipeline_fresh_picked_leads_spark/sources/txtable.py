@@ -141,12 +141,32 @@ class TxTable:
             if n.endswith(".parquet")
         )
 
-    def _commit(self, files: list[str], op: str, base: TxSnapshot | None) -> int:
+    def _committed_txns(self) -> set[str]:
+        """Transaction tags of every live manifest (idempotent-write
+        bookkeeping, the public Delta ``txnAppId``/``txnVersion``
+        pattern: a replayed writer skips a txn it already landed)."""
+        txns = set()
+        for v in self._versions():
+            with open(os.path.join(self.log_dir, _manifest_name(v))) as f:
+                t = json.load(f).get("txn")
+            if t:
+                txns.add(t)
+        return txns
+
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        base: TxSnapshot | None,
+        txn: str | None = None,
+    ) -> int:
         version = (base.version if base else 0) + 1
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "op": op, "files": files}, f)
+            json.dump(
+                {"version": version, "op": op, "files": files, "txn": txn}, f
+            )
             f.flush()
             os.fsync(f.fileno())
         final = os.path.join(self.log_dir, _manifest_name(version))
@@ -163,10 +183,15 @@ class TxTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(self._write_data(df), "overwrite", self.snapshot())
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: str | None = None) -> int:
+        """Append; with ``txn`` the write is idempotent — a tag already
+        committed is skipped, which is what makes an at-least-once
+        replayer (foreachBatch keyed by batch_id) exactly-once."""
         base = self.snapshot()
+        if txn is not None and txn in self._committed_txns():
+            return base.version if base else 0
         files = list(base.files) if base else []
-        return self._commit(files + self._write_data(df), "append", base)
+        return self._commit(files + self._write_data(df), "append", base, txn)
 
     # ---------------------------------------- copy-on-write mutations
 
@@ -240,7 +265,10 @@ class TxTable:
     def vacuum(self, retain: int = 1) -> list[str]:
         """Delete data files unreferenced by the newest ``retain``
         manifests and drop older manifests.  Crash-orphaned commit
-        directories (written but never referenced) go too."""
+        directories (written but never referenced) go too.  Dropping a
+        manifest forgets its txn tag, so keep ``retain`` larger than
+        any writer's possible replay horizon (the same contract Delta
+        VACUUM has with idempotent-writer history)."""
         import shutil
 
         versions = self._versions()
