@@ -148,11 +148,15 @@ def stamp_ingestion_date(df: DataFrame, run_date: date | None = None) -> DataFra
 class IngestResult:
     """Per-run summary — the persistent cross-run record is the
     IngestLedger (ledger.py), replacing the reference's
-    delete-file-as-ledger (big_uery_handler.py:84-89)."""
+    delete-file-as-ledger (big_uery_handler.py:84-89).  ``pending``
+    lists files whose checksum has a dangling 'loading' intent from a
+    crashed earlier run: they are left in place, NOT reloaded, until
+    an operator reconciles the ledger (see IngestLedger.pending)."""
 
     loaded: list[str] = field(default_factory=list)
     failed: dict[str, str] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
+    pending: list[str] = field(default_factory=list)
 
 
 def table_name_for_file(file_name: str) -> str:
@@ -195,50 +199,90 @@ def ingest_directory(
     run_date: date | None = None,
     archive: bool = True,
     ledger: "IngestLedger | None" = None,
+    max_workers: int = 8,
 ) -> IngestResult:
     """Scan a landing directory and load every ``*.csv``
     (big_uery_handler.py:68-89), with per-file error isolation
     (:78-83).  Successful files move to processed/, failed files to
     failed/ (deviation from the reference's unconditional delete,
     :84-89).  With a ledger, files whose content checksum was already
-    loaded are skipped — exactly-once across reruns/replays."""
+    loaded are skipped — exactly-once across reruns/replays — and each
+    load writes a 'loading' intent first, so a crash between the Spark
+    append and the ledger record surfaces as ``result.pending`` on the
+    rerun instead of a silent double-load.
+
+    Files are grouped by target table and tables load CONCURRENTLY
+    (``max_workers`` driver threads, each submitting independent Spark
+    jobs — the scheduler interleaves their stages across executors;
+    the reference's one-at-a-time loop serialized cluster-wide I/O
+    behind single-file reads).  Files of the SAME table stay
+    sequential in name order: appends to one table must not race."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from .ledger import file_checksum
 
     result = IngestResult()
-    for name in sorted(os.listdir(landing_dir)):
-        if not name.lower().endswith(".csv"):
-            continue
+    lock = threading.Lock()
+
+    def _archive(path: str, name: str, sub: str) -> None:
+        dest = os.path.join(landing_dir, sub)
+        os.makedirs(dest, exist_ok=True)
+        target = os.path.join(dest, name)
+        n = 1
+        while os.path.exists(target):  # same name re-landed: keep both
+            target = os.path.join(dest, f"{name}.{n}")
+            n += 1
+        shutil.move(path, target)
+
+    def _load_one(table: str, name: str) -> None:
         path = os.path.join(landing_dir, name)
         checksum = file_checksum(path) if ledger else ""
         if ledger and ledger.already_loaded(checksum):
-            result.skipped.append(name)
-            dest = os.path.join(landing_dir, "processed")
+            with lock:
+                result.skipped.append(name)
             if archive:
-                os.makedirs(dest, exist_ok=True)
-                target = os.path.join(dest, name)
-                n = 1
-                while os.path.exists(target):
-                    target = os.path.join(dest, f"{name}.{n}")
-                    n += 1
-                shutil.move(path, target)
-            continue
+                _archive(path, name, "processed")
+            return
+        if ledger and ledger.pending(checksum):
+            with lock:  # crashed mid-load earlier: needs reconciliation
+                result.pending.append(name)
+            return  # leave in place
+        if ledger:
+            ledger.record(checksum, name, table, "loading")
         try:
-            table = ingest_csv(spark, path, run_date=run_date)
-            result.loaded.append(name)
-            dest = os.path.join(landing_dir, "processed")
+            ingest_csv(spark, path, table=table, run_date=run_date)
+            with lock:
+                result.loaded.append(name)
             if ledger:
                 ledger.record(checksum, name, table, "loaded")
+            dest = "processed"
         except Exception as exc:  # noqa: BLE001 — per-file isolation (:78-83)
-            result.failed[name] = str(exc)
-            dest = os.path.join(landing_dir, "failed")
+            with lock:
+                result.failed[name] = str(exc)
             if ledger:
-                ledger.record(checksum, name, table_name_for_file(name), "failed")
+                ledger.record(checksum, name, table, "failed")
+            dest = "failed"
         if archive:
-            os.makedirs(dest, exist_ok=True)
-            target = os.path.join(dest, name)
-            n = 1
-            while os.path.exists(target):  # same name re-landed: keep both
-                target = os.path.join(dest, f"{name}.{n}")
-                n += 1
-            shutil.move(path, target)
+            _archive(path, name, dest)
+
+    def _load_table(table: str, names: list[str]) -> None:
+        for name in names:
+            _load_one(table, name)
+
+    by_table: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(landing_dir)):
+        if name.lower().endswith(".csv"):
+            by_table.setdefault(table_name_for_file(name), []).append(name)
+
+    workers = max(1, min(max_workers, len(by_table)))
+    if workers == 1:
+        for table, names in by_table.items():
+            _load_table(table, names)
+    else:
+        with ThreadPoolExecutor(workers) as pool:
+            list(pool.map(_load_table, by_table.keys(), by_table.values()))
+    result.loaded.sort()
+    result.skipped.sort()
+    result.pending.sort()
     return result

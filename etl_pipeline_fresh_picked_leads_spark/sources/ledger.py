@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -40,27 +41,45 @@ class LedgerEntry:
     checksum: str
     file_name: str
     table: str
-    status: str  # loaded | failed
+    status: str  # loading | loaded | failed
     at: str
 
 
 class IngestLedger:
-    """Append-only JSONL ledger keyed by content checksum."""
+    """Append-only JSONL ledger keyed by content checksum.
+    Thread-safe (ingest_directory loads tables concurrently).
+
+    Every load writes a ``loading`` intent entry BEFORE the Spark
+    append and a ``loaded``/``failed`` entry after.  A crash between
+    the append's commit and the ``loaded`` record therefore leaves a
+    dangling intent instead of silently re-loading on rerun:
+    ``pending()`` surfaces those checksums, ``ingest_directory`` skips
+    them and reports them for reconciliation (check whether the rows
+    made it into the target table, then ``record`` a terminal status
+    by hand)."""
 
     def __init__(self, path: str) -> None:
         self.path = path
-        self._loaded: set[str] = set()
+        self._lock = threading.Lock()
+        self._last: dict[str, str] = {}  # checksum -> last status
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
                     if not line.strip():
                         continue
                     e = json.loads(line)
-                    if e.get("status") == "loaded":
-                        self._loaded.add(e["checksum"])
+                    self._last[e["checksum"]] = e.get("status", "")
 
     def already_loaded(self, checksum: str) -> bool:
-        return checksum in self._loaded
+        return self._last.get(checksum) == "loaded"
+
+    def pending(self, checksum: str | None = None):
+        """Dangling ``loading`` intents (a crash window to reconcile).
+        With an argument: is that checksum pending?  Without: the set
+        of all pending checksums."""
+        if checksum is not None:
+            return self._last.get(checksum) == "loading"
+        return {c for c, s in self._last.items() if s == "loading"}
 
     def record(
         self, checksum: str, file_name: str, table: str, status: str
@@ -72,8 +91,10 @@ class IngestLedger:
             status=status,
             at=datetime.now(timezone.utc).isoformat(),
         )
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(entry.__dict__) + "\n")
-        if status == "loaded":
-            self._loaded.add(checksum)
+        with self._lock:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            with open(self.path, "a") as f:
+                f.write(json.dumps(entry.__dict__) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            self._last[checksum] = status

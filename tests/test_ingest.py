@@ -262,3 +262,48 @@ def test_ingest_error_isolation(spark, tmp_path):
     assert "good_t.csv" in r.loaded
     assert "bad_t.csv" in r.failed
     assert spark.table("good_t").count() == 1
+
+
+def test_ingest_parallel_multi_table(spark, tmp_path):
+    """N files for N tables load concurrently (table-grouped thread
+    pool) with per-file isolation preserved — one bad file fails alone
+    while the others land."""
+    landing = str(tmp_path)
+    for i in range(6):
+        _write(os.path.join(landing, f"par_t{i}.csv"), f"k,v\n{i},x{i}\n")
+    os.mkdir(os.path.join(landing, "par_bad.csv"))  # unreadable "file"
+    r = ingest_directory(spark, landing, archive=False, max_workers=4)
+    assert sorted(r.loaded) == [f"par_t{i}.csv" for i in range(6)]
+    assert list(r.failed) == ["par_bad.csv"]
+    for i in range(6):
+        assert spark.table(f"par_t{i}").count() == 1
+
+
+def test_ingest_pending_intent_blocks_reload(spark, tmp_path):
+    """A dangling 'loading' intent (crash between the append commit
+    and the ledger record) must NOT silently re-load: the file is
+    reported pending and left in place until reconciled."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.ledger import (
+        IngestLedger,
+        file_checksum,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    path = os.path.join(landing, "pend_t.csv")
+    _write(path, "k,v\n1,a\n")
+    ledger_path = str(tmp_path / "ledger.jsonl")
+    # simulate the crashed run: intent recorded, no terminal status
+    IngestLedger(ledger_path).record(
+        file_checksum(path), "pend_t.csv", "pend_t", "loading"
+    )
+    r = ingest_directory(spark, landing, ledger=IngestLedger(ledger_path))
+    assert r.pending == ["pend_t.csv"] and not r.loaded
+    assert os.path.exists(path)  # left in place for reconciliation
+    # operator reconciles (rows never landed) -> mark failed -> reloads
+    IngestLedger(ledger_path).record(
+        file_checksum(path), "pend_t.csv", "pend_t", "failed"
+    )
+    r2 = ingest_directory(spark, landing, ledger=IngestLedger(ledger_path))
+    assert r2.loaded == ["pend_t.csv"]
+    assert spark.table("pend_t").count() == 1
