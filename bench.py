@@ -22,7 +22,11 @@ from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
 from etl_pipeline_fresh_picked_leads_spark.session import build_session
 
 # Representative spread: scan+agg, joins (shuffle + broadcast + theta),
-# windows, pivot, set-heavy dedup, similarity, text, streaming replay.
+# windows (incl. RANGE frame), set ops, multi-key sort, pivot,
+# scalar-expression-heavy, Arrow UDF, set-heavy dedup, similarity,
+# text, streaming replay.  (r2 additions per VERDICT r1 item 7:
+# q_union_distinct, q_except, q_sort_multi, q_win_range, q_str_regex,
+# q_udf_pandas.)
 HEADLINE = [
     "q_agg_group",
     "q_join_inner",
@@ -31,6 +35,12 @@ HEADLINE = [
     "q_join_asof",
     "q_topk_pergroup",
     "q_win_running",
+    "q_win_range",
+    "q_sort_multi",
+    "q_union_distinct",
+    "q_except",
+    "q_str_regex",
+    "q_udf_pandas",
     "q_pivot",
     "q_agg_rollup",
     "q_dedup_fuzzy",
