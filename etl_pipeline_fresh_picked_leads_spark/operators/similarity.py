@@ -1,14 +1,18 @@
 """Similarity search over embedding columns (SURVEY §2B-K,
 north_star "similarity search").
 
-- exact cosine top-k / threshold self-join: brute force with JVM
-  higher-order functions (zip_with + aggregate) — the correctness
-  baseline, quadratic, fine up to ~10^5 x 10^5 with pruning;
-- IVF approximate top-k: deterministic coarse quantizer (first
-  ``nlist`` vectors as centroids), assign each vector to its nearest
-  centroid partition, probe the ``nprobe`` centroids nearest the
-  query — the 100 TB path: candidate set shrinks by ~nlist/nprobe,
-  and the assignment is a broadcast join (centroid table is tiny).
+- exact cosine top-k: brute force with JVM higher-order functions
+  (zip_with + aggregate) or Arrow/BLAS matvec — the correctness
+  baselines;
+- exact threshold self-join: distributed blocked matmul over
+  cogrouped tiles (no driver materialization — see
+  ``cosine_self_join``);
+- IVF approximate top-k: seeded spherical k-means coarse quantizer
+  (fit on a hash-deterministic sample), multi-cell assignment, probe
+  the ``nprobe`` centroids nearest the query — the 100 TB path:
+  candidate set shrinks by ~nlist/(nprobe*replicas), and cell
+  selection is a map-only JVM expression (centroids are plan
+  literals).
 
 All float math is widened to double before accumulating; cosine
 scores are rounded to 6 dp at the operator boundary (SURVEY §2B
