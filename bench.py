@@ -48,6 +48,8 @@ HEADLINE = [
     "q_sim_topk",
     "q_text_tokens",
     "q_text_quality",
+    "q_text_repetition",
+    "q_text_pii_redact",
     "q_stream_tumbling",
 ]
 

@@ -1,0 +1,113 @@
+"""Graph operators for dedup canonicalization.
+
+Near-dup detection (dedup.py) yields PAIRS; an actual 100 TB dedup
+pass needs CLUSTERS — transitive closure over the pair graph, one
+canonical survivor per cluster (the reference's dedup notion is
+row-level DISTINCT in BigQuery; pair->cluster collapse is the scale
+extension every pre-training pipeline runs after MinHash).
+
+Implementation: iterative min-label propagation on DataFrames.
+label(v) starts as v's own id; each round every vertex takes the min
+of its label and its neighbors' labels; fixpoint = connected
+components, cluster id = min vertex id in the component.  Rounds
+needed = graph diameter — near-dup graphs are unions of small dense
+cliques (diameter ~2-3), so this converges in a handful of shuffles.
+For adversarial long-chain graphs the published fix is the
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which squashes chains
+in O(log^2 n) rounds with the same join-shaped inner loop; the
+per-round plan below is unchanged by that swap.
+
+Each round ends in ``localCheckpoint(eager=True)``: iterative plans
+otherwise nest one join deeper per round and Catalyst re-analysis
+goes quadratic (on a real cluster use ``checkpoint()`` to a reliable
+store for fault tolerance; localCheckpoint trades lineage-based
+recovery for speed, which is the right trade in local mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex; component = min id reachable.
+    Vertices with no edges are their own singleton component.  Raises
+    after ``max_iter`` non-converged rounds (pathological diameter —
+    switch to large-star/small-star, see module docstring)."""
+    # undirected: materialize both directions once
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    # min-propagation monotonically lowers labels, so sum(label) strictly
+    # decreases every round until fixpoint — a 1-row convergence probe
+    # instead of a change-count join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.d == labels.vid)
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(
+                neighbor_min, labels.vid == neighbor_min.s, "left"
+            )
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select(
+                F.col("vid").alias(id_col), F.col("label").alias("component")
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster assignment + canonical-survivor marking from a near-dup
+    pair table (columns doc_id_a/doc_id_b, e.g. ngram_jaccard_pairs or
+    minhash_lsh_pairs output): every doc gets the cluster id (min
+    doc_id of its component), the cluster size, and an is_canonical
+    flag on the survivor.  Downstream keeps ``is_canonical`` rows —
+    the standard pair->cluster->survivor collapse after MinHash."""
+    comps = connected_components(
+        docs.select("doc_id"),
+        pairs.select("doc_id_a", "doc_id_b"),
+        id_col="doc_id",
+        src_col="doc_id_a",
+        dst_col="doc_id_b",
+    ).withColumnRenamed("component", "cluster_id")
+    sizes = comps.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comps.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -330,6 +330,46 @@ def ivf_topk(
     )
 
 
+def ivf_self_join(
+    vecs: DataFrame,
+    threshold: float = 0.4,
+    nlist: int = 16,
+    replicas: int = 4,
+) -> DataFrame:
+    """Approximate cosine threshold self-join, IVF-pruned: candidates
+    are pairs sharing at least one of their ``replicas`` nearest
+    cells; only candidates pay the exact cosine (computed in-join,
+    JVM fold) and pairs below ``threshold`` drop.  This is the scale
+    tier above ``cosine_self_join``: the blocked-matmul shuffle is
+    n·B rows, this one is ~n·replicas rows plus the per-cell
+    self-join fan-out — at 100 TB you pick it whenever missing a
+    cross-cell pair is acceptable (recall vs exact is pinned in
+    tests; raise ``replicas`` to trade shuffle for recall).  Same
+    pattern as minhash_lsh_pairs: band/cell key join for candidates,
+    exact verify on candidates only.
+    """
+    _, assignments = ivf_assign(vecs, nlist, replicas=replicas)
+    assignments = assignments.persist()
+    assignments.count()  # materialize before self-join (dedup.py:116 trap)
+    right = assignments.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("rvec_id"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("rnrm"),
+    )
+    cands = (
+        assignments.join(right, "centroid_id")
+        .filter(F.col("vec_id") < F.col("rvec_id"))
+        .dropDuplicates(["vec_id", "rvec_id"])
+    )
+    cos = _dot(F.col("v"), F.col("rv")) / (F.col("nrm") * F.col("rnrm"))
+    return cands.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("rvec_id").alias("vec_id_b"),
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def cosine_topk_vectorized(
     vecs: DataFrame, query_vec_id: int, k: int = 10
 ) -> DataFrame:

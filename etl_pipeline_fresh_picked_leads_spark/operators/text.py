@@ -184,6 +184,79 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals on the word stream:
+    the fraction of word-bigrams taken by the single most frequent
+    bigram (``top_bigram_frac``) and the fraction of bigram
+    occurrences that are repeats of an already-seen bigram
+    (``dup_bigram_frac``).  High values flag boilerplate / spam /
+    looping generations — standard pre-training filters threshold on
+    exactly these (Gopher §A1.1 uses duplicate n-gram character
+    fractions; this is the token-count form of the same signal).
+
+    Shape: explode bigrams -> two-level aggregation.  The explode
+    fan-out is one row per token occurrence — linear in corpus size;
+    both aggregations combine map-side.  Docs with < 2 tokens have no
+    bigrams and are excluded on both sides.
+    """
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    # project the bigram array before exploding (dedup.py CSE note)
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = F.sum("c")
+    return per_gram.groupBy("doc_id").agg(
+        tot.alias("n_bigrams"),
+        F.round(F.max("c") / tot, 6).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / tot, 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded/unbounded repetition only,
+# no lookaround, so both engines match identical spans.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for a contact/lead corpus (the reference's whole
+    domain is lead contact data — fresh_picked_leads.py harvests it;
+    a training-data pipeline must strip it): replace email addresses
+    and phone numbers with typed placeholder tokens and count the
+    redactions per document.  Pure JVM regexp expressions — linear
+    scan, no shuffle, trivially 100 TB-safe.  Emails are redacted
+    first so phone-shaped digit runs inside addresses can't double
+    match."""
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>").alias(
+            "text_redacted"
+        ),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace and BPE-ish token counts per doc — the budget
     columns a training-mix planner aggregates."""

@@ -491,3 +491,150 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature pipeline with the deterministic fake
     decoder (real codec slots into operators/multimodal.decode_image)."""
     return extract_features(read_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------ round-2 pipeline additions ----
+
+_REPETITION_ORACLE = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toked WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       round(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
+       round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS dup_bigram_frac
+FROM cnt GROUP BY doc_id
+"""
+
+
+@query("q_text_repetition", oracle=_REPETITION_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style bigram repetition signals (top-bigram fraction,
+    duplicate-bigram fraction) — the boilerplate/spam filter inputs."""
+    from ..operators.text import repetition_signals
+
+    return repetition_signals(read_table(spark, sf_dir, "documents"))
+
+
+# The synthetic corpus carries no contact data, so PII is planted
+# deterministically from doc_id on BOTH sides (same pattern as the
+# q_dedup_embed clone planting) and then scrubbed.
+_PII_PLANT = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' reach lead' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call +1-202-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+"""
+
+_PII_ORACLE = f"""
+WITH planted AS ({_PII_PLANT}),
+rx AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)
+           AS n_emails,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+           '<EMAIL>', 'g') AS ne
+  FROM planted
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(ne,
+         '\\+?[0-9][0-9()\\[\\] .-]{{6,}}[0-9]')) AS INT) AS n_phones,
+       regexp_replace(ne, '\\+?[0-9][0-9()\\[\\] .-]{{6,}}[0-9]',
+                      '<PHONE>', 'g') AS text_redacted
+FROM rx
+"""
+
+
+@query("q_text_pii_redact", oracle=_PII_ORACLE)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a lead-contact corpus: plant emails/phones
+    deterministically, then redact + count them (operators/text.py
+    redact_pii; the reference's whole domain is lead contact data)."""
+    from ..operators.text import redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach lead"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call +1-202-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(planted)
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+),
+edges AS (
+  SELECT pa AS s, pb AS d FROM pairs
+  UNION ALL
+  SELECT pb AS s, pa AS d FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.d
+),
+lab AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT l.doc_id, l.cluster_id, c.cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM lab l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM lab GROUP BY 1) c USING (cluster_id)
+"""
+
+
+@query("q_dedup_cluster", oracle=_CLUSTER_ORACLE)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> connected components -> canonical
+    survivor per cluster (operators/graph.py min-label propagation vs
+    a DuckDB recursive-CTE oracle over the same ngram pair graph)."""
+    from ..operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.35))
+
+
+@query("q_sim_join_ivf")  # rows-only: IVF candidate set is kmeans-dependent
+def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine threshold self-join — the scale tier above
+    the exact blocked matmul; recall vs exact pinned in tests."""
+    from ..operators.similarity import ivf_self_join
+
+    return ivf_self_join(read_table(spark, sf_dir, "embeddings"), threshold=0.4)

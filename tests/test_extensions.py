@@ -166,3 +166,122 @@ def test_multimodal_feature_plumbing(docs):
 def test_real_decoder_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+# ------------------------------------------ round-2 pipeline additions ----
+
+
+def test_ivf_self_join_recall_vs_exact(embeddings):
+    """IVF-pruned threshold join must recover >=90% of the exact
+    blocked-matmul pairs at tau=0.4 (replicas=4 multi-assignment; a
+    missed pair means neither endpoint shared any of its 4 cells) and
+    report no pair below its own threshold."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+        cosine_self_join,
+        ivf_self_join,
+    )
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in cosine_self_join(embeddings, threshold=0.4).collect()
+    }
+    approx_df = ivf_self_join(embeddings, threshold=0.4)
+    approx = {(r.vec_id_a, r.vec_id_b) for r in approx_df.collect()}
+    assert exact, "corpus should contain pairs above the threshold"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF join recall {recall} on {len(exact)} pairs"
+    assert approx <= exact  # verify step is exact: no false positives
+    assert approx_df.filter(F.col("cosine") < 0.4).count() == 0
+
+
+def test_dedup_clusters_invariants(docs):
+    """Connected components over the ngram pair graph: every pair's
+    endpoints share a cluster, cluster_id is the min doc_id of its
+    members, exactly one canonical doc per cluster, and docs without
+    any pair are singletons."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.35)
+    out = dedup_clusters(docs, pairs)
+    rows = {r.doc_id: r for r in out.collect()}
+    n_docs = docs.count()
+    assert len(rows) == n_docs  # total assignment, singletons included
+
+    edge_list = [(r.doc_id_a, r.doc_id_b) for r in pairs.collect()]
+    assert edge_list, "corpus should contain near-dup pairs"
+    for a, b in edge_list:
+        assert rows[a].cluster_id == rows[b].cluster_id
+
+    by_cluster: dict[int, list] = {}
+    for r in rows.values():
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+
+    linked = {d for e in edge_list for d in e}
+    singletons = [r for r in rows.values() if r.doc_id not in linked]
+    assert all(r.cluster_size == 1 and r.is_canonical for r in singletons)
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-vertex path graph (worst diameter per vertex count) must
+    still converge to a single component."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import (
+        connected_components,
+    )
+
+    verts = spark.range(12).withColumnRenamed("id", "id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    out = connected_components(verts, edges)
+    assert {r.component for r in out.collect()} == {0}
+
+
+def test_redact_pii_scrubs_planted_contacts(spark):
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ping alice.smith+leads@corp.example.org today"),
+            (2, "call +1 (415) 555-0199 or 415-555-0142 now"),
+            (3, "mixed bob@x.io and +44 20 7946 0958 here"),
+            (4, "clean text with no contact data at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_emails == 1 and "<EMAIL>" in out[1].text_redacted
+    assert "@" not in out[1].text_redacted
+    assert out[2].n_phones == 2 and out[2].text_redacted.count("<PHONE>") == 2
+    assert out[3].n_emails == 1 and out[3].n_phones == 1
+    assert out[4].text_redacted == "clean text with no contact data at all"
+    assert out[4].n_emails == 0 and out[4].n_phones == 0
+
+
+def test_repetition_signals_hand_checked(spark):
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # bigrams: 3x "spam spam"
+            (2, "all words differ here"),  # 3 distinct bigrams
+            (3, "one"),  # no bigram -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_bigrams == 3
+    assert out[1].top_bigram_frac == 1.0 and out[1].dup_bigram_frac == 1.0
+    assert out[2].n_bigrams == 3
+    assert out[2].top_bigram_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].dup_bigram_frac == 0.0
