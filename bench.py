@@ -50,6 +50,7 @@ HEADLINE = [
     "q_text_quality",
     "q_text_repetition",
     "q_text_pii_redact",
+    "q_text_decontaminate",
     "q_stream_tumbling",
 ]
 

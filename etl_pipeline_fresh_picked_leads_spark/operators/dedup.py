@@ -221,6 +221,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Eval-set contamination report: for each train doc sharing at
+    least one word n-gram with ANY eval doc, the count and fraction of
+    its (distinct) n-grams that appear in the eval set — the standard
+    pre-training decontamination check (flag-or-drop is a filter on
+    `contamination` downstream).
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    thousands of docs even when train is 100 TB), so its distinct
+    gram set is BROADCAST and the train side joins map-side — the
+    100 TB side is never shuffled against eval.  The only shuffle is
+    the per-doc hit count, which carries contaminated gram instances
+    only (output-sensitive, with map-side partial counts); n_grams
+    rides the explode as a grouping column so no second join against a
+    per-doc size table is needed.
+    """
+    ev_grams = (
+        _with_shingles(eval_docs, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    ex = _with_shingles(train, n).select(
+        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    )
+    return (
+        ex.join(F.broadcast(ev_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 64

@@ -333,7 +333,7 @@ def ivf_topk(
 def ivf_self_join(
     vecs: DataFrame,
     threshold: float = 0.4,
-    nlist: int = 16,
+    nlist: int | None = None,
     replicas: int = 4,
 ) -> DataFrame:
     """Approximate cosine threshold self-join, IVF-pruned: candidates
@@ -347,7 +347,15 @@ def ivf_self_join(
     tests; raise ``replicas`` to trade shuffle for recall).  Same
     pattern as minhash_lsh_pairs: band/cell key join for candidates,
     exact verify on candidates only.
+
+    ``nlist`` defaults to ``max(16, n/64)``: candidate count within a
+    cell is quadratic in cell size, so the cell size — not the cell
+    COUNT — must stay constant as the corpus grows (nlist ∝ n keeps
+    expected cell size ≈ 64·replicas and total candidates ~linear in
+    n; a fixed nlist would silently go quadratic at 100×).
     """
+    if nlist is None:
+        nlist = max(16, vecs.count() // 64)
     _, assignments = ivf_assign(vecs, nlist, replicas=replicas)
     assignments = assignments.persist()
     assignments.count()  # materialize before self-join (dedup.py:116 trap)

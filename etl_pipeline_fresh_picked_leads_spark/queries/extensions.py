@@ -631,6 +631,49 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.35))
 
 
+# Split boundary parity with q_split_train_eval / q_sample_hash:
+# _hash01(doc_id) < 0.1  <=>  first-8-hex md5 prefix <= '19999999'.
+_DECONTAM_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+ev AS (
+  SELECT DISTINCT g FROM sh, unnest(s) AS u(g) WHERE h <= '19999999'
+)
+SELECT t.doc_id,
+       CAST(len(t.s) AS INT) AS n_grams,
+       COUNT(*) AS n_contaminated,
+       round(COUNT(*) * 1.0 / len(t.s), 6) AS contamination
+FROM (SELECT doc_id, s FROM sh WHERE h > '19999999') t,
+     unnest(t.s) AS u(g)
+WHERE g IN (SELECT g FROM ev)
+GROUP BY t.doc_id, len(t.s)
+"""
+
+
+@query("q_text_decontaminate", oracle=_DECONTAM_ORACLE)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: hold out a deterministic 10% of the
+    corpus as the 'eval set' (same md5 hash ranges as
+    q_split_train_eval), then report every train doc whose word
+    3-grams overlap it (operators/dedup.py decontaminate — broadcast
+    eval grams, map-side train join)."""
+    from ..operators.dedup import decontaminate
+    from ..operators.sampling import _hash01
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_eval = _hash01(F.col("doc_id")) < 0.1
+    return decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), n=3
+    )
+
+
 @query("q_sim_join_ivf")  # rows-only: IVF candidate set is kmeans-dependent
 def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned cosine threshold self-join — the scale tier above

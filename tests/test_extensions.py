@@ -285,3 +285,41 @@ def test_repetition_signals_hand_checked(spark):
     assert out[2].n_bigrams == 3
     assert out[2].top_bigram_frac == pytest.approx(1 / 3, abs=1e-6)
     assert out[2].dup_bigram_frac == 0.0
+
+
+def test_decontaminate_hand_checked(spark):
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),  # shares "the quick brown"
+            (2, "completely disjoint wording entirely here"),
+            (3, "the quick brown fox"),  # 2 grams, both contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decontaminate(train, ev, n=3).collect()}
+    # doc 2 shares nothing -> absent (output-sensitive)
+    assert set(out) == {1, 3}
+    # doc 1: 5 grams, hits = "the quick brown" + "quick brown fox"
+    assert out[1].n_grams == 5 and out[1].n_contaminated == 2
+    assert out[1].contamination == pytest.approx(0.4, abs=1e-6)
+    # doc 3: both of its grams appear in the eval doc
+    assert out[3].n_grams == 2 and out[3].n_contaminated == 2
+    assert out[3].contamination == pytest.approx(1.0, abs=1e-6)
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """The 100 TB contract: the eval gram set broadcasts; the train
+    side must never shuffle against it (no SortMergeJoin)."""
+    from etl_pipeline_fresh_picked_leads_spark.plans import formatted_plan
+    from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
+
+    df = QUERIES["q_text_decontaminate"](spark, SF_MEDIUM)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert df.count() > 0, "corpus near-dups should span the hash split"

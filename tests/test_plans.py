@@ -99,3 +99,22 @@ def test_partitioned_write_prunes_at_scan(spark):
     assert "PartitionFilters" in plan and "Ingestion_date" in plan
     assert one_day.count() == o.count()
     assert spark.table("orders_part").count() == 2 * o.count()
+
+
+def test_pii_redact_is_map_only(spark):
+    """Redaction is a pure per-row expression pipeline: no Exchange,
+    no Python, inside whole-stage codegen."""
+    df = QUERIES["q_text_pii_redact"](spark, SF_SMALL)
+    assert n_exchanges(df) == 0, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_wholestage_codegen(df)
+
+
+def test_repetition_partial_aggregates(spark):
+    """Both aggregations of the bigram pipeline must combine map-side
+    (the shuffle carries per-(doc,gram) partials, not raw bigrams)."""
+    df = QUERIES["q_text_repetition"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
