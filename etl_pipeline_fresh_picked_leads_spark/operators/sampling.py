@@ -11,7 +11,7 @@ shard's rows).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -74,4 +74,39 @@ def chunk_documents(
         "chunk_id",
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("chunk_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame, budget: int = 256, n_buckets: int = 8
+) -> DataFrame:
+    """Sequence packing: assign token chunks to fixed-budget training
+    bins (the pack-before-tokenize step that turns ragged documents
+    into dense batches).  Greedy-by-position: within a bucket, chunks
+    in (doc_id, chunk_id) order go to bin ``floor(tokens_before /
+    budget)`` — a bin may overflow by at most one chunk (bounded by
+    the chunk size), the price of making packing a pure window cumsum
+    instead of sequential driver state.
+
+    True greedy packing is order-sequential and unparallelizable;
+    bucketing by doc hash makes each bucket an independent window
+    partition (one shuffle, N parallel packers, at most one
+    partially-filled bin per bucket).  At 100 TB raise ``n_buckets``
+    to the write parallelism you want — determinism is unaffected
+    since bucket and order are pure key functions."""
+    b = chunks.withColumn(
+        "bucket", (F.col("doc_id") % n_buckets).cast("int")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    before = F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+    return b.select(
+        "bucket",
+        "doc_id",
+        "chunk_id",
+        "chunk_tokens",
+        F.floor(before / budget).cast("int").alias("bin_id"),
     )

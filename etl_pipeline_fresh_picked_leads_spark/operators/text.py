@@ -103,6 +103,49 @@ def term_frequencies(docs: DataFrame, top_n: int = 5) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf
+    (``tf * (ln((N+1)/(df+1)) + 1)``).
+
+    Shape at scale: one shuffle for per-doc term counts, one for the
+    document-frequency table (computed FROM the tf table, which is
+    ~|vocab| x docs-per-term rows, far smaller than the token
+    stream), a key join tf x df, and a per-doc group-limit window.
+    The corpus size N joins in as a broadcast 1-row aggregate — no
+    driver-side collect.  Scores round to 6 dp before ranking so the
+    oracle ranks the same values (ties break on term)."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tf.count()  # df + join below must reuse, not recompute (dedup.py:116)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * (
+            F.log(
+                (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+            )
+            + 1
+        ),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality signals per document: length, mean token
     length, stopword ratio, alpha ratio, repetition (distinct/total

@@ -631,6 +631,75 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.35))
 
 
+# Same chunking arithmetic as _CHUNK_ORACLE, then the pack_chunks
+# window cumsum: bin = floor(tokens_before_this_chunk / 256) within a
+# (doc_id % 8) bucket ordered by (doc_id, chunk_id).
+_PACK_ORACLE = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         CAST(least(50, len(t) - i * 50) AS INT) AS chunk_tokens
+  FROM toked CROSS JOIN generate_series(0, 63) s(i)
+  WHERE i < CAST(ceil(len(t) / 50.0) AS BIGINT)
+)
+SELECT CAST(doc_id % 8 AS INT) AS bucket, doc_id, chunk_id, chunk_tokens,
+       CAST(floor((SUM(chunk_tokens) OVER (
+           PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+           ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 256.0) AS INT)
+         AS bin_id
+FROM chunks
+"""
+
+
+@query("q_pack_chunks", oracle=_PACK_ORACLE)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: token chunks -> fixed-budget training bins
+    (operators/sampling.py pack_chunks; bucketed window cumsum)."""
+    from ..operators.sampling import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=50
+    )
+    return pack_chunks(chunks, budget=256, n_buckets=8)
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           x -> x <> '') AS t
+        FROM documents) d,
+       unnest(d.t) AS u(term)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df,
+       round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1), 6) AS score,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1), 6)
+                  DESC, term
+       ) AS INT) AS rank
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= 3
+"""
+
+
+@query("q_text_tfidf", oracle=_TFIDF_ORACLE)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by smoothed tf-idf (operators/text.py
+    tfidf_top_terms — tf shuffle, df from tf, broadcast N)."""
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
 # Split boundary parity with q_split_train_eval / q_sample_hash:
 # _hash01(doc_id) < 0.1  <=>  first-8-hex md5 prefix <= '19999999'.
 _DECONTAM_ORACLE = """

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import read_table
 from ..streaming.dedup import dedup_by_id
-from ..streaming.joins import enrich_with_dim
+from ..streaming.joins import enrich_with_dim, interval_join_streams
 from ..streaming.runner import run_available_now
 from ..streaming.sinks import foreach_batch_upsert
 from ..streaming.source import events_stream
@@ -167,6 +167,45 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id,
+       a.ts AS click_ts, b.ts AS purchase_ts,
+       b.value AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""
+
+
+@query("q_stream_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 2 h of a click by
+    the same user, both sides live streams (watermark + time-range
+    predicate bound the join state on both sides).  Inner-join
+    emission is match-time, so the availableNow replay equals the
+    batch interval join — hash-matched against the SQL oracle."""
+    clicks = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams(
+        clicks, purchases, key="user_id", time_col="ts", max_lag="2 hours"
+    ).select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").alias("click_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+    )
+    out = run_available_now(joined, spark, "append")
+    return _ntz(out, "click_ts", "purchase_ts")
 
 
 @query("q_stream_stateful", oracle=_STATEFUL_ORACLE)

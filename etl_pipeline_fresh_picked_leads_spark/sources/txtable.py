@@ -260,6 +260,40 @@ class TxTable:
         survivors = [f for f in base.files if f not in set(affected)]
         return self._commit(survivors + self._write_data(new_data), "upsert", base)
 
+    def compact(
+        self, target_bytes: int = 128 << 20, small_frac: float = 0.5
+    ) -> int:
+        """OPTIMIZE: coalesce small files into ~``target_bytes``
+        outputs (the small-file problem every streaming-append table
+        develops — per-trigger commits at 100 TB mean millions of tiny
+        parquet files, and scan task count tracks file count).  Files
+        already >= ``small_frac * target_bytes`` carry over by
+        reference; only the small tail is read and rewritten, so the
+        cost is proportional to the fragmentation, not the table.
+        Content-neutral: same rows before and after (a lost commit
+        race is safe to retry).  Returns the committed version.
+
+        File sizes come from a driver-side stat of the manifest's file
+        list — metadata-sized, like the manifest itself; a real log
+        store records sizes in the manifest and skips the stat."""
+        base = self.snapshot()
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        small = [
+            f
+            for f in base.files
+            if os.path.getsize(f) < target_bytes * small_frac
+        ]
+        if len(small) < 2:
+            return base.version  # nothing to coalesce
+        total = sum(os.path.getsize(f) for f in small)
+        n_out = max(1, -(-total // target_bytes))  # ceil
+        packed = self.spark.read.parquet(*small).repartition(n_out)
+        survivors = [f for f in base.files if f not in set(small)]
+        return self._commit(
+            survivors + self._write_data(packed), "compact", base
+        )
+
     # ------------------------------------------------------- cleanup
 
     def vacuum(self, retain: int = 1) -> list[str]:

@@ -323,3 +323,35 @@ def test_decontaminate_eval_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert df.count() > 0, "corpus near-dups should span the hash split"
+
+
+def test_pack_chunks_invariants(docs):
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    budget, chunk = 256, 50
+    packed = pack_chunks(
+        chunk_documents(docs, chunk_tokens=chunk), budget=budget, n_buckets=8
+    ).persist()
+    totals = (
+        packed.groupBy("bucket", "bin_id")
+        .agg(F.sum("chunk_tokens").alias("total"))
+        .collect()
+    )
+    # a bin overflows by at most one chunk (the window-cumsum bound)
+    assert max(r.total for r in totals) <= budget + chunk - 1
+    # bins are contiguous 0..max within each bucket (no gaps)
+    by_bucket = {}
+    for r in totals:
+        by_bucket.setdefault(r.bucket, set()).add(r.bin_id)
+    for bucket, bins in by_bucket.items():
+        assert bins == set(range(max(bins) + 1)), (bucket, sorted(bins))
+    # full-budget utilization: every non-final bin is within one chunk
+    # of the budget (greedy-by-position never leaves a larger hole)
+    for bucket, bins in by_bucket.items():
+        finals = max(bins)
+        for r in totals:
+            if r.bucket == bucket and r.bin_id < finals:
+                assert r.total > budget - chunk, (bucket, r.bin_id, r.total)

@@ -154,3 +154,29 @@ def test_delta_backend_available():
     (txtable.delta_available()).  This environment ships without the
     jars, so the routing is exercised only via TxTable."""
     assert delta_available()
+
+
+def test_compact_coalesces_small_files(spark, tmp_path):
+    """Ten tiny single-row appends -> compact folds them into one
+    file; a deliberately 'large' file carries by reference; contents
+    are untouched and vacuum can then drop the fragments."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(0, "x0")]).coalesce(1))
+    for k in range(1, 10):
+        t.append(_mkdf(spark, [(k, f"x{k}")]).coalesce(1))
+    before = t.snapshot()
+    assert len(before.files) == 10
+    # every fragment is tiny, so all 10 coalesce into ceil(total/target)=1
+    v = t.compact(target_bytes=1 << 20)
+    after = t.snapshot()
+    assert v == after.version == before.version + 1
+    assert after.op == "compact"
+    assert len(after.files) == 1
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(k, f"x{k}") for k in range(10)]
+    # threshold respected: nothing under small_frac -> no-op commit
+    assert t.compact(target_bytes=1) == after.version
+    # fragments are unreferenced now; vacuum reclaims them
+    removed = t.vacuum(retain=1)
+    assert set(removed) >= set(before.files)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == got
