@@ -239,12 +239,17 @@ def decontaminate(
     rides the explode as a grouping column so no second join against a
     per-doc size table is needed.
     """
-    ev_grams = (
-        _with_shingles(eval_docs, n)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
-    ex = _with_shingles(train, n).select(
+    # Materialize shingle arrays BEFORE exploding them: Generate over
+    # the inline shingles(tokens(text)) expression re-evaluates the
+    # tokenizer per output element (measured 16x at sf0.1, the
+    # trap this module's header documents); over the cached column
+    # it is a plain array iteration.
+    ev_sh = _with_shingles(eval_docs, n).persist()
+    ev_sh.count()
+    ev_grams = ev_sh.select(F.explode("sh").alias("g")).distinct()
+    tr_sh = _with_shingles(train, n).persist()
+    tr_sh.count()
+    ex = tr_sh.select(
         "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
     )
     return (

@@ -34,6 +34,32 @@ def hash_sample(
     ).drop("_u")
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the downsample-dominant-
+    language / upweight-rare-source step of corpus mixing): each
+    stratum keeps its own hash fraction of rows.  Same content-hash
+    membership as ``hash_sample`` — a pure per-row predicate, no
+    shuffle, no rand(), resampling one stratum never flips another's
+    rows."""
+    frac = None
+    for value, f in fractions.items():
+        frac = (
+            F.when(F.col(strata_col) == value, F.lit(f))
+            if frac is None
+            else frac.when(F.col(strata_col) == value, F.lit(f))
+        )
+    frac = F.lit(default_frac) if frac is None else frac.otherwise(
+        F.lit(default_frac)
+    )
+    return df.filter(_hash01(F.col(key)) < frac)
+
+
 def train_eval_split(
     df: DataFrame, key: str, eval_frac: float = 0.1, test_frac: float = 0.1
 ) -> DataFrame:

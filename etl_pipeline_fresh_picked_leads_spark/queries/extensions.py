@@ -631,6 +631,56 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.35))
 
 
+# Hash-boundary parity (see _SAMPLE_ORACLE note): u < 0.5 <=> prefix
+# <= '7fffffff'; u < 0.25 <=> prefix <= '3fffffff'.
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <=
+      CASE WHEN lang = 'en' THEN '7fffffff' ELSE '3fffffff' END
+"""
+
+
+@query("q_sample_stratified", oracle=_STRATIFIED_ORACLE)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing downsample: keep 50% of English, 25% of every
+    other language, membership a pure function of doc_id
+    (operators/sampling.py stratified_sample)."""
+    from ..operators.sampling import stratified_sample
+
+    return stratified_sample(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.5},
+        default_frac=0.25,
+    ).select("doc_id", "lang")
+
+
+_QUALITY_FILTER_ORACLE = """
+SELECT d.doc_id, d.lang, d.n_chars, m.lang_median
+FROM documents d
+JOIN (SELECT lang, median(n_chars) AS lang_median
+      FROM documents GROUP BY 1) m USING (lang)
+WHERE d.n_chars > m.lang_median
+"""
+
+
+@query("q_quality_filter", oracle=_QUALITY_FILTER_ORACLE)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: keep docs strictly above their
+    language's median length — the two-pass shape (aggregate a
+    per-group threshold, broadcast it back, filter) every
+    quality-percentile cut at scale uses."""
+    docs = read_table(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(F.median("n_chars").alias("lang_median"))
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") > F.col("lang_median"))
+        .select("doc_id", "lang", "n_chars", "lang_median")
+    )
+
+
 # Same chunking arithmetic as _CHUNK_ORACLE, then the pack_chunks
 # window cumsum: bin = floor(tokens_before_this_chunk / 256) within a
 # (doc_id % 8) bucket ordered by (doc_id, chunk_id).
