@@ -39,6 +39,12 @@ from . import extensions  # noqa: E402,F401
 # hash-matchable LLM-extension queries.  Already-green r1 queries and
 # rows-only extras sit behind the window (their semantics are still
 # pinned by tests/ and tools/check_oracle.py).
+# Round-3 rotation plan: once CORRECTNESS_r02 lands green rows for
+# this window, swap the 9 extras at the tail for the round-2-added
+# hash-matched queries (q_text_decontaminate, q_text_tfidf,
+# q_pack_chunks, q_sample_stratified, q_quality_filter,
+# q_stream_stream_join) plus any r3 additions, keeping the union of
+# all rounds' green rows growing toward full registry coverage.
 _DRIVER_WINDOW = [
     "q_agg_collect",
     # §2B contract operators unreached in round 1 (registry index >= 50)
