@@ -150,6 +150,21 @@ def q_scan_json_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip of the nation table — the fourth interchange
+    format Spark ships natively (columnar like parquet: predicate
+    pushdown and column pruning apply the same way)."""
+    path = os.path.join(_SCRATCH, "nation.orc")
+    read_table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
     "q_sql_interface",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n

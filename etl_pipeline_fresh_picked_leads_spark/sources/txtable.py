@@ -77,6 +77,8 @@ class TxSnapshot:
     version: int
     op: str
     files: tuple[str, ...]
+    schema_json: str | None = None  # table schema; None on pre-schema logs
+    stats: dict | None = None  # per-file {rows, min:{col}, max:{col}}
 
 
 def _manifest_name(version: int) -> str:
@@ -84,11 +86,24 @@ def _manifest_name(version: int) -> str:
 
 
 class TxTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_cols: list[str] | None = None,
+    ):
+        """``stats_cols``: columns to record per-file min/max for in
+        every manifest (numeric/string).  Costs one aggregate scan of
+        each commit's NEW files (∝ commit, not table) and buys
+        manifest-level file skipping via ``read_range`` — the
+        Delta/Iceberg data-skipping idea, and the difference between
+        'open 10M footers' and 'read one manifest' on a key-range
+        query at 100 TB."""
         self.spark = spark
         self.root = os.path.abspath(root)
         self.log_dir = os.path.join(self.root, _LOG_DIR)
         self.data_dir = os.path.join(self.root, _DATA_DIR)
+        self.stats_cols = stats_cols
 
     # ---------------------------------------------------------- state
 
@@ -97,8 +112,14 @@ class TxTable:
         return os.path.isdir(os.path.join(root, _LOG_DIR))
 
     @classmethod
-    def create(cls, spark: SparkSession, root: str, df: DataFrame) -> "TxTable":
-        t = cls(spark, root)
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+    ) -> "TxTable":
+        t = cls(spark, root, stats_cols=stats_cols)
         t.overwrite(df)
         return t
 
@@ -111,22 +132,59 @@ class TxTable:
             if n.startswith("v") and n.endswith(".json")
         )
 
-    def snapshot(self) -> TxSnapshot | None:
+    def snapshot(self, version: int | None = None) -> TxSnapshot | None:
         """Newest committed snapshot (None for a not-yet-created
-        table).  The newest manifest IS the table state — there is no
-        separate pointer to get out of sync."""
+        table), or — with ``version`` — that exact committed version
+        for time travel.  The newest manifest IS the table state —
+        there is no separate pointer to get out of sync."""
         versions = self._versions()
         if not versions:
             return None
-        with open(os.path.join(self.log_dir, _manifest_name(versions[-1]))) as f:
+        if version is not None:
+            if version not in versions:
+                raise FileNotFoundError(
+                    f"version {version} of {self.root} does not exist "
+                    f"(live: {versions[0]}..{versions[-1]}; older versions "
+                    "may have been vacuumed)"
+                )
+        else:
+            version = versions[-1]
+        with open(os.path.join(self.log_dir, _manifest_name(version))) as f:
             m = json.load(f)
-        return TxSnapshot(m["version"], m["op"], tuple(m["files"]))
+        return TxSnapshot(
+            m["version"],
+            m["op"],
+            tuple(m["files"]),
+            m.get("schema"),
+            m.get("stats"),
+        )
 
-    def read(self) -> DataFrame:
-        snap = self.snapshot()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot scan under the MANIFEST's schema, not the files'
+        (``version`` time-travels to an older un-vacuumed commit —
+        immutable data files make old snapshots readable for free).
+        Parquet NULL-fills columns a file lacks when the read schema
+        is supplied, which is what makes ``add_column`` a metadata
+        operation: old files are never rewritten, they just read as
+        NULL in the new column (the same mechanism Delta/Iceberg
+        schema evolution rides on)."""
+        snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return self.spark.read.parquet(*snap.files)
+        return self._read_files(list(snap.files), snap.schema_json)
+
+    def _read_files(self, files: list, schema_json: str | None) -> DataFrame:
+        """Every scan of committed files goes through here so the
+        manifest schema governs even mixed-schema file sets (files
+        predating an add_column would otherwise decide the schema by
+        footer order — silently dropping the new column in a
+        copy-on-write rewrite)."""
+        reader = self.spark.read
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*files)
 
     # -------------------------------------------------------- commits
 
@@ -153,19 +211,73 @@ class TxTable:
                 txns.add(t)
         return txns
 
+    @staticmethod
+    def _schema_of(df: DataFrame) -> str:
+        return json.dumps(df.schema.jsonValue())
+
+    def _stats_for(self, files: list[str]) -> dict:
+        """Per-file row count + min/max of ``stats_cols`` for freshly
+        written files: one aggregate scan grouped by source file."""
+        from urllib.parse import urlparse
+
+        if not files:
+            return {}
+        df = self.spark.read.parquet(*files).withColumn(
+            "_fp", F.col("_metadata.file_path")
+        )
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in self.stats_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        out = {}
+        for r in df.groupBy("_fp").agg(*aggs).collect():
+            out[urlparse(r._fp).path] = {
+                "rows": r._rows,
+                "min": {c: r[f"_min_{c}"] for c in self.stats_cols},
+                "max": {c: r[f"_max_{c}"] for c in self.stats_cols},
+            }
+        return out
+
+    def _merged_stats(
+        self,
+        base: TxSnapshot | None,
+        carried: list[str],
+        new_files: list[str],
+    ) -> dict | None:
+        if not self.stats_cols:
+            # keep whatever stats the carried files already have (a
+            # stats-less writer must not blind a stats-ful table)
+            if base and base.stats:
+                return {f: base.stats[f] for f in carried if f in base.stats}
+            return None
+        prev = base.stats if base and base.stats else {}
+        merged = {f: prev[f] for f in carried if f in prev}
+        merged.update(self._stats_for(new_files))
+        return merged
+
     def _commit(
         self,
         files: list[str],
         op: str,
         base: TxSnapshot | None,
         txn: str | None = None,
+        schema_json: str | None = None,
+        stats: dict | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(
-                {"version": version, "op": op, "files": files, "txn": txn}, f
+                {
+                    "version": version,
+                    "op": op,
+                    "files": files,
+                    "txn": txn,
+                    "schema": schema_json,
+                    "stats": stats,
+                },
+                f,
+                default=str,  # date/timestamp min-max serialize as ISO
             )
             f.flush()
             os.fsync(f.fileno())
@@ -181,7 +293,14 @@ class TxTable:
         return version
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(self._write_data(df), "overwrite", self.snapshot())
+        new = self._write_data(df)
+        return self._commit(
+            new,
+            "overwrite",
+            self.snapshot(),
+            schema_json=self._schema_of(df),
+            stats=self._merged_stats(None, [], new),
+        )
 
     def append(self, df: DataFrame, txn: str | None = None) -> int:
         """Append; with ``txn`` the write is idempotent — a tag already
@@ -190,16 +309,104 @@ class TxTable:
         base = self.snapshot()
         if txn is not None and txn in self._committed_txns():
             return base.version if base else 0
-        files = list(base.files) if base else []
-        return self._commit(files + self._write_data(df), "append", base, txn)
+        carried = list(base.files) if base else []
+        schema = (
+            base.schema_json if base and base.schema_json else self._schema_of(df)
+        )
+        new = self._write_data(df)
+        return self._commit(
+            carried + new,
+            "append",
+            base,
+            txn,
+            schema_json=schema,
+            stats=self._merged_stats(base, carried, new),
+        )
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """``ALTER TABLE ADD COLUMN`` as a METADATA-ONLY commit
+        (reference R12, big_uery_handler.py:171-181 — there a BigQuery
+        schema patch): the new manifest carries the same file list
+        with an extended schema; existing files are never rewritten
+        and read as NULL in the new column.  Contrast
+        ``maintenance.add_column``, which rewrites a raw parquet dir
+        O(table) — on a 100 TB table only the metadata form is
+        viable.  Idempotent: adding an existing column is a no-op."""
+        from pyspark.sql.types import StructType
+
+        base = self.snapshot()
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        if base.schema_json is not None:
+            schema = StructType.fromJson(json.loads(base.schema_json))
+        else:  # pre-schema log: adopt the files' current schema
+            schema = self.spark.read.parquet(*base.files).schema
+        if name in schema.fieldNames():
+            return base.version
+        schema = schema.add(name, dtype)
+        return self._commit(
+            list(base.files),
+            "add_column",
+            base,
+            schema_json=json.dumps(schema.jsonValue()),
+            stats=self._merged_stats(base, list(base.files), []),
+        )
+
+    # ------------------------------------------------- file skipping
+
+    def files_in_range(self, col: str, lo=None, hi=None) -> list[str]:
+        """Manifest-level data skipping: the files whose recorded
+        [min, max] for ``col`` can intersect [lo, hi].  Files without
+        stats (pre-stats commits, NULL-only files) are conservatively
+        kept — skipping must never change results, only cost."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        keep = []
+        for f in snap.files:
+            st = (snap.stats or {}).get(f)
+            fmin = st["min"].get(col) if st else None
+            fmax = st["max"].get(col) if st else None
+            if fmin is None or fmax is None:
+                keep.append(f)
+                continue
+            if lo is not None and fmax < lo:
+                continue
+            if hi is not None and fmin > hi:
+                continue
+            keep.append(f)
+        return keep
+
+    def read_range(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Key-range scan that opens only the files the manifest stats
+        admit, then applies the exact predicate (skipping is a
+        superset filter).  On a 100 TB time-keyed table this is the
+        difference between scanning the table and scanning a day."""
+        snap = self.snapshot()
+        files = self.files_in_range(col, lo, hi)
+        if not files:
+            from pyspark.sql.types import StructType
+
+            schema = (
+                StructType.fromJson(json.loads(snap.schema_json))
+                if snap.schema_json
+                else self._read_files(list(snap.files), None).schema
+            )
+            return self.spark.createDataFrame([], schema)
+        df = self._read_files(files, snap.schema_json)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # ---------------------------------------- copy-on-write mutations
 
-    def _scan_with_fp(self, files) -> DataFrame:
+    def _scan_with_fp(self, files, schema_json: str | None = None) -> DataFrame:
         """Snapshot scan carrying each row's source file as a regular
         column.  ``_metadata`` resolves only directly against the file
         source, so it must be projected here, before any join/filter."""
-        return self.spark.read.parquet(*files).withColumn(
+        return self._read_files(files, schema_json).withColumn(
             "_fp", F.col("_metadata.file_path")
         )
 
@@ -223,11 +430,11 @@ class TxTable:
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         affected = self._affected_files(
-            self._scan_with_fp(base.files).filter(where)
+            self._scan_with_fp(base.files, base.schema_json).filter(where)
         )
         if not affected:
             return 0
-        hit = self.spark.read.parquet(*affected)
+        hit = self._read_files(affected, base.schema_json)
         n = hit.filter(where).count()
         updated = hit
         for col_name, value in set_map.items():
@@ -235,7 +442,14 @@ class TxTable:
                 col_name, F.when(where, value).otherwise(F.col(col_name))
             )
         survivors = [f for f in base.files if f not in set(affected)]
-        self._commit(survivors + self._write_data(updated), "update", base)
+        new = self._write_data(updated)
+        self._commit(
+            survivors + new,
+            "update",
+            base,
+            schema_json=base.schema_json,
+            stats=self._merged_stats(base, survivors, new),
+        )
         return n
 
     def upsert(self, batch: DataFrame, key: str) -> int:
@@ -247,18 +461,36 @@ class TxTable:
         batch = batch.dropDuplicates([key])
         base = self.snapshot()
         if base is None:
-            return self._commit(self._write_data(batch), "upsert", None)
+            new = self._write_data(batch)
+            return self._commit(
+                new,
+                "upsert",
+                None,
+                schema_json=self._schema_of(batch),
+                stats=self._merged_stats(None, [], new),
+            )
         keys = F.broadcast(batch.select(key).distinct())
         affected = self._affected_files(
-            self._scan_with_fp(base.files).join(keys, key, "left_semi")
+            self._scan_with_fp(base.files, base.schema_json).join(
+                keys, key, "left_semi"
+            )
         )
         if affected:
-            kept = self.spark.read.parquet(*affected).join(keys, key, "left_anti")
+            kept = self._read_files(affected, base.schema_json).join(
+                keys, key, "left_anti"
+            )
             new_data = kept.unionByName(batch.select(*kept.columns))
         else:
             new_data = batch
         survivors = [f for f in base.files if f not in set(affected)]
-        return self._commit(survivors + self._write_data(new_data), "upsert", base)
+        new = self._write_data(new_data)
+        return self._commit(
+            survivors + new,
+            "upsert",
+            base,
+            schema_json=base.schema_json,
+            stats=self._merged_stats(base, survivors, new),
+        )
 
     def compact(
         self, target_bytes: int = 128 << 20, small_frac: float = 0.5
@@ -288,10 +520,15 @@ class TxTable:
             return base.version  # nothing to coalesce
         total = sum(os.path.getsize(f) for f in small)
         n_out = max(1, -(-total // target_bytes))  # ceil
-        packed = self.spark.read.parquet(*small).repartition(n_out)
+        packed = self._read_files(small, base.schema_json).repartition(n_out)
         survivors = [f for f in base.files if f not in set(small)]
+        new = self._write_data(packed)
         return self._commit(
-            survivors + self._write_data(packed), "compact", base
+            survivors + new,
+            "compact",
+            base,
+            schema_json=base.schema_json,
+            stats=self._merged_stats(base, survivors, new),
         )
 
     # ------------------------------------------------------- cleanup

@@ -180,3 +180,87 @@ def test_compact_coalesces_small_files(spark, tmp_path):
     removed = t.vacuum(retain=1)
     assert set(removed) >= set(before.files)
     assert sorted((r.k, r.v) for r in t.read().collect()) == got
+
+
+def test_add_column_is_metadata_only(spark, tmp_path):
+    """R12 ADD COLUMN on a TxTable: same file list (no rewrite), old
+    rows read NULL, later writes carry values, and a copy-on-write
+    update of mixed-schema files keeps the evolved column."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    before = t.snapshot()
+    v = t.add_column("score", "double")
+    after = t.snapshot()
+    assert after.files == before.files  # metadata-only
+    assert after.op == "add_column" and v == before.version + 1
+    got = t.read()
+    assert got.columns == ["k", "v", "score"]
+    assert all(r.score is None for r in got.collect())
+    assert t.add_column("score", "double") == v  # idempotent no-op
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "k int, v string, score double"
+        ).coalesce(1)
+    )
+    assert {r.k: r.score for r in t.read().collect()} == {
+        1: None,
+        2: None,
+        3: 0.5,
+    }
+    # update touches the file holding k=1 (pre-evolution schema) while
+    # the k=3 file (post-evolution) carries over — both keep score
+    t.update(F.col("k") == 1, {"v": F.lit("A")})
+    vals = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert vals == {1: ("A", None), 2: ("b", None), 3: ("c", 0.5)}
+
+
+def test_stats_file_skipping(spark, tmp_path):
+    """Manifest min/max stats: range reads open only admissible
+    files; rewrites refresh stats; skipping never changes results."""
+    root = str(tmp_path / "t")
+
+    def kdf(a, b):
+        return spark.createDataFrame(
+            [(i, f"v{i}") for i in range(a, b)], "k int, v string"
+        ).coalesce(1)
+
+    t = TxTable.create(spark, root, kdf(0, 10), stats_cols=["k"])
+    t.append(kdf(10, 20))
+    t.append(kdf(20, 30))
+    snap = t.snapshot()
+    assert snap.stats is not None and len(snap.stats) == 3
+    # range [12,15] lives in exactly the middle file
+    assert len(t.files_in_range("k", 12, 15)) == 1
+    assert sorted(r.k for r in t.read_range("k", 12, 15).collect()) == [
+        12, 13, 14, 15,
+    ]
+    assert len(t.files_in_range("k", lo=20)) == 1  # open-ended
+    assert t.read_range("k", 100, 200).count() == 0  # empty but typed
+    # compaction rewrites the fragments and refreshes their stats
+    t.compact(target_bytes=1 << 20)
+    snap2 = t.snapshot()
+    assert len(snap2.files) == 1
+    st = snap2.stats[snap2.files[0]]
+    assert (st["rows"], st["min"]["k"], st["max"]["k"]) == (30, 0, 29)
+    # a stats-less reopen keeps reading correctly (conservative keep)
+    t2 = TxTable(spark, root)
+    assert t2.read_range("k", 5, 6).count() == 2
+
+
+def test_time_travel_reads_old_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]).coalesce(1))
+    t.append(_mkdf(spark, [(2, "b")]).coalesce(1))
+    t.overwrite(_mkdf(spark, [(9, "z")]).coalesce(1))
+    assert [(r.k, r.v) for r in t.read(version=1).collect()] == [(1, "a")]
+    assert sorted((r.k, r.v) for r in t.read(version=2).collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    assert [(r.k, r.v) for r in t.read().collect()] == [(9, "z")]
+    with pytest.raises(FileNotFoundError):
+        t.read(version=99)
+    # vacuum drops the history; travel then fails loudly, head survives
+    t.vacuum(retain=1)
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    assert [(r.k, r.v) for r in t.read().collect()] == [(9, "z")]
