@@ -28,6 +28,7 @@ from . import scalars  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 # --------------------------------------------------------------- ordering --
 # The driver verifies the FIRST 50 registry entries per round

@@ -1,0 +1,100 @@
+"""Composite end-user analytics over the events stream: retention
+cohorts and ordered funnels — the queries the reference's BigQuery
+tables exist to serve downstream, expressed as multi-stage DataFrame
+pipelines and oracle-checked end to end.
+
+Scale shape: both queries reduce the event stream to per-user
+aggregates first (map-side-combining shuffles keyed by user_id), then
+operate on the user-sized — not event-sized — intermediate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_table
+from .registry import query
+
+# Weeks align on date_trunc boundaries (Monday start in both engines),
+# so day-diffs are exact multiples of 7 and the division is exact.
+_RETENTION_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY 1
+)
+SELECT c.cohort_week,
+       CAST(datediff('day', c.cohort_week, a.week) / 7 AS INT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("q_retention_cohorts", oracle=_RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week,
+    counted in each later week they return.  Events collapse to
+    distinct (user, week) pairs before anything else, so the join and
+    final aggregate run on user-sized data."""
+    ev = read_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT COUNT(t_view) AS viewed,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                  THEN 1 END) AS purchased_after_click
+FROM firsts
+"""
+
+
+@query("q_funnel_steps", oracle=_FUNNEL_ORACLE)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: one conditional-
+    aggregation pass to each user's first timestamp per step, then a
+    global count of users whose steps happened in order.  No joins,
+    no windows — two map-side-combining aggregations total."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    in_order = F.col("t_click") > F.col("t_view")
+    return firsts.agg(
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(in_order, 1)).alias("clicked_after_view"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click")) & in_order, 1)
+        ).alias("purchased_after_click"),
+    )
