@@ -51,6 +51,8 @@ HEADLINE = [
     "q_text_repetition",
     "q_text_pii_redact",
     "q_text_decontaminate",
+    "q_retention_cohorts",
+    "q_funnel_steps",
     "q_stream_tumbling",
 ]
 

@@ -118,3 +118,31 @@ def test_repetition_partial_aggregates(spark):
     plan = formatted_plan(df)
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    """The 1-row corpus-size aggregate must broadcast into the score
+    projection, never shuffle against the vocab-sized tf table."""
+    df = QUERIES["q_text_tfidf"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # tf/df aggregates combine map-side
+
+
+def test_funnel_is_two_aggregations_no_joins(spark):
+    """Funnel = conditional aggregation, not joins: exactly the
+    per-user shuffle plus the global reduce, no Join operator."""
+    df = QUERIES["q_funnel_steps"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert n_exchanges(df) == 2, plan
+    assert "partial_min" in plan  # first-ts per step combines map-side
+
+
+def test_retention_reduces_before_join(spark):
+    """The cohort join happens on distinct (user, week) pairs, not raw
+    events: HashAggregate (distinct) must sit below the join."""
+    df = QUERIES["q_retention_cohorts"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "partial_min" in plan or "partial_first" in plan
+    assert df.count() > 0
