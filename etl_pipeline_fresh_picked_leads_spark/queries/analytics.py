@@ -58,6 +58,71 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# epoch() in DuckDB vs cast-to-long in Spark both give UTC epoch
+# seconds on the NTZ ts; ties (same user, same ts) break on event_id
+# so the lag/cumsum is deterministic.
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY 1, 2
+"""
+
+
+@query("q_sessionize_batch", oracle=_SESSIONIZE_ORACLE)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (30-min inactivity closes a
+    session) — the lag/cumsum idiom: flag gap starts, running-sum the
+    flags into session ids, aggregate.  One shuffle on user_id serves
+    both windows AND the final group-by (same key, Exchange reuse);
+    the batch twin of q_stream_session's session_window."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ has no direct long cast; NTZ -> TZ is identity under the
+    # UTC session, and TZ -> long is epoch seconds (DuckDB epoch())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 1800, 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("int")
+        .alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 _FUNNEL_ORACLE = """
 WITH firsts AS (
   SELECT user_id,

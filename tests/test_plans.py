@@ -146,3 +146,10 @@ def test_retention_reduces_before_join(spark):
     plan = formatted_plan(df)
     assert "partial_min" in plan or "partial_first" in plan
     assert df.count() > 0
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag window, cumsum window and final group-by all key on
+    user_id (or a superset), so ONE Exchange serves the whole plan."""
+    df = QUERIES["q_sessionize_batch"](spark, SF_SMALL)
+    assert n_exchanges(df) == 1, formatted_plan(df)
