@@ -123,6 +123,28 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sketch_rollup")  # rows-only: sketch estimate has no SQL twin
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB pre-aggregation pattern:
+    per-(event_type, day) HLL sketches of user_id are built once
+    (map-side combinable), then UNIONED per event_type and estimated.
+    Register-max union is associative and order-independent, so any
+    date-range distinct count comes from merging stored daily
+    sketches instead of rescanning raw events.  Estimate-vs-exact and
+    two-level-vs-direct invariants are pinned in tests."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        .orderBy("event_type")
+    )
+
+
 _FUNNEL_ORACLE = """
 WITH firsts AS (
   SELECT user_id,

@@ -355,3 +355,32 @@ def test_pack_chunks_invariants(docs):
         for r in totals:
             if r.bucket == bucket and r.bin_id < finals:
                 assert r.total > budget - chunk, (bucket, r.bin_id, r.total)
+
+
+def test_sketch_rollup_accuracy_and_mergeability(spark):
+    """HLL rollup: (a) merged-daily estimate equals the direct
+    whole-column sketch (register-max associativity), (b) estimate
+    within 5% of exact distinct per event_type."""
+    from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
+    from etl_pipeline_fresh_picked_leads_spark.sources.readers import read_table
+
+    rolled = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q_sketch_rollup"](spark, SF_MEDIUM).collect()
+    }
+    ev = read_table(spark, SF_MEDIUM, "events")
+    direct = {
+        r.event_type: r.direct
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct  # two-level merge == one-shot sketch
+    for et, n in exact.items():
+        assert abs(rolled[et] - n) / n < 0.05, (et, rolled[et], n)
