@@ -123,6 +123,57 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_ORACLE = """
+SELECT 'l_quantity_in_range' AS check_name,
+       COUNT(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 OR l_quantity IS NULL
+                  THEN 1 END) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'o_orderkey_unique',
+       COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'o_custkey_fk', COUNT(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'l_shipdate_not_null',
+       COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END)
+FROM lineitem
+"""
+
+
+@query("q_dq_report", oracle=_DQ_ORACLE)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality report (operators/dq.py):
+    domain range, key uniqueness, referential integrity, and
+    null-rate checks, each one fused aggregate pass (FK = anti-join
+    against the projected key set), unioned into a violations table.
+    The ingest layer's honest answer to 'did the load produce a sane
+    table' beyond schema reconciliation."""
+    from ..operators.dq import (
+        check_foreign_key,
+        check_not_null,
+        check_predicate,
+        check_unique,
+        dq_report,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return dq_report(
+        [
+            check_predicate(
+                li, "l_quantity_in_range", F.col("l_quantity").between(1, 50)
+            ),
+            check_unique(o, "o_orderkey_unique", "o_orderkey"),
+            check_foreign_key(o, "o_custkey_fk", "o_custkey", c, "c_custkey"),
+            check_not_null(li, "l_shipdate_not_null", "l_shipdate"),
+        ]
+    )
+
+
 @query("q_sketch_rollup")  # rows-only: sketch estimate has no SQL twin
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB pre-aggregation pattern:

@@ -384,3 +384,32 @@ def test_sketch_rollup_accuracy_and_mergeability(spark):
     assert rolled == direct  # two-level merge == one-shot sketch
     for et, n in exact.items():
         assert abs(rolled[et] - n) / n < 0.05, (et, rolled[et], n)
+
+
+def test_dq_checks_count_planted_violations(spark):
+    from etl_pipeline_fresh_picked_leads_spark.operators.dq import (
+        check_foreign_key,
+        check_not_null,
+        check_predicate,
+        check_unique,
+        dq_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (2, None), (3, 5)], "k int, q int"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    rep = {
+        r.check_name: r.n_violations
+        for r in dq_report(
+            [
+                check_predicate(child, "q_range", F.col("q").between(1, 50)),
+                check_unique(child, "k_unique", "k"),
+                check_foreign_key(child, "k_fk", "k", parent, "k"),
+                check_not_null(child, "q_not_null", "q"),
+            ]
+        ).collect()
+    }
+    # 99 out of range + NULL (unevaluable = failed) = 2; k=2 dup = 1;
+    # k=3 orphaned = 1; one NULL q
+    assert rep == {"q_range": 2, "k_unique": 1, "k_fk": 1, "q_not_null": 1}

@@ -153,3 +153,12 @@ def test_sessionize_single_shuffle(spark):
     user_id (or a superset), so ONE Exchange serves the whole plan."""
     df = QUERIES["q_sessionize_batch"](spark, SF_SMALL)
     assert n_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_dq_fk_check_broadcasts(spark):
+    """The referential check anti-joins against the projected parent
+    KEY SET — dimension-sized, so it must broadcast."""
+    df = QUERIES["q_dq_report"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
