@@ -793,6 +793,60 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same recursive-CTE component labeling as _CLUSTER_ORACLE, applied:
+# the deduplicated corpus keeps only each component's min-id survivor.
+_DEDUP_APPLY_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+),
+edges AS (
+  SELECT pa AS s, pb AS d FROM pairs
+  UNION ALL
+  SELECT pb AS s, pa AS d FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.d
+),
+lab AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN lab l USING (doc_id)
+WHERE l.doc_id = l.cluster_id
+"""
+
+
+@query("q_dedup_apply", oracle=_DEDUP_APPLY_ORACLE)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: pairs -> components -> keep each cluster's
+    canonical survivor — the corpus a training run would actually
+    consume (q_dedup_cluster reports the clustering; this applies
+    it).  The survivor join is a key semi-join, so the apply step
+    costs one shuffle over the corpus."""
+    from ..operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep = (
+        dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.35))
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 @query("q_sim_join_ivf")  # rows-only: IVF candidate set is kmeans-dependent
 def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned cosine threshold self-join — the scale tier above
