@@ -298,3 +298,49 @@ def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_linenumber").alias("l_linenumber"),
         F.col("b.l_quantity").alias("qty_twin"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name, l.l_quantity
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.py salted_join):
+    deterministic fact-side salt, dim exploded across salts, join on
+    (key, salt) — bit-identical to the plain join, driver-checked
+    here; the hot-key task spreading is the point at scale."""
+    from ..operators.joins import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    dim = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    return salted_join(li, dim, "l_partkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "p_name", "l_quantity"
+    )
+
+
+@query(
+    "q_agg_skew_twophase",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_l_extendedprice,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1
+""",
+)
+def q_agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/joins.py
+    skewed_agg_two_phase): partial-agg on (key, salt) then final on
+    key — the hot-group fix, exact same result as direct groupBy
+    (decimal accumulation keeps it hash-identical)."""
+    from ..operators.joins import skewed_agg_two_phase
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return skewed_agg_two_phase(li, "l_returnflag", "l_extendedprice")
