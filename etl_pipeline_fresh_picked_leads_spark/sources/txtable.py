@@ -352,6 +352,31 @@ class TxTable:
             stats=self._merged_stats(base, list(base.files), []),
         )
 
+    def read_since(self, version: int) -> DataFrame:
+        """Rows in files ADDED after ``version`` — incremental
+        consumption without reprocessing the table (the append-only
+        core of a change-data-feed).  Exact for append/compact-only
+        history; an intervening update/upsert rewrites whole files, so
+        carried-along unchanged rows of those files appear too — an
+        over-approximation, never a miss.  Downstream incremental
+        consumers dedup on their own key, same contract as replaying
+        an at-least-once feed."""
+        old = self.snapshot(version)
+        head = self.snapshot()
+        if old is None or head is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        new_files = [f for f in head.files if f not in set(old.files)]
+        if not new_files:
+            from pyspark.sql.types import StructType
+
+            schema = (
+                StructType.fromJson(json.loads(head.schema_json))
+                if head.schema_json
+                else self.read().schema
+            )
+            return self.spark.createDataFrame([], schema)
+        return self._read_files(new_files, head.schema_json)
+
     # ------------------------------------------------- file skipping
 
     def files_in_range(self, col: str, lo=None, hi=None) -> list[str]:

@@ -264,3 +264,17 @@ def test_time_travel_reads_old_versions(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.read(version=1)
     assert [(r.k, r.v) for r in t.read().collect()] == [(9, "z")]
+
+
+def test_read_since_incremental_appends(spark, tmp_path):
+    """Append-only history: read_since(v) returns exactly the rows
+    landed after v; a compact's rewritten files re-surface (documented
+    over-approximation, never a miss)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]).coalesce(1))
+    v1 = t.snapshot().version
+    t.append(_mkdf(spark, [(2, "b")]).coalesce(1))
+    t.append(_mkdf(spark, [(3, "c")]).coalesce(1))
+    since = sorted((r.k, r.v) for r in t.read_since(v1).collect())
+    assert since == [(2, "b"), (3, "c")]
+    assert t.read_since(t.snapshot().version).count() == 0
