@@ -43,17 +43,29 @@ def configure_logging(log_file: str | None = None) -> None:
     )
 
 
+Validator = Callable[[SparkSession, "IngestResult"], "DataFrame"]
+
+
 def run_pipeline(
     spark: SparkSession,
     landing_dir: str,
     fetcher: Fetcher | None = None,
     run_date: date | None = None,
+    validator: Validator | None = None,
 ) -> IngestResult:
-    """Full daily run: optional acquisition, then directory ingest.
+    """Full daily run: optional acquisition, then directory ingest,
+    then optional post-load validation.
 
     Mirrors fresh_picked_leads.py:224-266: if the fetcher raises, the
     run aborts before touching any table; ingest errors are per-file.
-    """
+
+    ``validator`` receives (spark, result) and returns a violations
+    DataFrame shaped like ``operators.dq.dq_report`` (check_name,
+    n_violations); any violation row with n_violations > 0 is logged
+    as an error and recorded on ``result.dq_violations`` — load
+    success and data sanity are separate signals, the run itself does
+    not abort (the reference has no DQ stage; this is the engine's
+    extension point for one)."""
     if fetcher is not None:
         log.info("acquiring into %s", landing_dir)
         fetcher(landing_dir)  # raises -> abort before load (:246-252)
@@ -64,4 +76,13 @@ def run_pipeline(
     )
     for name, err in result.failed.items():
         log.error("failed %s: %s", name, err)
+    if validator is not None:
+        violations = {
+            r.check_name: r.n_violations
+            for r in validator(spark, result).collect()
+            if r.n_violations > 0
+        }
+        for check, n in violations.items():
+            log.error("dq check failed: %s (%d violations)", check, n)
+        result.dq_violations = violations
     return result

@@ -157,6 +157,9 @@ class IngestResult:
     failed: dict[str, str] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
     pending: list[str] = field(default_factory=list)
+    # populated by run_pipeline's post-load validator (pipeline.py):
+    # {check_name: n_violations} for failed checks only
+    dq_violations: dict[str, int] = field(default_factory=dict)
 
 
 def table_name_for_file(file_name: str) -> str:
