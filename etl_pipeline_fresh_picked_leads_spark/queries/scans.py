@@ -211,3 +211,34 @@ def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("copies"))
         .orderBy("r_regionkey")
     )
+
+
+@query(
+    "q_txtable_changefeed",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey >= 13
+    """,
+)
+def q_txtable_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption off the TxTable change feed (VERDICT r2
+    #7): land nation in two commits, then ``read_since(v1)`` must hand
+    back exactly the second commit's rows — a downstream consumer
+    re-processes the delta, never the table.  At 100 TB this is the
+    difference between an incremental hourly job reading one commit's
+    files and re-scanning the lake; the manifest diff is metadata-sized
+    and the returned scan is a plain parquet read of only the new
+    files."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "changefeed_nation")
+    shutil.rmtree(root, ignore_errors=True)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = TxTable.create(spark, root, nation.filter(F.col("n_nationkey") < 13))
+    v1 = t.snapshot().version
+    t.append(nation.filter(F.col("n_nationkey") >= 13))
+    return t.read_since(v1)

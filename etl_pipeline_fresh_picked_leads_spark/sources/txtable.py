@@ -93,7 +93,9 @@ class TxTable:
         stats_cols: list[str] | None = None,
     ):
         """``stats_cols``: columns to record per-file min/max for in
-        every manifest (numeric/string).  Costs one aggregate scan of
+        every manifest (numeric/string/date/timestamp; date-family
+        stats serialize as ISO strings and ``files_in_range``
+        normalizes bounds to match).  Costs one aggregate scan of
         each commit's NEW files (∝ commit, not table) and buys
         manifest-level file skipping via ``read_range`` — the
         Delta/Iceberg data-skipping idea, and the difference between
@@ -215,6 +217,26 @@ class TxTable:
     def _schema_of(df: DataFrame) -> str:
         return json.dumps(df.schema.jsonValue())
 
+    @staticmethod
+    def _check_columns(df: DataFrame, base: "TxSnapshot | None", op: str) -> None:
+        """Reject writes whose column NAMES don't match the table's
+        manifest schema (Delta rejects these too): ``_read_files``
+        imposes the manifest schema by name, so a misnamed/missing
+        column would silently read back NULL-filled and an extra
+        column would be silently dropped.  ``add_column`` is the
+        sanctioned way to widen the schema first."""
+        if base is None or base.schema_json is None:
+            return
+        have = set(df.columns)
+        want = {f["name"] for f in json.loads(base.schema_json)["fields"]}
+        if have != want:
+            missing, extra = sorted(want - have), sorted(have - want)
+            raise ValueError(
+                f"{op} schema mismatch for {_LOG_DIR} table: "
+                f"missing columns {missing}, unexpected columns {extra}; "
+                "use add_column() to evolve the table schema first"
+            )
+
     def _stats_for(self, files: list[str]) -> dict:
         """Per-file row count + min/max of ``stats_cols`` for freshly
         written files: one aggregate scan grouped by source file."""
@@ -307,6 +329,7 @@ class TxTable:
         committed is skipped, which is what makes an at-least-once
         replayer (foreachBatch keyed by batch_id) exactly-once."""
         base = self.snapshot()
+        self._check_columns(df, base, "append")
         if txn is not None and txn in self._committed_txns():
             return base.version if base else 0
         carried = list(base.files) if base else []
@@ -379,11 +402,42 @@ class TxTable:
 
     # ------------------------------------------------- file skipping
 
+    @staticmethod
+    def _norm_bound(bound, stored_exemplar):
+        """Align a caller bound with the manifest's stat representation.
+        Stats JSON-round-trip through ``default=str``, so date /
+        timestamp mins and maxes are stored as ISO strings (lexical
+        order == temporal order); ``str(bound)`` produces the identical
+        form.  Decimals/bytes are rejected loudly — their lexical order
+        is NOT value order, and a silent mis-compare here would skip
+        files and change results."""
+        import datetime
+        import decimal
+
+        if bound is None or not isinstance(stored_exemplar, str):
+            return bound
+        if isinstance(bound, str):
+            return bound
+        if isinstance(bound, (datetime.date, datetime.datetime)):
+            return str(bound)
+        raise TypeError(
+            "files_in_range: stats for this column are stored as strings; "
+            f"supported bound types are str/date/datetime, got "
+            f"{type(bound).__name__}"
+            + (
+                " (Decimal lexical order is not value order)"
+                if isinstance(bound, decimal.Decimal)
+                else ""
+            )
+        )
+
     def files_in_range(self, col: str, lo=None, hi=None) -> list[str]:
         """Manifest-level data skipping: the files whose recorded
         [min, max] for ``col`` can intersect [lo, hi].  Files without
         stats (pre-stats commits, NULL-only files) are conservatively
-        kept — skipping must never change results, only cost."""
+        kept — skipping must never change results, only cost.
+        Numeric and string columns compare natively; date/timestamp
+        bounds are normalized to the manifests' ISO-string form."""
         snap = self.snapshot()
         if snap is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
@@ -395,9 +449,11 @@ class TxTable:
             if fmin is None or fmax is None:
                 keep.append(f)
                 continue
-            if lo is not None and fmax < lo:
+            f_lo = self._norm_bound(lo, fmin)
+            f_hi = self._norm_bound(hi, fmax)
+            if f_lo is not None and fmax < f_lo:
                 continue
-            if hi is not None and fmin > hi:
+            if f_hi is not None and fmin > f_hi:
                 continue
             keep.append(f)
         return keep
@@ -485,6 +541,7 @@ class TxTable:
         per commit' holds.  Returns the committed version."""
         batch = batch.dropDuplicates([key])
         base = self.snapshot()
+        self._check_columns(batch, base, "upsert")
         if base is None:
             new = self._write_data(batch)
             return self._commit(
@@ -558,14 +615,22 @@ class TxTable:
 
     # ------------------------------------------------------- cleanup
 
-    def vacuum(self, retain: int = 1) -> list[str]:
+    def vacuum(self, retain: int = 1, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files unreferenced by the newest ``retain``
         manifests and drop older manifests.  Crash-orphaned commit
-        directories (written but never referenced) go too.  Dropping a
-        manifest forgets its txn tag, so keep ``retain`` larger than
-        any writer's possible replay horizon (the same contract Delta
-        VACUUM has with idempotent-writer history)."""
+        directories (written but never referenced) go too — but only
+        once older than ``min_age_seconds`` (dir mtime): every writer
+        stages its data directory BEFORE linking the manifest, so an
+        unreferenced young directory may be a concurrent writer's
+        in-flight commit, and deleting it would let that writer link a
+        manifest referencing vanished files.  The age threshold is the
+        same defense Delta VACUUM's retention window provides; pass
+        ``min_age_seconds=0`` only when no writer can be concurrent.
+        Dropping a manifest forgets its txn tag, so keep ``retain``
+        larger than any writer's possible replay horizon (the same
+        contract Delta VACUUM has with idempotent-writer history)."""
         import shutil
+        import time
 
         versions = self._versions()
         if not versions:
@@ -575,6 +640,7 @@ class TxTable:
         for v in keep_versions:
             with open(os.path.join(self.log_dir, _manifest_name(v))) as f:
                 referenced.update(json.load(f)["files"])
+        now = time.time()
         removed: list[str] = []
         if os.path.isdir(self.data_dir):
             for commit_dir in os.listdir(self.data_dir):
@@ -585,6 +651,12 @@ class TxTable:
                     if n.endswith(".parquet")
                 }
                 if members and not (members & referenced):
+                    try:
+                        age = now - os.path.getmtime(cdir)
+                    except OSError:
+                        continue  # raced with its own writer/cleaner
+                    if age < min_age_seconds:
+                        continue  # possibly a staged-but-uncommitted write
                     shutil.rmtree(cdir)
                     removed.extend(sorted(members))
         for v in versions[:-retain]:

@@ -15,8 +15,13 @@ schema per stream).  Exactly-once is layered:
   append — Delta's txnAppId/txnVersion pattern).
 
 Each batch goes through the same ``reconcile`` + ``stamp_ingestion_date``
-projection as batch ingest (sources/ingest.py), so landed files with
-dirty values / extra columns / missing columns behave identically.
+projection as batch ingest (sources/ingest.py), so dirty VALUES behave
+identically (try_cast nulling).  Column LAYOUT is stricter than the
+batch path: the file source applies one declared schema per stream,
+so ``enforceSchema`` is disabled — a landed file whose header does not
+match the first file's column layout fails the batch loudly instead of
+being silently mis-parsed positionally (batch ingest, which reads each
+file's own header, remains the path for heterogeneous layouts).
 ``trigger(availableNow=True)`` turns this into incremental batch: each
 run drains whatever landed since the last run and stops — rerunning
 picks up mid-stream arrivals exactly-once.  On a long-lived cluster
@@ -73,6 +78,10 @@ def stream_ingest_directory(
     reader = (
         spark.readStream.schema(_landing_schema(spark, landing_dir))
         .option("header", True)
+        # Validate each file's header against the declared schema —
+        # without this the all-string schema is applied POSITIONALLY
+        # and a reordered/extra-column file is silently mis-parsed.
+        .option("enforceSchema", False)
         .option("pathGlobFilter", "*.csv")
     )
     if max_files_per_trigger:

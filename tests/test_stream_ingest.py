@@ -97,3 +97,27 @@ def test_replayed_batch_txn_is_skipped(spark, tmp_path):
     v = t.append(df, txn="chk:7")
     assert t.append(df, txn="chk:7") == v
     assert t.read().count() == 2  # create + one append, not two
+
+def test_mismatched_header_fails_loudly(spark, tmp_path):
+    """A landed file whose header does not match the stream's declared
+    column layout must FAIL the batch (enforceSchema=False), never be
+    silently mis-parsed positionally (ADVICE r2: reordered columns
+    previously landed values in the wrong fields)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "leads_a.csv").write_text(FILE1)
+    # reordered columns: positionally valid, by-name wrong
+    (landing / "leads_z.csv").write_text("name,id,score\neve,5,3.5\n")
+    with pytest.raises((StreamingQueryException, Py4JJavaError, Exception)) as ei:
+        q = stream_ingest_directory(
+            spark, str(landing), str(tmp_path / "tbl"), TARGET,
+            run_date=date(2026, 8, 13), checkpoint=str(tmp_path / "chk"),
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert "header" in str(ei.value).lower() or "schema" in str(ei.value).lower()

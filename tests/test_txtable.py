@@ -86,7 +86,7 @@ def test_crash_before_commit_preserves_snapshot(spark, tmp_path):
     orphan_files = t._write_data(_mkdf(spark, [(2, "b")]))
     assert [(r.k, r.v) for r in t.read().collect()] == [(1, "a")]
     assert t.snapshot().version == 1
-    removed = t.vacuum(retain=1)
+    removed = t.vacuum(retain=1, min_age_seconds=0)
     assert set(removed) == set(orphan_files)
     assert [(r.k, r.v) for r in t.read().collect()] == [(1, "a")]
 
@@ -111,7 +111,7 @@ def test_vacuum_drops_old_versions(spark, tmp_path):
     t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]))
     old_files = set(t.snapshot().files)
     t.overwrite(_mkdf(spark, [(2, "b")]))
-    removed = t.vacuum(retain=1)
+    removed = t.vacuum(retain=1, min_age_seconds=0)
     assert old_files <= set(removed)
     assert t._versions() == [2]
     assert [r.k for r in t.read().collect()] == [2]
@@ -177,7 +177,7 @@ def test_compact_coalesces_small_files(spark, tmp_path):
     # threshold respected: nothing under small_frac -> no-op commit
     assert t.compact(target_bytes=1) == after.version
     # fragments are unreferenced now; vacuum reclaims them
-    removed = t.vacuum(retain=1)
+    removed = t.vacuum(retain=1, min_age_seconds=0)
     assert set(removed) >= set(before.files)
     assert sorted((r.k, r.v) for r in t.read().collect()) == got
 
@@ -260,7 +260,7 @@ def test_time_travel_reads_old_versions(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.read(version=99)
     # vacuum drops the history; travel then fails loudly, head survives
-    t.vacuum(retain=1)
+    t.vacuum(retain=1, min_age_seconds=0)
     with pytest.raises(FileNotFoundError):
         t.read(version=1)
     assert [(r.k, r.v) for r in t.read().collect()] == [(9, "z")]
@@ -278,3 +278,104 @@ def test_read_since_incremental_appends(spark, tmp_path):
     since = sorted((r.k, r.v) for r in t.read_since(v1).collect())
     assert since == [(2, "b"), (3, "c")]
     assert t.read_since(t.snapshot().version).count() == 0
+
+def test_vacuum_spares_young_inflight_commit_dir(spark, tmp_path):
+    """ADVICE r2: a staged-but-not-yet-committed data dir belongs to a
+    concurrent writer that wrote data BEFORE linking its manifest.
+    Default vacuum must leave young unreferenced dirs alone (age
+    threshold); only min_age_seconds=0 — an explicit 'no concurrent
+    writers' assertion — reclaims them immediately."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]))
+    staged = t._write_data(_mkdf(spark, [(2, "b")]))  # in-flight writer
+    assert t.vacuum(retain=1) == []  # young dir survives the default
+    # ...so the in-flight writer can still commit successfully
+    base = t.snapshot()
+    t._commit(list(base.files) + staged, "append", base)
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_append_upsert_reject_schema_mismatch(spark, tmp_path):
+    """ADVICE r2: a misnamed/missing/extra column used to be written
+    as-is and silently read back NULL-filled (manifest schema governs
+    by name).  Delta rejects such writes; so do we."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]))
+    bad_name = spark.createDataFrame([(2, "b")], "k int, value string")
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.append(bad_name)
+    extra = spark.createDataFrame([(2, "b", 1.0)], "k int, v string, w double")
+    with pytest.raises(ValueError, match="unexpected columns \\['w'\\]"):
+        t.upsert(extra, "k")
+    # the sanctioned path: evolve first, then write
+    t.add_column("w", "double")
+    t.append(extra)
+    got = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 1.0)}
+
+
+def test_files_in_range_date_bounds(spark, tmp_path):
+    """ADVICE r2: date/timestamp stats JSON-serialize as ISO strings;
+    date bounds must normalize (not TypeError), Decimal must raise a
+    clear error instead of mis-comparing lexically."""
+    from decimal import Decimal
+
+    root = str(tmp_path / "t")
+    jan = spark.createDataFrame([(1, date(2024, 1, 5))], "k int, d date").coalesce(1)
+    jun = spark.createDataFrame([(2, date(2024, 6, 5))], "k int, d date").coalesce(1)
+    t = TxTable.create(spark, root, jan, stats_cols=["d"])
+    t.append(jun)
+    assert len(t.snapshot().files) == 2
+    hit = t.files_in_range("d", lo=date(2024, 3, 1))
+    assert len(hit) == 1  # january file skipped via ISO-string compare
+    rows = t.read_range("d", lo=date(2024, 3, 1)).collect()
+    assert [r.k for r in rows] == [2]
+    with pytest.raises(TypeError, match="Decimal"):
+        t.files_in_range("d", lo=Decimal("1.5"))
+
+
+def test_two_writers_conflict_retry_exactly_once(spark, tmp_path):
+    """VERDICT r2 #7: two concurrent appenders race the same base
+    version; the loser sees TxConflictError, retries against the fresh
+    snapshot, and BOTH rows land exactly once."""
+    import threading
+
+    root = str(tmp_path / "t")
+    TxTable.create(spark, root, _mkdf(spark, [(0, "base")]))
+    barrier = threading.Barrier(2, timeout=60)
+    conflicts, errors = [], []
+
+    class SyncTable(TxTable):
+        """First _commit of each writer waits on the barrier so both
+        writers provably snapshotted the SAME base version."""
+
+        def _commit(self, *a, **kw):
+            b, self_barrier = barrier, getattr(self, "_synced", False)
+            if not self_barrier:
+                self._synced = True
+                b.wait()
+            return super()._commit(*a, **kw)
+
+    def writer(k, v):
+        t = SyncTable(spark, root)
+        for _ in range(5):
+            try:
+                t.append(_mkdf(spark, [(k, v)]))
+                return
+            except TxConflictError:
+                conflicts.append(k)
+        errors.append(f"writer {k} exhausted retries")
+
+    threads = [
+        threading.Thread(target=writer, args=(1, "a")),
+        threading.Thread(target=writer, args=(2, "b")),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors
+    assert len(conflicts) == 1  # exactly one loser, which then retried
+    t = TxTable(spark, root)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2]
+    assert t.snapshot().version == 3  # create + two appends, no dupes
