@@ -28,13 +28,13 @@ BASE_US = 1700000000_000000  # 2023-11-14 22:13:20 UTC, microseconds
 
 @pytest.fixture()
 def replay_dir(spark, tmp_path):
-    """Two-stage replay for watermark semantics.  availableNow
-    processes everything currently visible in ONE batch (observed:
-    maxFilesPerTrigger is not honored under that trigger), so late
-    arrival is modeled the realistic way: run 1 sees the on-time
-    stream (~4h of events), then the source gains a second file with
-    newer events plus ancient stragglers and run 2 resumes from the
-    same checkpoint — i.e. a restart, FIXTURES.md B4."""
+    """Two-stage replay for watermark semantics.  Late arrival is
+    modeled the realistic way: run 1 sees the on-time stream (~4h of
+    events), then the source gains a second file with newer events
+    plus ancient stragglers and run 2 resumes from the same checkpoint
+    — i.e. a restart, FIXTURES.md B4.  (Single-run multi-batch replay
+    via maxFilesPerTrigger — honored under availableNow in Spark 4.1.2
+    — is covered by tests/test_streaming_multibatch.py.)"""
     base = spark.range(0, 600).select(
         F.col("id").alias("event_id"),
         (F.col("id") % 7).alias("user_id"),
