@@ -14,9 +14,13 @@ needed = graph diameter — near-dup graphs are unions of small dense
 cliques (diameter ~2-3), so this converges in a handful of shuffles.
 For adversarial long-chain graphs the published fix is the
 large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14), which squashes chains
-in O(log^2 n) rounds with the same join-shaped inner loop; the
-per-round plan below is unchanged by that swap.
+Components in MapReduce and Beyond", SoCC'14), implemented below as
+``connected_components_star``: O(log^2 n) rounds regardless of
+diameter, same join+groupBy-shaped inner loop.  Min-label propagation
+stays the default (near-dup graphs are diameter-2..3 cliques where it
+needs fewer shuffles); ``connected_components`` falls back to the
+star algorithm instead of raising when a pathological diameter
+exhausts its round budget.
 
 Each round ends in ``localCheckpoint(eager=True)``: iterative plans
 otherwise nest one join deeper per round and Catalyst re-analysis

@@ -40,33 +40,33 @@ from . import analytics  # noqa: E402,F401
 # hash-matchable LLM-extension queries.  Already-green r1 queries and
 # rows-only extras sit behind the window (their semantics are still
 # pinned by tests/ and tools/check_oracle.py).
-# Round-3 rotation plan: once CORRECTNESS_r02 lands green rows for
-# this window, swap the 9 extras at the tail for the round-2-added
-# hash-matched queries (q_text_decontaminate, q_text_tfidf,
-# q_pack_chunks, q_sample_stratified, q_quality_filter,
-# q_stream_stream_join) plus any r3 additions, keeping the union of
-# all rounds' green rows growing toward full registry coverage.
+# Round-3 rotation: CORRECTNESS_r01 ∪ r02 now covers 99 of the
+# registered queries; this window front-loads the 31 never-checked
+# ones (including contract IDs q_join_salted, q_agg_skew_twophase,
+# q_stream_stream_join) so the union of driver-green rows reaches the
+# whole registry.  Per ADVICE r2, a handful of cheap always-green
+# canaries stay inside the window so the external gate keeps
+# regression coverage of previously-verified paths; remaining slots
+# are filled by round-3 additions (appended as they are registered).
 _DRIVER_WINDOW = [
-    "q_agg_collect",
-    # §2B contract operators unreached in round 1 (registry index >= 50)
-    "q_topk_pergroup", "q_sort_multi", "q_limit", "q_topk_global",
-    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-    "q_str_basic", "q_str_split", "q_str_regex",
-    "q_date_fmt", "q_date_arith", "q_date_parts", "q_date_trunc",
-    "q_math", "q_cond",
-    "q_arr_basic", "q_arr_explode", "q_arr_transform",
-    "q_map_json", "q_map_ops",
-    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas", "q_udtf_mapinpandas",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark", "q_stream_dedup", "q_stream_static_join",
-    "q_stream_foreachbatch",
-    "q_dedup_fuzzy", "q_sim_topk", "q_sim_join",
-    "q_text_stats", "q_text_tokens", "q_multimodal", "q_embed_norm",
-    # hash-matchable LLM-extension extras without a driver row
-    "q_dedup_content_hash", "q_dedup_ngram", "q_dedup_embed",
-    "q_sim_topk_vectorized",
-    "q_text_quality", "q_text_fingerprint", "q_text_token_counts",
-    "q_sample_hash", "q_split_train_eval",
+    # canaries: r1/r2-green, cheap, keep the driver exercising old paths
+    "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
+    "q_topk_pergroup",
+    # §2B contract IDs without a driver row
+    "q_join_salted", "q_agg_skew_twophase", "q_stream_stream_join",
+    # registered extras without a driver row (r2 additions)
+    "q_scan_orc", "q_txtable_changefeed",
+    "q_str_fuzzy", "q_map_json_struct", "q_udf_cogroup",
+    "q_stream_stateful", "q_stream_ingest",
+    "q_dedup_fuzzy_ml", "q_dedup_simhash",
+    "q_sim_ann_ivf", "q_sim_join_ivf",
+    "q_text_langid", "q_text_chunk", "q_text_repetition",
+    "q_text_pii_redact", "q_text_tfidf", "q_text_decontaminate",
+    "q_dedup_cluster", "q_dedup_apply",
+    "q_sample_stratified", "q_quality_filter", "q_pack_chunks",
+    "q_multimodal_features",
+    "q_retention_cohorts", "q_sessionize_batch", "q_dq_report",
+    "q_sketch_rollup", "q_funnel_steps",
 ]
 
 
