@@ -33,6 +33,11 @@ N_HASHES = 16
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Sentinel accumulator for the single-pass signature fold; docs with an
+# empty shingle set keep it and are excluded from banding (they can
+# never verify at jaccard >= tau anyway — 0/0 is NULL).
+_LONG_MAX = (1 << 63) - 1
+
 
 # NOTES on expression shape (both measured ~10-25x at 5k docs):
 #
@@ -86,15 +91,30 @@ def _with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> array<long> of N_HASHES min-hashes over hashed word
-    n-gram shingles.  hash family = xxhash64(shingle_hash, seed)."""
+    n-gram shingles.  hash family = xxhash64(shingle_hash, seed),
+    seed = 0..N_HASHES-1.
+
+    Single-pass fold: one ``aggregate`` over the shingle array keeps a
+    16-wide running-min accumulator (``zip_with(least)``), instead of
+    16 separate transform+array_min traversals.  Besides being one
+    pass, the closed-form seed loop avoids the PySpark 2-param-lambda
+    trap (a ``lambda x, s=s`` passed to ``transform`` receives
+    (element, ARRAY INDEX) — the captured default is silently shadowed
+    by the index argument, which once made all 16 "seeds" the element
+    position and every band key identical).
+
+    Empty shingle sets keep the _LONG_MAX sentinel in every slot;
+    callers must exclude them from banding (see minhash_lsh_pairs).
+    """
     sh = _with_hashed_shingles(docs, n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda x, s=s: F.xxhash64(x, F.lit(s)))
-            )
-            for s in range(N_HASHES)
-        ]
+    sig = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(F.lit(_LONG_MAX), N_HASHES),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(x, F.lit(s)) for s in range(N_HASHES)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return sh.select("doc_id", F.col("sh").alias("shingles"), sig.alias("sig"))
 
@@ -116,34 +136,35 @@ def minhash_lsh_pairs(
     base = minhash_signatures(docs, n).persist()
     base.count()  # eager: both join branches must hit the cache, not
     # race to recompute the signature pipeline in parallel
-    sigs = base.select("doc_id", "sig")
-    bands = sigs.select(
+    # Band id is folded INTO the 64-bit key (xxhash64(..., band)), so
+    # the self-join needs a single join column; a cross-band key
+    # collision is ~2^-64 and harmless anyway — candidates are exactly
+    # verified below.  Empty-shingle docs (sentinel signature) are
+    # excluded: banding them would pair every short doc with every
+    # other.  size() here reads the persisted column, not a recompute.
+    bands = base.filter(F.size("shingles") > 0).select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * ROWS_PER_BAND + r]
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                            F.lit(b),
-                        ).alias("key"),
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[b * ROWS_PER_BAND + r]
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                        F.lit(b),
                     )
                     for b in range(N_BANDS)
                 ]
             )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+        ).alias("key"),
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -43,9 +43,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema  # raw: ts is bigint nanos
     df = spark.readStream.schema(schema).parquet(_staging_dir(path))
-    if dict(df.dtypes).get("ts") == "bigint":
-        # stays tz-aware TIMESTAMP here: watermarks/event-time require
-        # it; query wrappers cast result columns to NTZ for output
-        # parity (identity under the UTC session)
+    # Event time must end up tz-aware TIMESTAMP: watermarks/event-time
+    # require it; query wrappers cast result columns back to NTZ for
+    # output parity (identity under the UTC session).  Two source
+    # encodings occur: TIMESTAMP(NANOS) read as raw bigint nanos
+    # (nanosAsLong), and TIMESTAMP(MICROS, isAdjustedToUTC=false) read
+    # natively as TIMESTAMP_NTZ.
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
