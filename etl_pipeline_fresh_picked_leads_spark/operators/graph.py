@@ -44,9 +44,10 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(id, component) for every vertex; component = min id reachable.
-    Vertices with no edges are their own singleton component.  Raises
-    after ``max_iter`` non-converged rounds (pathological diameter —
-    switch to large-star/small-star, see module docstring)."""
+    Vertices with no edges are their own singleton component.  After
+    ``max_iter`` non-converged rounds (pathological diameter) it falls
+    back to ``connected_components_star``, which is O(log^2 n) rounds
+    regardless of diameter."""
     # undirected: materialize both directions once
     und = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
@@ -87,8 +88,115 @@ def connected_components(
                 F.col("vid").alias(id_col), F.col("label").alias("component")
             )
         prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+    # Pathological diameter (a >25-hop chain in a near-dup graph means
+    # something very unusual, but correctness must not depend on graph
+    # shape): hand off to the diameter-independent algorithm.
+    return connected_components_star(
+        vertices, edges, id_col=id_col, src_col=src_col, dst_col=dst_col
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log^2 n) rounds REGARDLESS of graph
+    diameter, where min-label propagation needs diameter rounds.
+
+    Each round is two groupBy+join passes over the edge set:
+
+    - large-star: per center u over BOTH edge directions, let
+      m = min(neighbors ∪ {u}); re-point every neighbor v > u at m.
+    - small-star: per center u over only its smaller-or-equal
+      neighbors, let m = min(neighbors ∪ {u}); re-point u and its
+      other small neighbors at m.
+
+    Both steps preserve connectivity and monotonically shrink edge
+    endpoints toward the component minimum; at fixpoint the edge set
+    is a star per component, rooted at the minimum id.  Convergence is
+    detected by an order-insensitive (count, hash-sum) probe — two
+    1-row aggregates, no change-count join.  ``localCheckpoint`` per
+    round for the same quadratic-re-analysis reason as min-label
+    propagation (module docstring).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe_prev = None
+    for _ in range(max_iter):
+        # -- large-star ---------------------------------------------
+        both = e.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        mins = both.groupBy("c").agg(
+            F.min("n").alias("nmin")
+        )  # m = min(neighbors ∪ {self})
+        m = F.least(F.col("nmin"), F.col("c"))
+        large = (
+            both.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(m.alias("u"), F.col("n").alias("v"))
+        )  # m <= c < n, so (u, v) is already canonical u < v
+        e = large.distinct()
+        # -- small-star ---------------------------------------------
+        # center = larger endpoint; neighbors considered are < center
+        small_nbrs = e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        mins2 = small_nbrs.groupBy("c").agg(F.min("n").alias("m"))
+        re_pointed = (
+            small_nbrs.join(mins2, "c")
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("n").alias("v"))
+        )
+        center_edge = mins2.select(
+            F.col("m").alias("u"), F.col("c").alias("v")
+        )
+        e = (
+            re_pointed.union(center_edge)
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        probe = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes
+            # overflows (ANSI error)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if probe_prev == (probe.n, probe.h):
+            break
+        probe_prev = (probe.n, probe.h)
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint edge set is a star per component: (root, v). Every
+    # vertex's component = min(self, neighbors); singletons = self.
+    member = e.select(F.col("v").alias("vid"), F.col("u").alias("comp"))
+    root = e.select(F.col("u").alias("vid"), F.col("u").alias("comp"))
+    labels = (
+        member.union(root).groupBy("vid").agg(F.min("comp").alias("comp"))
+    )
+    ids = vertices.select(F.col(id_col).alias("vid"))
+    return (
+        ids.join(labels, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("vid")).alias("component"),
+        )
     )
 
 

