@@ -19,7 +19,11 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.multimodal import extract_features, payload_metadata
+from ..operators.multimodal import (
+    extract_features,
+    payload_metadata,
+    with_planted_images,
+)
 from ..operators.similarity import (
     cosine_self_join,
     cosine_topk,
@@ -486,11 +490,15 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_metadata(read_table(spark, sf_dir, "documents"))
 
 
-@query("q_multimodal_features")  # rows-only: stubbed decoder (no codec here)
+@query("q_multimodal_features")  # rows-only: decoded pixel features are
+# not DuckDB-expressible (real PPM/BMP struct parsing)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/feature pipeline with the deterministic fake
-    decoder (real codec slots into operators/multimodal.decode_image)."""
-    return extract_features(read_table(spark, sf_dir, "documents"))
+    """mapInPandas decode/feature pipeline over REAL image bytes:
+    deterministic planted PPM/BMP files per doc_id, struct-parsed by
+    the pure-Python decoder in operators/multimodal.decode_image
+    (PNG/JPEG would slot into the same seam with a codec library)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_features(with_planted_images(docs))
 
 
 # ------------------------------------------ round-2 pipeline additions ----

@@ -17,6 +17,8 @@ from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
 from etl_pipeline_fresh_picked_leads_spark.operators.multimodal import (
     decode_image,
     extract_features,
+    planted_image_bytes,
+    with_planted_images,
 )
 from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
     cosine_topk,
@@ -151,21 +153,76 @@ def test_language_id_runs_and_is_deterministic(docs):
     assert all(r.lang_pred in {"en", "es", "de", "fr", "und"} for r in out1)
 
 
+def test_decode_image_ppm_known_pixels():
+    # 2x2 P6, pixels hand-written: mean over 12 raster bytes
+    raster = bytes([0, 0, 0, 255, 255, 255, 10, 20, 30, 40, 50, 60])
+    img = b"P6\n# a comment\n2 2\n255\n" + raster
+    f = decode_image(img)
+    assert (f["width"], f["height"], f["channels"]) == (2, 2, 3)
+    assert f["mean_byte"] == sum(raster) // len(raster)
+
+
+def test_decode_image_pgm_gray():
+    img = b"P5\n3 1\n255\n" + bytes([10, 20, 33])
+    f = decode_image(img)
+    assert (f["width"], f["height"], f["channels"]) == (3, 1, 1)
+    assert f["mean_byte"] == (10 + 20 + 33) // 3
+
+
+def test_decode_image_bmp_padding_excluded():
+    # 1x2 24-bpp BMP: stride pads each 3-byte row to 4; padding bytes
+    # must NOT leak into the mean
+    import struct as _struct
+
+    rows = bytes([100, 110, 120, 0xFF]) + bytes([10, 20, 30, 0xFF])
+    header = _struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    dib = _struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    f = decode_image(header + dib + rows)
+    assert (f["width"], f["height"], f["channels"]) == (1, 2, 3)
+    assert f["mean_byte"] == (100 + 110 + 120 + 10 + 20 + 30) // 6
+
+
+def test_decode_image_rejects_compressed_formats():
+    for payload in (b"\x89PNG\r\n\x1a\n....", b"\xff\xd8\xff\xe0JFIF", b""):
+        with pytest.raises(ValueError):
+            decode_image(payload)
+
+
+def test_planted_images_are_real_files():
+    # the planted bytes decode standalone, matching the generator's
+    # declared geometry for both formats
+    for doc_id in (0, 1, 6, 13):
+        f = decode_image(planted_image_bytes(doc_id))
+        assert f["width"] == 8 + (doc_id % 24)
+        assert f["height"] == 8 + ((doc_id * 7) % 24)
+        assert f["channels"] == 3
+
+
 def test_multimodal_feature_plumbing(docs):
-    feats = extract_features(docs)
+    feats = extract_features(with_planted_images(docs))
     rows = feats.collect()
     assert len(rows) == docs.count()  # 1:1 row alignment
-    assert all(r.width >= 64 and r.height >= 64 and r.channels == 3 for r in rows)
-    assert all(r.resize_bucket in {"256x256", "256x128", "128x256", "128x128"}
-               for r in rows)
-    # byte counts must match the payload the JVM produced
-    n = docs.select(F.length(F.encode("text", "UTF-8")).alias("n")).collect()
-    assert sorted(r.n_bytes for r in rows) == sorted(r.n for r in n)
+    assert all(r.decode_ok for r in rows)
+    # features computed from ACTUAL bytes: spot-check against a
+    # driver-side decode of the same deterministic payload
+    by_id = {r.doc_id: r for r in rows}
+    for doc_id in list(by_id)[:5]:
+        f = decode_image(planted_image_bytes(doc_id))
+        r = by_id[doc_id]
+        assert (r.width, r.height, r.channels, r.mean_byte) == (
+            f["width"], f["height"], f["channels"], f["mean_byte"]
+        )
+    assert all(r.resize_bucket == "128x128" for r in rows)  # all < 256px
 
 
-def test_real_decoder_is_clearly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+def test_extract_features_isolates_bad_payloads(spark):
+    payloads = spark.createDataFrame(
+        [(1, bytearray(planted_image_bytes(1))), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_features(payloads).collect()}
+    assert rows[1].decode_ok and rows[1].width == 9
+    assert not rows[2].decode_ok and rows[2].width is None
 
 
 # ------------------------------------------ round-2 pipeline additions ----
