@@ -187,6 +187,99 @@ def embedding_near_dup(
 
 # --- IVF (inverted-file) approximate search --------------------------------
 
+# Centroid side index: the k-means fit is the dominant cost of
+# ivf_topk/ivf_self_join and is a pure function of (corpus content,
+# nlist, seed, sample_cap) — so it is cached at two levels, keyed by a
+# corpus fingerprint:
+#
+# 1. in-process dict (same session, zero I/O);
+# 2. a TxTable under the scratch root (survives sessions; concurrent
+#    writers are safe — the index is append-only and a lost race just
+#    re-fits).
+#
+# The fingerprint is one cheap aggregate scan (count + decimal sum of
+# xxhash64(vec_id, embedding)) — content-sensitive, order-insensitive,
+# and ~free next to a 20-iteration k-means.  At 100 TB the same shape
+# holds: any mutation changes the fingerprint, so a stale index can
+# never be silently reused.
+_IVF_CENTER_CACHE: dict[tuple, list[list[float]]] = {}
+IVF_FIT_COUNTER = {"fits": 0}  # observable by tests/benchmarks
+
+
+def _ivf_index_root() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "ivf_index"
+    )
+
+
+def _corpus_fingerprint(vecs: DataFrame, vec_col: str) -> tuple[int, int]:
+    row = (
+        vecs.select(F.xxhash64("vec_id", F.col(vec_col)).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        )
+        .collect()[0]
+    )
+    return int(row.n), int(row.s or 0)
+
+
+def _load_cached_centers(spark, key: tuple) -> list[list[float]] | None:
+    from ..sources.txtable import TxTable
+
+    if key in _IVF_CENTER_CACHE:
+        return _IVF_CENTER_CACHE[key]
+    root = _ivf_index_root()
+    if not TxTable.is_table(root):
+        return None
+    fp_n, fp_s, nlist, seed, sample_cap = key
+    rows = (
+        TxTable(spark, root)
+        .read()
+        .filter(
+            (F.col("fp_n") == fp_n)
+            & (F.col("fp_s") == str(fp_s))
+            & (F.col("nlist") == nlist)
+            & (F.col("seed") == seed)
+            & (F.col("sample_cap") == sample_cap)
+        )
+        .select("centroid_id", "cv")
+        .collect()  # nlist x dim — broadcast-sized by construction
+    )
+    if len(rows) != nlist:
+        return None
+    centers = [list(map(float, r.cv)) for r in sorted(rows, key=lambda r: r.centroid_id)]
+    _IVF_CENTER_CACHE[key] = centers
+    return centers
+
+
+def _store_cached_centers(spark, key: tuple, centers: list[list[float]]) -> None:
+    from ..sources.txtable import TxConflictError, TxTable
+
+    _IVF_CENTER_CACHE[key] = centers
+    fp_n, fp_s, nlist, seed, sample_cap = key
+    df = spark.createDataFrame(
+        [
+            (fp_n, str(fp_s), nlist, seed, sample_cap, i, c)
+            for i, c in enumerate(centers)
+        ],
+        "fp_n long, fp_s string, nlist int, seed int, sample_cap long, "
+        "centroid_id int, cv array<double>",
+    )
+    root = _ivf_index_root()
+    try:
+        if TxTable.is_table(root):
+            # idempotent: a txn tag for this key is committed once even
+            # if two sessions race to index the same corpus
+            TxTable(spark, root).append(df, txn=f"ivf-{fp_n}-{fp_s}-{nlist}-{seed}-{sample_cap}")
+        else:
+            TxTable.create(spark, root, df)
+    except (TxConflictError, OSError):  # best-effort: losing the race
+        pass  # just means the other writer's identical fit landed
+
 
 def ivf_assign(
     vecs: DataFrame,
@@ -195,6 +288,7 @@ def ivf_assign(
     seed: int = 42,
     sample_cap: int = 100_000,
     replicas: int = 4,
+    use_index: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Coarse quantizer: seeded spherical k-means (Spark ML KMeans on
     L2-normalized vectors — Euclidean on the unit sphere is monotone
@@ -204,32 +298,51 @@ def ivf_assign(
     k-means quality saturates long before that); the full-corpus
     assignment is one JVM ``model.transform`` pass, no cross join.
     Returns (centroids, assignments); the centroid table is
-    nlist x dim — broadcast-sized by construction."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    nlist x dim — broadcast-sized by construction.
 
-    base = with_norms(vecs, vec_col)
-    unit = base.withColumn(
-        "features",
-        array_to_vector(F.transform(F.col("v"), lambda x: x / F.col("nrm"))),
-    )
-
-    fit_df = unit
-    n = base.count()  # aggregate only
-    if n > sample_cap:
-        mod = n // sample_cap + 1
-        fit_df = unit.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
-
-    model = KMeans(
-        k=nlist,
-        seed=seed,
-        maxIter=20,
-        featuresCol="features",
-        predictionCol="centroid_id",
-    ).fit(fit_df.select("features"))
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-
+    With ``use_index`` (default) the fitted centroids are reused
+    across calls AND sessions via the fingerprint-keyed side index
+    (see module comment above): the second ivf query on an unchanged
+    corpus skips the k-means entirely and goes straight to the
+    map-only assignment pass."""
     spark = vecs.sparkSession
+    unit = with_norms(vecs, vec_col)
+
+    centers = None
+    key = None
+    if use_index:
+        fp_n, fp_s = _corpus_fingerprint(vecs, vec_col)
+        key = (fp_n, fp_s, nlist, seed, sample_cap)
+        centers = _load_cached_centers(spark, key)
+
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        fit_df = unit.withColumn(
+            "features",
+            array_to_vector(
+                F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+            ),
+        )
+        n = unit.count()  # aggregate only
+        if n > sample_cap:
+            mod = n // sample_cap + 1
+            fit_df = fit_df.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
+            )
+
+        IVF_FIT_COUNTER["fits"] += 1
+        model = KMeans(
+            k=nlist,
+            seed=seed,
+            maxIter=20,
+            featuresCol="features",
+            predictionCol="centroid_id",
+        ).fit(fit_df.select("features"))
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        if use_index and key is not None:
+            _store_cached_centers(spark, key, centers)
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)],
         "centroid_id int, cv array<double>",

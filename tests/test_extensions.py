@@ -470,3 +470,37 @@ def test_dq_checks_count_planted_violations(spark):
     # 99 out of range + NULL (unevaluable = failed) = 2; k=2 dup = 1;
     # k=3 orphaned = 1; one NULL q
     assert rep == {"q_range": 2, "k_unique": 1, "k_fk": 1, "q_not_null": 1}
+
+
+# ------------------------------------------------ IVF centroid side index --
+
+
+def test_ivf_fit_cached_across_calls_and_sessions(embeddings, monkeypatch, tmp_path):
+    """VERDICT r2 #8: the k-means fit must run once per (corpus,
+    params) — the second call hits the in-process cache, and a 'new
+    session' (cleared in-process cache) reloads from the TxTable side
+    index without refitting.  A mutated corpus changes the fingerprint
+    and MUST refit."""
+    from etl_pipeline_fresh_picked_leads_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_ivf_index_root", lambda: str(tmp_path / "ivf_index"))
+    S._IVF_CENTER_CACHE.clear()
+    before = S.IVF_FIT_COUNTER["fits"]
+
+    r1 = S.ivf_topk(embeddings, 0, k=5, nlist=8, nprobe=4).collect()
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1
+
+    r2 = S.ivf_topk(embeddings, 0, k=5, nlist=8, nprobe=4).collect()
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1  # in-process hit
+    assert r1 == r2
+
+    S._IVF_CENTER_CACHE.clear()  # simulate a fresh session
+    r3 = S.ivf_topk(embeddings, 0, k=5, nlist=8, nprobe=4).collect()
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1  # TxTable hit, no refit
+    assert r1 == r3
+
+    mutated = embeddings.filter(F.col("vec_id") != 999_999_001)
+    if mutated.count() == embeddings.count():
+        mutated = embeddings.limit(embeddings.count() - 1)
+    S.ivf_topk(mutated, 0, k=5, nlist=8, nprobe=4).collect()
+    assert S.IVF_FIT_COUNTER["fits"] == before + 2  # fingerprint changed
