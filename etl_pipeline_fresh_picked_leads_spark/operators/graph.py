@@ -200,14 +200,25 @@ def connected_components_star(
     )
 
 
-def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, algorithm: str = "minlabel"
+) -> DataFrame:
     """Cluster assignment + canonical-survivor marking from a near-dup
     pair table (columns doc_id_a/doc_id_b, e.g. ngram_jaccard_pairs or
     minhash_lsh_pairs output): every doc gets the cluster id (min
     doc_id of its component), the cluster size, and an is_canonical
     flag on the survivor.  Downstream keeps ``is_canonical`` rows —
-    the standard pair->cluster->survivor collapse after MinHash."""
-    comps = connected_components(
+    the standard pair->cluster->survivor collapse after MinHash.
+
+    ``algorithm``: "minlabel" (default; fewest shuffles on the
+    clique-shaped graphs near-dup detection emits, with automatic
+    star fallback) or "star" (diameter-independent from round one)."""
+    cc = (
+        connected_components_star
+        if algorithm == "star"
+        else connected_components
+    )
+    comps = cc(
         docs.select("doc_id"),
         pairs.select("doc_id_a", "doc_id_b"),
         id_col="doc_id",

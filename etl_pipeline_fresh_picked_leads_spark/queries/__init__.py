@@ -40,33 +40,36 @@ from . import analytics  # noqa: E402,F401
 # hash-matchable LLM-extension queries.  Already-green r1 queries and
 # rows-only extras sit behind the window (their semantics are still
 # pinned by tests/ and tools/check_oracle.py).
-# Round-3 rotation: CORRECTNESS_r01 ∪ r02 now covers 99 of the
-# registered queries; this window front-loads the 31 never-checked
-# ones (including contract IDs q_join_salted, q_agg_skew_twophase,
-# q_stream_stream_join) so the union of driver-green rows reaches the
-# whole registry.  Per ADVICE r2, a handful of cheap always-green
-# canaries stay inside the window so the external gate keeps
-# regression coverage of previously-verified paths; remaining slots
-# are filled by round-3 additions (appended as they are registered).
+# Round-4 rotation: CORRECTNESS_r01 ∪ r02 ∪ r03 covers every query
+# registered through round 3.  This window front-loads (a) the
+# round-4 behavior changes — every streaming query (the source now
+# converts TIMESTAMP_NTZ event time), the rewritten MinHash banding,
+# the IVF queries (centroid side index), the new star-clustering
+# query, and q_multimodal_features (rows-only -> SQL oracle with the
+# real decoder) — and (b) the r1-last-verified relational surface,
+# which has not had a driver row since round 1.  Canaries stay per
+# ADVICE r2.
 _DRIVER_WINDOW = [
-    # canaries: r1/r2-green, cheap, keep the driver exercising old paths
+    # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # §2B contract IDs without a driver row
-    "q_join_salted", "q_agg_skew_twophase", "q_stream_stream_join",
-    # registered extras without a driver row (r2 additions)
-    "q_scan_orc", "q_txtable_changefeed",
-    "q_str_fuzzy", "q_map_json_struct", "q_udf_cogroup",
-    "q_stream_stateful", "q_stream_ingest",
-    "q_dedup_fuzzy_ml", "q_dedup_simhash",
-    "q_sim_ann_ivf", "q_sim_join_ivf",
-    "q_text_langid", "q_text_chunk", "q_text_repetition",
-    "q_text_pii_redact", "q_text_tfidf", "q_text_decontaminate",
-    "q_dedup_cluster", "q_dedup_apply",
-    "q_sample_stratified", "q_quality_filter", "q_pack_chunks",
-    "q_multimodal_features",
-    "q_retention_cohorts", "q_sessionize_batch", "q_dq_report",
-    "q_sketch_rollup", "q_funnel_steps",
+    # round-4 behavior changes
+    "q_dedup_fuzzy", "q_dedup_cluster_star", "q_multimodal_features",
+    "q_sim_ann_ivf", "q_sim_join_ivf", "q_dedup_cluster", "q_dedup_apply",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark", "q_stream_dedup", "q_stream_static_join",
+    "q_stream_stream_join", "q_stream_foreachbatch", "q_stream_stateful",
+    "q_stream_ingest",
+    # r1-last-verified rotation: joins/aggs/windows regression rows
+    "q_join_left", "q_join_right", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_broadcast", "q_join_cross", "q_join_theta",
+    "q_join_range", "q_join_asof", "q_join_multikey",
+    "q_agg_global", "q_agg_having", "q_agg_distinct",
+    "q_agg_multi_distinct", "q_dedup_exact", "q_agg_rollup",
+    "q_agg_cube", "q_agg_gsets", "q_agg_percentile", "q_agg_stats",
+    "q_agg_collect", "q_pivot",
+    "q_win_rank", "q_win_ntile", "q_win_lag_lead", "q_win_running",
+    "q_win_range",
 ]
 
 

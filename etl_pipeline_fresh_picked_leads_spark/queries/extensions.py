@@ -490,8 +490,45 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_metadata(read_table(spark, sf_dir, "documents"))
 
 
-@query("q_multimodal_features")  # rows-only: decoded pixel features are
-# not DuckDB-expressible (real PPM/BMP struct parsing)
+# The planted files are pure functions of doc_id (operators/
+# multimodal.planted_image_bytes), so the DECODED features are
+# SQL-expressible: the oracle re-derives geometry, file size (PPM
+# header arithmetic vs BMP 54-byte header + 4-byte row stride), and
+# the mean pixel byte (sum of the three channel values over the w*h
+# grid, floor-divided) — hash-matching it proves the decoder parsed
+# real bytes correctly, not that a fake echoed the generator.
+_MULTIMODAL_FEATURES_ORACLE = """
+WITH geom AS (
+  SELECT doc_id,
+         8 + (doc_id % 24) AS w,
+         8 + ((doc_id * 7) % 24) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         list_sum(list_transform(range(0, w * h), i ->
+             (3 * (i % w) + 5 * (i // w) + doc_id) % 256
+           + (3 * (i % w) + 5 * (i // w) + doc_id + 85) % 256
+           + (3 * (i % w) + 5 * (i // w) + doc_id + 170) % 256)) AS s
+  FROM geom
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 9 + length(CAST(w AS VARCHAR))
+                        + length(CAST(h AS VARCHAR)) + w * h * 3
+                 ELSE 54 + ((w * 3 + 3) // 4) * 4 * h
+            END AS INT) AS n_bytes,
+       TRUE AS decode_ok,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(s // (w * h * 3) AS INT) AS mean_byte,
+       '128x128' AS resize_bucket
+FROM px
+"""
+
+
+@query("q_multimodal_features", oracle=_MULTIMODAL_FEATURES_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature pipeline over REAL image bytes:
     deterministic planted PPM/BMP files per doc_id, struct-parsed by
@@ -637,6 +674,21 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.35))
+
+
+@query("q_dedup_cluster_star", oracle=_CLUSTER_ORACLE)
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair graph clustered by the large-star/small-star
+    algorithm (Kiveris et al. SoCC'14; O(log^2 n) rounds regardless of
+    diameter — the 100 TB-safe path for adversarial graph shapes).
+    Must hash-match the identical recursive-CTE oracle as
+    q_dedup_cluster: both algorithms compute exact components."""
+    from ..operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_clusters(
+        docs, ngram_jaccard_pairs(docs, threshold=0.35), algorithm="star"
+    )
 
 
 # Hash-boundary parity (see _SAMPLE_ORACLE note): u < 0.5 <=> prefix
