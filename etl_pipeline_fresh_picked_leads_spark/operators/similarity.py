@@ -352,34 +352,35 @@ def ivf_assign(
     # nearest cells (index is replicas x larger; recall no longer caps
     # near nprobe/nlist on isotropic corpora — the standard IVF
     # replication tradeoff).  The centroid matrix is nlist x dim and
-    # lives in the plan as a literal array, so cell selection is a
-    # map-only JVM expression: per row, score all centroids, sort,
-    # slice top-r, explode.  No shuffle, no window, no Python.
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(centers)
-        ]
+    # lives in the plan as TWO nested-array literals (single
+    # Literal each — building it from nlist*dim scalar F.lit calls
+    # costs one Py4J round-trip per coordinate and at nlist=250/dim=64
+    # spent ~19 s constructing the expression before any data moved),
+    # so cell selection is a map-only JVM expression: per row, score
+    # all centroids, sort, slice top-r, explode.  No shuffle, no
+    # window, no Python.
+    cent_lit = F.lit([[float(x) for x in c] for c in centers])
+    cn_lit = F.lit(
+        [float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers]
     )
-    cn_lit = [
-        float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers
-    ]
 
-    def cell_score(c):
-        cos = _dot(F.col("v"), c["cv"]) / (
-            F.col("nrm")
-            * F.element_at(F.array(*[F.lit(x) for x in cn_lit]), c["cid"] + 1)
+    def cell_score(i):
+        cv = F.element_at(cent_lit, i + 1)
+        cos = _dot(F.col("v"), cv) / (
+            F.col("nrm") * F.element_at(cn_lit, i + 1)
         )
-        return F.struct((-cos).alias("negcos"), c["cid"].alias("cid"))
+        return F.struct((-cos).alias("negcos"), i.alias("cid"))
 
     assignments = (
         unit.withColumn(
             "cells",
             F.slice(
-                F.sort_array(F.transform(cent_lit, cell_score)),
+                F.sort_array(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                        cell_score,
+                    )
+                ),
                 1,
                 min(replicas, nlist),
             ),
