@@ -310,3 +310,89 @@ def token_counts(docs: DataFrame) -> DataFrame:
         F.size(bpe_ish_tokens(F.col("text"))).alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4).alias("chars_div4_est"),
     )
+
+
+def dup_span_signals(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Exact duplicated-span detection (the Lee et al. 2022
+    "Deduplicating Training Data" signal): for each doc, the fraction
+    of its tokens covered by word n-grams that also occur in at least
+    one OTHER document.  Pipelines drop or trim high-coverage docs —
+    cross-doc repeated spans are boilerplate/templating that exact
+    whole-doc dedup misses.
+
+    Plan shape (all JVM, one explode + one groupBy + one window):
+
+    1. positional n-grams: ``transform(sequence(...))`` over the
+       projected token array (never inline under the Generate — the
+       explode-recompute trap), persisted once because the dup-gram
+       counts and the coverage join both consume it;
+    2. grams seen in >= 2 distinct docs (groupBy gram — map-side
+       partial count_distinct);
+    3. coverage: per doc, sorted dup-gram positions; each position
+       covers ``least(n, next_pos - pos)`` tokens (window lead), so
+       overlapping spans are union-counted, not double-counted;
+    4. left join back so clean docs report zeros.
+
+    At 100 TB stage 2's shuffle carries one row per gram INSTANCE —
+    same footprint as the tf-idf/decontamination passes; the gram
+    string can be swapped for xxhash64 when the oracle isn't watching
+    (strings kept here so the DuckDB oracle joins on identical keys).
+    """
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.size("toks").alias("n_tokens"), "toks")
+    idx = F.sequence(F.lit(0), F.col("n_tokens") - n)
+    gram = lambda i: F.struct(  # noqa: E731
+        i.alias("pos"),
+        F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
+        ).alias("g"),
+    )
+    ex = (
+        toked.filter(F.col("n_tokens") >= n)
+        .select("doc_id", "n_tokens", F.explode(F.transform(idx, gram)).alias("pg"))
+        .select("doc_id", "n_tokens", "pg.pos", "pg.g")
+        .persist()
+    )
+    ex.count()  # both branches below must reuse, not recompute
+    dup_grams = (
+        ex.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        ex.join(dup_grams, "g")
+        .select(
+            "doc_id",
+            "pos",
+            F.least(
+                F.lit(n), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n))
+            ).alias("cov"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("cov").alias("dup_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+        )
+    )

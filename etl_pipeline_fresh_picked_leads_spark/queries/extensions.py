@@ -562,6 +562,59 @@ FROM cnt GROUP BY doc_id
 """
 
 
+# Exact duplicated-span coverage (Lee et al. 2022): oracle recomputes
+# positional 5-grams, cross-doc dup grams, and the interval-union
+# coverage with the same LEAST(n, next-pos) window arithmetic.
+_DUP_SPAN_ORACLE = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 3), i ->
+             struct_pack(pos := i - 1,
+                         g := t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   || ' ' || t[i+3] || ' ' || t[i+4]))) AS u
+    FROM toked WHERE len(t) >= 5
+  )
+),
+dup AS (SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams, SUM(c) AS dup_tokens
+  FROM (
+    SELECT e.doc_id,
+           LEAST(5, COALESCE(LEAD(e.pos) OVER (PARTITION BY e.doc_id
+                                               ORDER BY e.pos) - e.pos,
+                             5)) AS c
+    FROM ex e JOIN dup USING (g)
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS INT) AS n_tokens,
+       CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN t.n_tokens > 0
+            THEN round(COALESCE(c.dup_tokens, 0) * 1.0 / t.n_tokens, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM (SELECT doc_id, len(t) AS n_tokens FROM toked) t
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@query("q_text_dup_spans", oracle=_DUP_SPAN_ORACLE)
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span coverage per doc: fraction of tokens
+    covered by word 5-grams occurring in >= 2 documents (the
+    substring-level dedup signal whole-doc dedup misses)."""
+    from ..operators.text import dup_span_signals
+
+    return dup_span_signals(read_table(spark, sf_dir, "documents"), n=5)
+
+
 @query("q_text_repetition", oracle=_REPETITION_ORACLE)
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style bigram repetition signals (top-bigram fraction,

@@ -504,3 +504,20 @@ def test_ivf_fit_cached_across_calls_and_sessions(embeddings, monkeypatch, tmp_p
         mutated = embeddings.limit(embeddings.count() - 1)
     S.ivf_topk(mutated, 0, k=5, nlist=8, nprobe=4).collect()
     assert S.IVF_FIT_COUNTER["fits"] == before + 2  # fingerprint changed
+
+
+def test_dup_span_signals_invariants(docs):
+    """Coverage is a [0,1] token fraction; planted near-clones share
+    long runs so at least one doc must be heavily covered, and the
+    corpus must also contain clean (zero-coverage) docs."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        dup_span_signals,
+    )
+
+    out = dup_span_signals(docs, n=5).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0.0 <= r.dup_fraction <= 1.0
+        assert r.dup_tokens <= r.n_tokens
+    fracs = [r.dup_fraction for r in out]
+    assert max(fracs) >= 0.9 and min(fracs) == 0.0
