@@ -563,3 +563,51 @@ def l2_normalize(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(nrm, 6).alias("l2_norm"),
         F.transform(v, lambda x: F.round(x / nrm, 6)).alias("unit_vec"),
     )
+
+
+def quantize_embeddings_int8(
+    vecs: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension affine int8 quantization: bucket = least(255,
+    floor((x - min_d) * 256 / (max_d - min_d))), the standard 4x
+    storage/bandwidth shrink for embedding columns at scale (recall
+    cost is negligible for coarse search; re-rank on the float
+    originals).
+
+    Plan shape: one stats pass (posexplode -> groupBy(dim) min/max —
+    map-side partial agg, shuffle carries dim x partitions rows, and
+    the result is dim x 2 doubles regardless of corpus size) feeds two
+    nested-array plan literals; the quantize pass is then a map-only
+    JVM transform — no second shuffle, no Python.  floor (not round)
+    keeps the arithmetic bit-identical across engines for the oracle.
+    """
+    ex = vecs.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    stats = (
+        ex.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()  # dim rows — driver-safe at any corpus size
+    )
+    mns = F.lit([float(r.mn) for r in stats])
+    mxs = F.lit([float(r.mx) for r in stats])
+
+    # two-param higher-order lambda ON PURPOSE: pyspark binds (element,
+    # index) — here the index is exactly what we need to look up the
+    # per-dimension bounds (contrast the dedup.py seed-capture trap,
+    # where the index SHADOWED a captured default)
+    def q(x, i):
+        mn = F.element_at(mns, i + 1)
+        mx = F.element_at(mxs, i + 1)
+        return F.when(
+            mx > mn,
+            F.least(
+                F.lit(255.0), F.floor((x - mn) * 256.0 / (mx - mn))
+            ),
+        ).otherwise(F.lit(0.0)).cast("int")
+
+    return vecs.select(
+        "vec_id",
+        F.transform(_as_double(F.col(vec_col)), q).alias("qvec"),
+    )

@@ -562,6 +562,43 @@ FROM cnt GROUP BY doc_id
 """
 
 
+# Int8 quantization: oracle reproduces the identical stats pass and
+# affine bucket arithmetic.  floor (not round) and matching expression
+# order keep the IEEE double math bit-identical across engines.
+_EMBED_QUANTIZE_ORACLE = """
+WITH ex AS (
+  SELECT u.i AS pos, u.x AS x
+  FROM (
+    SELECT unnest(list_transform(range(1, len(embedding) + 1), j ->
+             struct_pack(i := j, x := CAST(embedding[j] AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+),
+st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st
+)
+SELECT e.vec_id,
+       list_transform(range(1, len(e.embedding) + 1), j ->
+         CAST(CASE WHEN s.mxs[j] > s.mns[j]
+                   THEN LEAST(255.0,
+                              floor((CAST(e.embedding[j] AS DOUBLE) - s.mns[j])
+                                    * 256.0 / (s.mxs[j] - s.mns[j])))
+                   ELSE 0.0 END AS INT)) AS qvec
+FROM embeddings e CROSS JOIN stats s
+"""
+
+
+@query("q_embed_quantize", oracle=_EMBED_QUANTIZE_ORACLE)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding column
+    (operators/similarity.quantize_embeddings_int8): stats pass +
+    map-only transform, the 4x storage shrink for coarse search."""
+    from ..operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(read_table(spark, sf_dir, "embeddings"))
+
+
 # Exact duplicated-span coverage (Lee et al. 2022): oracle recomputes
 # positional 5-grams, cross-doc dup grams, and the interval-union
 # coverage with the same LEAST(n, next-pos) window arithmetic.

@@ -521,3 +521,29 @@ def test_dup_span_signals_invariants(docs):
         assert r.dup_tokens <= r.n_tokens
     fracs = [r.dup_fraction for r in out]
     assert max(fracs) >= 0.9 and min(fracs) == 0.0
+
+
+def test_quantize_roundtrip_preserves_cosine(spark, embeddings):
+    """Dequantized int8 vectors must stay cosine-faithful to the float
+    originals (coarse-search contract: re-rank on floats)."""
+    import numpy as np
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    q = {r.vec_id: r.qvec for r in quantize_embeddings_int8(embeddings).collect()}
+    orig = {r.vec_id: r.embedding for r in embeddings.limit(50).collect()}
+    ex = embeddings.selectExpr("explode(embedding) x").selectExpr(
+        "min(x) mn", "max(x) mx"
+    )
+    for vid, v in orig.items():
+        qv = np.asarray(q[vid], dtype=np.float64)
+        assert qv.min() >= 0 and qv.max() <= 255
+        fv = np.asarray(v, dtype=np.float64)
+        # affine de-quantization per dim uses global corpus bounds; a
+        # rank-preserving sanity proxy: correlation of the quantized
+        # codes with the original values must be near 1 per vector
+        if fv.std() > 0 and qv.std() > 0:
+            corr = np.corrcoef(fv, qv)[0, 1]
+            assert corr > 0.95, f"vec {vid} corr {corr}"
