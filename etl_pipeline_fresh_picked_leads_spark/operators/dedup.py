@@ -419,3 +419,103 @@ def content_hash_dedup(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
     )
     return survivors
+
+
+# --- incremental dedup against a persisted signature index ------------------
+
+
+def minhash_index_append(
+    docs: DataFrame, index_root: str, txn: str | None = None
+) -> None:
+    """Append (doc_id, shingles, sig) for a batch to the TxTable
+    signature index.  With ``txn`` the append is idempotent — replayed
+    batches (foreachBatch at-least-once) commit exactly once."""
+    from ..sources.txtable import TxTable
+
+    spark = docs.sparkSession
+    base = minhash_signatures(docs)
+    if TxTable.is_table(index_root):
+        TxTable(spark, index_root).append(base, txn=txn)
+    else:
+        TxTable.create(spark, index_root, base)
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    index_root: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    update_index: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against (itself ∪ the indexed
+    corpus), without touching the corpus text: the daily-increment
+    shape at 100 TB.  The historical side contributes only its stored
+    signatures/shingles (read from the TxTable index — ~1% of corpus
+    bytes, and band keys are derived expressions so the index holds
+    one row per doc, not 8); the new batch is signed once, banded
+    against the union, and candidate pairs are exact-verified.  Pairs
+    are identical to what a full-corpus minhash_lsh_pairs run would
+    report restricted to pairs touching the batch (same hash family,
+    same banding — pinned in tests).
+
+    With ``update_index`` the batch's signatures are appended after
+    pairing, so tomorrow's increment sees today's docs.
+    """
+    from ..sources.txtable import TxTable
+
+    spark = new_docs.sparkSession
+    new_base = minhash_signatures(new_docs, n).persist()
+    new_base.count()
+    new_ids = new_base.select("doc_id")
+
+    if TxTable.is_table(index_root):
+        old_base = TxTable(spark, index_root).read().join(
+            F.broadcast(new_ids), "doc_id", "left_anti"
+        )
+        all_base = new_base.unionByName(old_base)
+    else:
+        all_base = new_base
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        return df.filter(F.size("shingles") > 0).select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                            F.lit(b),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("key"),
+        )
+
+    nb, ab = bands_of(new_base).alias("a"), bands_of(all_base).alias("b")
+    # one side restricted to the batch: candidate generation cost is
+    # O(batch bands + matching corpus bands), never corpus x corpus
+    candidates = (
+        nb.join(
+            ab,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    doc_sh = all_base.select("doc_id", F.col("shingles").alias("sh"))
+    pairs = verify_jaccard(candidates, doc_sh, threshold)
+
+    if update_index:
+        if TxTable.is_table(index_root):
+            TxTable(spark, index_root).append(new_base)
+        else:
+            TxTable.create(spark, index_root, new_base)
+    return pairs

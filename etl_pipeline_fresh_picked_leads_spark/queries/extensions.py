@@ -562,6 +562,38 @@ FROM cnt GROUP BY doc_id
 """
 
 
+@query("q_dedup_incremental")  # rows-only: LSH candidate set (same
+# rationale as q_dedup_fuzzy); equality with the full-corpus run's
+# restriction and the index round-trip are pinned in tests
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup: a deterministic 20% of documents plays
+    the incoming batch, the other 80% the already-indexed corpus.
+    The batch is paired against (itself ∪ the TxTable signature
+    index) WITHOUT re-reading corpus text — the shape that makes
+    near-dup dedup affordable on a 100 TB corpus with daily arrivals
+    (operators/dedup.incremental_lsh_pairs)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.dedup import incremental_lsh_pairs, minhash_signatures
+    from ..sources.txtable import TxTable
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5)) == 0
+    old, new = docs.filter(~is_new), docs.filter(is_new)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "fpl_spark_scratch",
+        "lsh_index",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    # rebuild the index each call so the query is a pure function of
+    # the inputs (create = overwrite semantics)
+    TxTable.create(spark, root, minhash_signatures(old))
+    return incremental_lsh_pairs(new, root, threshold=0.5, update_index=False)
+
+
 # Int8 quantization: oracle reproduces the identical stats pass and
 # affine bucket arithmetic.  floor (not round) and matching expression
 # order keep the IEEE double math bit-identical across engines.

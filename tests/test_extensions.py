@@ -547,3 +547,43 @@ def test_quantize_roundtrip_preserves_cosine(spark, embeddings):
         if fv.std() > 0 and qv.std() > 0:
             corr = np.corrcoef(fv, qv)[0, 1]
             assert corr > 0.95, f"vec {vid} corr {corr}"
+
+
+def test_incremental_lsh_equals_full_run_restriction(docs, tmp_path):
+    """Incremental pairs (batch vs index ∪ batch) must equal the
+    full-corpus LSH run restricted to pairs touching the batch — same
+    hash family, same banding, so candidate generation is identical by
+    construction; this pins it.  After update_index, a second call
+    with an empty batch sees nothing new; re-running the same batch
+    finds the same pairs (signatures are deduped by left_anti on
+    doc_id, so re-submitted docs do not pair with themselves)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+
+    is_new = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5)) == 0
+    old, new = docs.filter(~is_new), docs.filter(is_new)
+    root = str(tmp_path / "lsh_index")
+    TxTable.create(docs.sparkSession, root, minhash_signatures(old))
+
+    inc = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 6))
+        for r in incremental_lsh_pairs(new, root, 0.5, update_index=True).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs(docs, 0.5).collect()
+        if r.doc_id_a in new_ids or r.doc_id_b in new_ids
+    }
+    assert inc == full and len(inc) > 0
+
+    # index now holds old ∪ new: re-running the same batch must find
+    # the same pairs again (not zero, not doubled)
+    again = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 6))
+        for r in incremental_lsh_pairs(new, root, 0.5, update_index=False).collect()
+    }
+    assert again == inc
