@@ -162,3 +162,21 @@ def test_dq_fk_check_broadcasts(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantize_is_map_only_after_stats(spark):
+    # the dim-stats pass runs eagerly at build time; the RETURNED plan
+    # must be a pure map (nested-literal bounds, no shuffle, no Python)
+    df = QUERIES["q_embed_quantize"](spark, SF_SMALL)
+    assert n_exchanges(df) == 0, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_dup_spans_three_shuffles_and_broadcast_dup_grams(spark):
+    # positional-gram groupBy + doc window + final doc groupBy = 3;
+    # the dup-gram set joins back as a broadcast, never a shuffle of
+    # the full gram-instance table a second time
+    df = QUERIES["q_text_dup_spans"](spark, SF_SMALL)
+    assert n_exchanges(df) <= 3, formatted_plan(df)
+    assert has_broadcast_join(df)
