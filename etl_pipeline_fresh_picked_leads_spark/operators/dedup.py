@@ -434,10 +434,12 @@ def minhash_index_append(
 
     spark = docs.sparkSession
     base = minhash_signatures(docs)
-    if TxTable.is_table(index_root):
-        TxTable(spark, index_root).append(base, txn=txn)
-    else:
-        TxTable.create(spark, index_root, base)
+    if not TxTable.is_table(index_root):
+        # create EMPTY then txn-append: TxTable.create records no txn
+        # tag, so a create-with-data would be silently re-appended when
+        # an at-least-once replayer re-fires the first batch
+        TxTable.create(spark, index_root, base.limit(0))
+    TxTable(spark, index_root).append(base, txn=txn)
 
 
 def incremental_lsh_pairs(

@@ -341,3 +341,50 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("q_stream_dedup_incremental")  # rows-only: LSH candidate set
+# (q_dedup_fuzzy rationale); union-equals-full-corpus-run pinned in
+# tests/test_streaming_incremental.py
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup over a documents landing feed: two
+    micro-batches (doc_id parity split, maxFilesPerTrigger=1); each
+    batch pairs against itself ∪ the TxTable signature index, then
+    indexes itself — history text is never re-read.  The union of the
+    per-batch pair sets equals the full-corpus LSH run (same hash
+    family/banding), arriving incrementally with O(batch) work per
+    trigger instead of O(corpus)."""
+    from ..sources.txtable import TxTable
+    from ..streaming.dedup import stream_incremental_lsh
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "stream_lsh"
+    )
+    landing = os.path.join(base, "landing")
+    for p in (base,):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(landing)
+    # two deterministic arrival files; coalesce(1) per half so the
+    # file source sees exactly two micro-batches
+    for part in (0, 1):
+        half = docs.filter(F.pmod("doc_id", F.lit(2)) == part).coalesce(1)
+        tmp = os.path.join(base, f"tmp{part}")
+        half.write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, src), os.path.join(landing, f"b{part}.parquet")
+        )
+    q = stream_incremental_lsh(
+        spark,
+        landing,
+        index_root=os.path.join(base, "index"),
+        pairs_root=os.path.join(base, "pairs"),
+        checkpoint=os.path.join(base, "chk"),
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream incremental dedup did not finish")
+    return TxTable(spark, os.path.join(base, "pairs")).read()
