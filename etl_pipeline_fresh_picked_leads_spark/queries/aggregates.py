@@ -404,3 +404,30 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _PIVOT_TYPES)
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+GROUP BY 1
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(value / width) — the
+    one-shuffle profiling aggregation (map-side combine reduces every
+    partition to at most n_buckets rows before the exchange).  floor
+    keeps the double arithmetic bit-identical across engines."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )

@@ -212,3 +212,30 @@ def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "q_win_percent_rank",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, o_orderkey), 6)
+         AS pct_rank,
+       round(CUME_DIST() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey), 6)
+         AS cume
+FROM orders
+""",
+)
+def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank / cume_dist);
+    order includes the unique key so ties cannot shift either value,
+    and both round to 6 dp for cross-engine hash stability."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
