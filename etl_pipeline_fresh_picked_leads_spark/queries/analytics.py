@@ -236,3 +236,68 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("t_purchase") > F.col("t_click")) & in_order, 1)
         ).alias("purchased_after_click"),
     )
+
+
+_QUANTILE_ROLLUP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value / 25.0) AS INT) AS bucket,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, SUM(c) AS c
+  FROM daily GROUP BY 1, 2
+),
+walk AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS total
+  FROM merged
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum >= 0.5 * total THEN bucket END) AS INT)
+         AS p50_bucket,
+       CAST(MIN(CASE WHEN cum >= 0.95 * total THEN bucket END) AS INT)
+         AS p95_bucket
+FROM walk GROUP BY event_type
+"""
+
+
+@query("q_sketch_quantile_rollup", oracle=_QUANTILE_ROLLUP_ORACLE)
+def q_sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the histogram-sketch sibling of the
+    HLL rollup: per-(event_type, day) fixed-width bucket counts are
+    the stored daily sketch (map-side combinable), any date range
+    merges by bucketwise addition (a groupBy SUM — associative,
+    order-independent), and percentiles walk the merged histogram's
+    cumulative counts.  Unlike t-digest/KLL this sketch has an exact
+    SQL twin, so the whole two-level pipeline is hash-checked against
+    the oracle rather than rows-only."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / 25.0).cast("int").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = daily.groupBy("event_type", "bucket").agg(F.sum("c").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wt = Window.partitionBy("event_type")
+    walk = merged.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    return walk.groupBy("event_type").agg(
+        F.max("total").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= 0.5 * F.col("total"), F.col("bucket"))
+        ).alias("p50_bucket"),
+        F.min(
+            F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("bucket"))
+        ).alias("p95_bucket"),
+    )
