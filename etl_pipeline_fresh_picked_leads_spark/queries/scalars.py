@@ -443,3 +443,104 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "plus_one").alias("plus_one"),
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
     )
+
+
+@query(
+    "q_time_strings",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%H:%M:%S') AS time_str,
+       CAST(CASE WHEN strftime(ts, '%H:%M:%S')
+                      SIMILAR TO '([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]'
+                 THEN 1 ELSE 0 END AS BOOLEAN) AS is_valid,
+       CAST(hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS INT)
+         AS sec_of_day
+FROM events
+""",
+)
+def q_time_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-as-string semantics (SURVEY §1.3: Spark has no TIME type,
+    so the reference's BigQuery TIME columns land as 'HH:mm:ss'
+    strings + an invariant check).  This is that contract in query
+    form: format, validity regex, and seconds-of-day arithmetic that
+    downstream range filters use."""
+    e = read_table(spark, sf_dir, "events")
+    t = F.date_format("ts", "HH:mm:ss")
+    return e.select(
+        "event_id",
+        t.alias("time_str"),
+        t.rlike(r"^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]$").alias(
+            "is_valid"
+        ),
+        (
+            F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+        ).cast("int").alias("sec_of_day"),
+    )
+
+
+@query(
+    "q_geo_wkt",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         'POINT(' || CAST(CAST(c_custkey % 360 AS BIGINT) - 180 AS VARCHAR)
+                  || ' '
+                  || CAST(CAST((c_custkey * 7) % 180 AS BIGINT) - 90 AS VARCHAR)
+                  || ')' AS wkt
+  FROM customer
+),
+parsed AS (
+  SELECT c_custkey, wkt,
+         CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 1)
+              AS DOUBLE) AS lon,
+         CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 2)
+              AS DOUBLE) AS lat
+  FROM pts
+)
+SELECT c_custkey, wkt, lon, lat,
+       round(2 * 6371.0 * asin(sqrt(
+         pow(sin(radians(lat - 0.0) / 2), 2)
+         + cos(radians(0.0)) * cos(radians(lat))
+           * pow(sin(radians(lon - 0.0) / 2), 2))), 6) AS km_from_origin
+FROM parsed
+WHERE (c_custkey % 360) - 180 BETWEEN -90 AND 90
+  AND ((c_custkey * 7) % 180) - 90 BETWEEN -45 AND 45
+""",
+)
+def q_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHY-as-WKT semantics (SURVEY §1.3: Spark has no geo type,
+    so WKT strings + helper predicates).  Planted deterministic
+    POINT(lon lat) strings per customer are regex-parsed back to
+    coordinates, bbox-filtered, and scored with haversine distance
+    from the origin — the parse/filter/distance trio a lead-routing
+    query needs.  Identical expression structure both sides keeps the
+    trig bit-identical; distance rounds to 6 dp."""
+    c = read_table(spark, sf_dir, "customer")
+    lon_i = F.pmod(F.col("c_custkey"), F.lit(360)) - 180
+    lat_i = F.pmod(F.col("c_custkey") * 7, F.lit(180)) - 90
+    pts = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("POINT("), lon_i.cast("bigint").cast("string"),
+            F.lit(" "), lat_i.cast("bigint").cast("string"), F.lit(")"),
+        ).alias("wkt"),
+    )
+    pat = r"POINT\(([-0-9.]+) ([-0-9.]+)\)"
+    parsed = pts.select(
+        "c_custkey",
+        "wkt",
+        F.regexp_extract("wkt", pat, 1).cast("double").alias("lon"),
+        F.regexp_extract("wkt", pat, 2).cast("double").alias("lat"),
+    )
+    lat, lon = F.col("lat"), F.col("lon")
+    hav = 2 * 6371.0 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(lat - 0.0) / 2), 2)
+        + F.cos(F.radians(F.lit(0.0))) * F.cos(F.radians(lat))
+        * F.pow(F.sin(F.radians(lon - 0.0) / 2), 2)
+    ))
+    return parsed.filter(
+        lon.between(-90, 90) & lat.between(-45, 45)
+    ).select(
+        "c_custkey", "wkt", "lon", "lat",
+        F.round(hav, 6).alias("km_from_origin"),
+    )
