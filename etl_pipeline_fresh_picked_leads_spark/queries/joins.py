@@ -344,3 +344,49 @@ def q_agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     return skewed_agg_two_phase(li, "l_returnflag", "l_extendedprice")
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join (operators/joins.py bucketing):
+    both sides are written bucketed by the join key into a
+    scratch-located database, so the join plans with ZERO Exchange —
+    the storage-time decision that removes the dominant cost of
+    recurring joins at 100 TB (plan pinned in tests/test_plans.py).
+    Result rows are identical to the plain shuffled join, which is
+    what the oracle checks."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.joins import bucketed_join, write_bucketed
+
+    loc = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "bucket_wh"
+    )
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS fpl_bucket LOCATION '{loc}'"
+    )
+    # a previous SESSION may have left the managed-table directories
+    # behind while this session's metastore has no entry for them —
+    # drop both sides of that split-brain before writing
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS fpl_bucket.{t}")
+        shutil.rmtree(os.path.join(loc, t), ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    write_bucketed(o, "fpl_bucket.orders_b", "o_custkey", 8)
+    write_bucketed(c, "fpl_bucket.customer_b", "o_custkey", 8)
+    return bucketed_join(
+        spark, "fpl_bucket.orders_b", "fpl_bucket.customer_b", "o_custkey"
+    ).select("o_orderkey", "o_custkey", "c_name", "o_totalprice")

@@ -180,3 +180,8 @@ def test_dup_spans_three_shuffles_and_broadcast_dup_grams(spark):
     df = QUERIES["q_text_dup_spans"](spark, SF_SMALL)
     assert n_exchanges(df) <= 3, formatted_plan(df)
     assert has_broadcast_join(df)
+
+
+def test_bucketed_join_query_has_zero_exchanges(spark):
+    df = QUERIES["q_join_bucketed"](spark, SF_SMALL)
+    assert n_exchanges(df) == 0, formatted_plan(df)
