@@ -544,3 +544,73 @@ def q_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "wkt", "lon", "lat",
         F.round(hav, 6).alias("km_from_origin"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+FROM events
+""",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: parse_json
+    once into the binary VARIANT encoding, then typed variant_get
+    extractions — the engine-native successor to per-field
+    get_json_object string re-parsing (one parse, many typed reads;
+    at 100 TB the repeated JSON re-parse is the hot cost).  Output is
+    extracted to typed columns because VARIANT itself has no
+    cross-engine hash form."""
+    e = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_num"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "bigint").alias("absent"),
+    )
+
+
+@query(
+    "q_udtf_lateral",
+    oracle="""
+SELECT d.doc_id, u.word, u.idx
+FROM documents d,
+     (SELECT doc_id,
+             unnest(t[1:5]) AS word,
+             CAST(unnest(range(1, LEAST(len(t), 5) + 1)) - 1 AS INT) AS idx
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x <> '') AS t
+            FROM documents)) u
+WHERE d.doc_id = u.doc_id
+""",
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Python UDTF (Spark 3.5+/4 @udtf API, not the mapInPandas
+    emulation): a table function yielding (word, idx) for each doc's
+    first five tokens, applied with LATERAL join syntax.  Arrow-
+    batched like any Python boundary; the declared-schema UDTF is the
+    engine surface a user would extend for custom 1->N expansions."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, idx: int")
+    class FirstTokens:
+        def eval(self, doc_id, text: str):  # noqa: ANN001
+            toks = [t for t in (text or "").lower().strip().split() if t]
+            for i, w in enumerate(toks[:5]):
+                yield w, i
+
+    spark.udtf.register("fpl_first_tokens", FirstTokens)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fpl_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.idx
+        FROM fpl_docs_for_udtf d,
+             LATERAL fpl_first_tokens(d.doc_id, d.text) t
+        """
+    )
