@@ -575,7 +575,10 @@ class TxTable:
         )
 
     def compact(
-        self, target_bytes: int = 128 << 20, small_frac: float = 0.5
+        self,
+        target_bytes: int = 128 << 20,
+        small_frac: float = 0.5,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """OPTIMIZE: coalesce small files into ~``target_bytes``
         outputs (the small-file problem every streaming-append table
@@ -587,23 +590,47 @@ class TxTable:
         Content-neutral: same rows before and after (a lost commit
         race is safe to retry).  Returns the committed version.
 
+        ``cluster_by``: Delta OPTIMIZE ZORDER's one-dimensional
+        sibling — range-repartition + sort the rewritten rows on the
+        given columns, so each output file owns a narrow, disjoint
+        key range.  Because manifests record per-file min/max for
+        ``stats_cols``, clustering is what turns those stats into
+        actual pruning: ``read_range`` on a clustered key opens ~1
+        file instead of all of them (append order scatters every key
+        range across every file).  Clustering rewrites ALL data files
+        (a sort is global), so run it on the cadence of range-query
+        value, not every commit.
+
         File sizes come from a driver-side stat of the manifest's file
         list — metadata-sized, like the manifest itself; a real log
         store records sizes in the manifest and skips the stat."""
         base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        small = [
-            f
-            for f in base.files
-            if os.path.getsize(f) < target_bytes * small_frac
-        ]
-        if len(small) < 2:
-            return base.version  # nothing to coalesce
-        total = sum(os.path.getsize(f) for f in small)
-        n_out = max(1, -(-total // target_bytes))  # ceil
-        packed = self._read_files(small, base.schema_json).repartition(n_out)
-        survivors = [f for f in base.files if f not in set(small)]
+        if cluster_by:
+            total = sum(os.path.getsize(f) for f in base.files)
+            n_out = max(1, -(-total // target_bytes))  # ceil
+            packed = (
+                self._read_files(list(base.files), base.schema_json)
+                .repartitionByRange(n_out, *cluster_by)
+                .sortWithinPartitions(*cluster_by)
+            )
+            survivors: list[str] = []
+            small = list(base.files)
+        else:
+            small = [
+                f
+                for f in base.files
+                if os.path.getsize(f) < target_bytes * small_frac
+            ]
+            if len(small) < 2:
+                return base.version  # nothing to coalesce
+            total = sum(os.path.getsize(f) for f in small)
+            n_out = max(1, -(-total // target_bytes))  # ceil
+            packed = self._read_files(small, base.schema_json).repartition(
+                n_out
+            )
+            survivors = [f for f in base.files if f not in set(small)]
         new = self._write_data(packed)
         return self._commit(
             survivors + new,

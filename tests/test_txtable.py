@@ -379,3 +379,36 @@ def test_two_writers_conflict_retry_exactly_once(spark, tmp_path):
     t = TxTable(spark, root)
     assert sorted(r.k for r in t.read().collect()) == [0, 1, 2]
     assert t.snapshot().version == 3  # create + two appends, no dupes
+
+
+def test_clustered_compact_enables_file_skipping(spark, tmp_path):
+    """compact(cluster_by=...) is OPTIMIZE ZORDER's 1-D sibling:
+    append order interleaves every key range across every file (range
+    stats prune nothing); after a clustered rewrite each file owns a
+    disjoint range and a point/range read opens ~1 file."""
+    root = str(tmp_path / "t")
+
+    def batch(mod):  # ids striped across batches: 0,4,8,.. / 1,5,9,..
+        return spark.createDataFrame(
+            [(i, f"v{i}") for i in range(mod, 400, 4)], "k int, v string"
+        ).coalesce(1)
+
+    t = TxTable.create(spark, root, batch(0), stats_cols=["k"])
+    for m in (1, 2, 3):
+        t.append(batch(m))
+    # every file spans nearly the full key range -> no pruning at all
+    assert len(t.files_in_range("k", 100, 110)) == 4
+    before = sorted((r.k, r.v) for r in t.read().collect())
+
+    # force ~4 clustered outputs by sizing target_bytes below the data
+    sz = sum(
+        __import__("os").path.getsize(f) for f in t.snapshot().files
+    )
+    v = t.compact(target_bytes=max(1, sz // 4), cluster_by=["k"])
+    after = t.snapshot()
+    assert after.version == v and after.op == "compact"
+    assert len(after.files) >= 3
+    # disjoint ranges: the same range query now touches 1 file
+    assert len(t.files_in_range("k", 100, 110)) == 1
+    # content-neutral
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
