@@ -490,6 +490,64 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_metadata(read_table(spark, sf_dir, "documents"))
 
 
+# n_bytes is re-derivable in SQL from the generator formula (see the
+# features oracle below); content itself is binary, so the scan check
+# pins id + exact file size per row.
+_BINARYFILE_ORACLE = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 9 + length(CAST(8 + (doc_id % 24) AS VARCHAR))
+                        + length(CAST(8 + ((doc_id * 7) % 24) AS VARCHAR))
+                        + (8 + (doc_id % 24)) * (8 + ((doc_id * 7) % 24)) * 3
+                 ELSE 54 + (((8 + (doc_id % 24)) * 3 + 3) // 4) * 4
+                         * (8 + ((doc_id * 7) % 24))
+            END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("q_scan_binaryfile", oracle=_BINARYFILE_ORACLE)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("binaryFile")`` source — the media-ingest
+    scan (SURVEY §2B-K): planted image files land in a directory
+    (written executor-side, one file per doc), the binaryFile reader
+    lists them with (path, length, content), and doc ids parse back
+    out of the file names.  At 100 TB this is the object-store listing
+    + streaming-content scan; only metadata is compared here (content
+    is exercised end-to-end by q_multimodal_features)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.multimodal import with_planted_images
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "fpl_spark_scratch",
+        "binfiles",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    def dump(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, f"img_{r.doc_id}.bin"), "wb") as f:
+                f.write(bytes(r.payload))
+
+    with_planted_images(
+        read_table(spark, sf_dir, "documents")
+    ).foreachPartition(dump)
+    scanned = spark.read.format("binaryFile").load(out_dir)
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 # The planted files are pure functions of doc_id (operators/
 # multimodal.planted_image_bytes), so the DECODED features are
 # SQL-expressible: the oracle re-derives geometry, file size (PPM
