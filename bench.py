@@ -54,6 +54,10 @@ HEADLINE = [
     "q_retention_cohorts",
     "q_funnel_steps",
     "q_stream_tumbling",
+    # r4 additions: exact duplicated-span coverage (explode+groupBy+
+    # window) and int8 quantization (stats pass + map-only transform)
+    "q_text_dup_spans",
+    "q_embed_quantize",
 ]
 
 

@@ -334,9 +334,11 @@ def dup_span_signals(docs: DataFrame, n: int = 5) -> DataFrame:
     4. left join back so clean docs report zeros.
 
     At 100 TB stage 2's shuffle carries one row per gram INSTANCE —
-    same footprint as the tf-idf/decontamination passes; the gram
-    string can be swapped for xxhash64 when the oracle isn't watching
-    (strings kept here so the DuckDB oracle joins on identical keys).
+    same footprint as the tf-idf/decontamination passes.  Gram keys
+    are xxhash64 longs, not strings: the keys are internal (the
+    oracle only checks the per-doc OUTPUT stats, which are invariant
+    under injective key renaming), and fixed-width longs shuffle and
+    compare far cheaper than n-word strings.
     """
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -344,8 +346,8 @@ def dup_span_signals(docs: DataFrame, n: int = 5) -> DataFrame:
     idx = F.sequence(F.lit(0), F.col("n_tokens") - n)
     gram = lambda i: F.struct(  # noqa: E731
         i.alias("pos"),
-        F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
+        F.xxhash64(
+            *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
         ).alias("g"),
     )
     ex = (
