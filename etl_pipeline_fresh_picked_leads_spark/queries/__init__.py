@@ -58,7 +58,7 @@ _DRIVER_WINDOW = [
     "q_stream_dedup_incremental", "q_win_percent_rank", "q_agg_histogram",
     "q_sketch_quantile_rollup", "q_time_strings", "q_geo_wkt",
     "q_join_bucketed", "q_variant_json", "q_udtf_lateral",
-    "q_scan_binaryfile",
+    "q_scan_binaryfile", "q_stream_session_timeout",
     "q_dedup_fuzzy", "q_dedup_cluster_star", "q_multimodal_features",
     "q_sim_ann_ivf", "q_sim_join_ivf", "q_dedup_cluster", "q_dedup_apply",
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",

@@ -388,3 +388,25 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream incremental dedup did not finish")
     return TxTable(spark, os.path.join(base, "pairs")).read()
+
+
+@query("q_stream_session_timeout")  # rows-only: which trailing
+# sessions emit depends on the final watermark (state-timeout
+# semantics); batch-equivalence is pinned in
+# tests/test_streaming_multibatch.py for 1- and multi-batch replays
+def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via applyInPandasWithState with EVENT-TIME STATE
+    TIMEOUT (streaming/stateful.event_time_sessions): open sessions
+    are evicted and emitted exactly once when the watermark passes
+    session_end + gap — the bounded-state discipline that keeps a
+    month-long 100 TB streaming job from leaking one state entry per
+    ever-seen key."""
+    from ..streaming.stateful import event_time_sessions
+
+    stream = events_stream(spark, sf_dir)
+    out = run_available_now(
+        event_time_sessions(stream, 30, "1 hour"), spark, "append"
+    )
+    return _ntz(out, "session_start", "session_end").orderBy(
+        "user_id", "session_start"
+    )

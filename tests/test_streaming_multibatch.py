@@ -186,3 +186,67 @@ def test_stateful_totals_batch_count_invariant(spark, split_events):
         )
 
     assert _rows(final_state(True)) == _rows(final_state(False))
+
+
+@pytest.mark.parametrize("multi", [False, True])
+def test_event_time_timeout_sessions_match_batch(spark, split_events, multi):
+    """event_time_sessions (EventTimeTimeout state eviction): emitted
+    sessions = every batch-computed gap session EXCEPT a user's
+    trailing session whose timeout (end + gap) the final watermark
+    (max ts − delay) never passed.  Identical for 1-batch and
+    multi-batch replays — in-stream closes don't depend on batching
+    and timeouts depend only on the final watermark."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.stateful import (
+        event_time_sessions,
+    )
+
+    gap_min = 30
+    gap_us = gap_min * 60 * 1_000_000
+    delay_us = 3_600 * 1_000_000
+
+    stream = _stream(spark, split_events, multi)
+    got_df = run_available_now(
+        event_time_sessions(stream, gap_min, "1 hour"), spark, "append"
+    )
+    got = {
+        (r.user_id, r.s, r.e, r.n_events)
+        for r in got_df.select(
+            "user_id",
+            F.unix_micros("session_start").alias("s"),
+            F.unix_micros("session_end").alias("e"),
+            "n_events",
+        ).collect()
+    }
+
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    sess = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull() | ((F.col("us") - F.col("prev")) > gap_us))
+            .cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("s"),
+            F.max("us").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    max_us = ev.agg(F.max("us")).collect()[0][0]
+    wm_ms = (max_us - delay_us) // 1000
+    last = Window.partitionBy("user_id")
+    expected = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in sess.withColumn("max_sid", F.max("sid").over(last))
+        .filter(
+            (F.col("sid") != F.col("max_sid"))
+            | (((F.col("e") + gap_us) / F.lit(1000)).cast("long") < wm_ms)
+        )
+        .collect()
+    }
+    assert got == expected and len(got) > 0
