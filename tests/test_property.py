@@ -63,3 +63,53 @@ def test_reconcile_total_and_shape_preserving(spark, data):
     assert out.schema == target            # exact target schema, in order
     assert out.count() == n_rows           # row count preserved
     out.collect()                          # and materializes cleanly
+
+
+# --- MinHash-LSH invariants under arbitrary corpora ------------------------
+
+_word = st.text(string.ascii_lowercase, min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=2, max_size=12))
+def test_lsh_precision_and_exact_dup_recall(spark, texts):
+    """Whatever the corpus: (1) every reported pair's jaccard is >=
+    the threshold AND equals the true shingle-set jaccard (exact
+    verification => precision 1.0 on the jaccard predicate); (2) docs
+    with identical token streams of >= 3 tokens share every band key,
+    so exact duplicates are ALWAYS found (recall 1.0 on the
+    duplicate subset, the guarantee content-hash dedup relies on)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+
+    def sh(t):
+        toks = [w for w in t.lower().strip().split() if w]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    by_id = {i: sh(t) for i, t in enumerate(texts)}
+    for r in pairs:
+        a, b = by_id[r.doc_id_a], by_id[r.doc_id_b]
+        true_j = len(a & b) / len(a | b) if a | b else None
+        assert true_j is not None and true_j >= 0.5
+        assert abs(r.jaccard - true_j) < 1e-9
+
+    found = {(r.doc_id_a, r.doc_id_b) for r in pairs}
+    for i, ti in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            norm_i = " ".join(ti.lower().split())
+            norm_j = " ".join(texts[j].lower().split())
+            if norm_i == norm_j and len(norm_i.split()) >= 3:
+                assert (i, j) in found
