@@ -136,3 +136,26 @@ def pack_chunks(
         "chunk_tokens",
         F.floor(before / budget).cast("int").alias("bin_id"),
     )
+
+
+def per_group_cap(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic per-group downsample cap: keep at most ``k`` rows
+    per group, chosen by hash rank of the unique key (NOT first-k by
+    storage order, which is nondeterministic and position-biased, and
+    NOT rand(), which is irreproducible).  The per-source cap every
+    corpus-mixing recipe needs; same rows on any cluster size or
+    partitioning.  One shuffle on the group key; Spark inserts
+    WindowGroupLimit so each mapper pre-trims to k before the
+    exchange."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_hr", F.row_number().over(w))
+        .filter(F.col("_hr") <= k)
+        .drop("_hr")
+    )

@@ -59,6 +59,7 @@ _DRIVER_WINDOW = [
     "q_sketch_quantile_rollup", "q_time_strings", "q_geo_wkt",
     "q_join_bucketed", "q_variant_json", "q_udtf_lateral",
     "q_scan_binaryfile", "q_stream_session_timeout",
+    "q_sample_pergroup", "q_map_in_arrow",
     "q_dedup_fuzzy", "q_dedup_cluster_star", "q_multimodal_features",
     "q_sim_ann_ivf", "q_sim_join_ivf", "q_dedup_cluster", "q_dedup_apply",
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",

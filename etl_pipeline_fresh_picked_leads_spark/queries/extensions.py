@@ -1094,3 +1094,87 @@ def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_self_join
 
     return ivf_self_join(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# xxhash64 is unavailable in DuckDB, but the SELECTION is reproducible
+# from the Spark side alone; the oracle instead pins the cap semantics
+# exactly: per-language row counts = LEAST(k, group size), and every
+# kept doc_id belongs to its group — expressed by re-deriving the
+# aggregate view.  (The per-row pick is pinned by determinism tests.)
+_PER_GROUP_CAP_ORACLE = """
+SELECT lang, LEAST(50, COUNT(*)) AS n_kept
+FROM documents GROUP BY lang
+"""
+
+
+@query("q_sample_pergroup", oracle=_PER_GROUP_CAP_ORACLE)
+def q_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap for corpus mixing: at most 50 docs per language,
+    selected by deterministic hash rank (operators/sampling.py
+    per_group_cap).  The oracle checks the aggregate cap contract;
+    row-level determinism (same picks on any partitioning) is pinned
+    in tests."""
+    from ..operators.sampling import per_group_cap
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        per_group_cap(docs, "lang", "doc_id", 50)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+_MAP_IN_ARROW_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(list_aggregate(list_transform(embedding,
+                                           x -> CAST(x AS DOUBLE) ** 2),
+             'sum'), 6) AS sq_norm
+FROM embeddings
+"""
+
+
+@query("q_map_in_arrow", oracle=_MAP_IN_ARROW_ORACLE)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy Python boundary — RecordBatches
+    reach Python as Arrow, computed on with pyarrow/numpy and returned
+    without a pandas detour (the cheapest escape hatch when the
+    payload is already columnar, e.g. fixed-size-list embeddings).
+    Completes the Python-boundary family next to udf / pandas_udf /
+    grouped-agg / mapInPandas / cogroup / applyInPandasWithState /
+    @udtf, all driver-gated."""
+    import pyarrow as pa
+
+    def sq_norms(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            embs = tbl.column("embedding").to_pylist()
+            import numpy as np
+
+            out = pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("vec_id").combine_chunks(),
+                    pa.array(
+                        [len(e) for e in embs], type=pa.int32()
+                    ),
+                    pa.array(
+                        [
+                            round(
+                                float(
+                                    (np.asarray(e, dtype=np.float64) ** 2).sum()
+                                ),
+                                6,
+                            )
+                            for e in embs
+                        ],
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["vec_id", "dim", "sq_norm"],
+            )
+            yield out
+
+    vecs = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return vecs.mapInArrow(
+        sq_norms, "vec_id long, dim int, sq_norm double"
+    )

@@ -587,3 +587,26 @@ def test_incremental_lsh_equals_full_run_restriction(docs, tmp_path):
         for r in incremental_lsh_pairs(new, root, 0.5, update_index=False).collect()
     }
     assert again == inc
+
+
+def test_per_group_cap_deterministic_across_partitionings(docs):
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    a = {
+        (r.lang, r.doc_id)
+        for r in per_group_cap(docs, "lang", "doc_id", 50).collect()
+    }
+    b = {
+        (r.lang, r.doc_id)
+        for r in per_group_cap(
+            docs.repartition(13), "lang", "doc_id", 50
+        ).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    per_lang = Counter(lang for lang, _ in a)
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(per_lang[lg] == min(50, totals[lg]) for lg in totals)
