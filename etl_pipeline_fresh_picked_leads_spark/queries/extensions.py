@@ -336,7 +336,43 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(read_table(spark, sf_dir, "documents"), top_n=5)
 
 
-@query("q_text_langid")  # rows-only: heuristic classifier, invariant-tested
+# Promoted from rows-only (VERDICT r4 #4): the stopword-profile argmax
+# is exactly SQL-expressible.  Tie-break (earliest alphabetical lang)
+# is the CASE order; score arithmetic is count/len in IEEE double on
+# both sides; confidence rounds to 6 dp on both sides.  Stopword lists
+# mirror operators/text.STOPWORDS.
+_LANGID_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(t, x -> list_contains(
+      ['the','a','and','of','to'], x))) AS DOUBLE) / len(t) AS score_en,
+    CAST(len(list_filter(t, x -> list_contains(
+      ['el','la','de','y','que'], x))) AS DOUBLE) / len(t) AS score_es,
+    CAST(len(list_filter(t, x -> list_contains(
+      ['der','die','das','und','zu'], x))) AS DOUBLE) / len(t) AS score_de,
+    CAST(len(list_filter(t, x -> list_contains(
+      ['le','la','de','et','que'], x))) AS DOUBLE) / len(t) AS score_fr
+  FROM toked
+)
+SELECT doc_id, lang AS lang_actual,
+  CASE WHEN best <= 0 THEN 'und'
+       WHEN score_de = best THEN 'de'
+       WHEN score_en = best THEN 'en'
+       WHEN score_es = best THEN 'es'
+       WHEN score_fr = best THEN 'fr'
+       ELSE 'und' END AS lang_pred,
+  round(best, 6) AS confidence
+FROM (SELECT *, GREATEST(score_en, score_es, score_de, score_fr) AS best
+      FROM scored)
+"""
+
+
+@query("q_text_langid", oracle=_LANGID_ORACLE)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(read_table(spark, sf_dir, "documents"))
 
@@ -669,12 +705,13 @@ stats AS (
   SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st
 )
 SELECT e.vec_id,
-       list_transform(range(1, len(e.embedding) + 1), j ->
-         CAST(CASE WHEN s.mxs[j] > s.mns[j]
-                   THEN LEAST(255.0,
-                              floor((CAST(e.embedding[j] AS DOUBLE) - s.mns[j])
-                                    * 256.0 / (s.mxs[j] - s.mns[j])))
-                   ELSE 0.0 END AS INT)) AS qvec
+       array_to_string(
+         list_transform(range(1, len(e.embedding) + 1), j ->
+           CAST(CASE WHEN s.mxs[j] > s.mns[j]
+                     THEN LEAST(255.0,
+                                floor((CAST(e.embedding[j] AS DOUBLE) - s.mns[j])
+                                      * 256.0 / (s.mxs[j] - s.mns[j])))
+                     ELSE 0.0 END AS INT)), ',') AS qvec
 FROM embeddings e CROSS JOIN stats s
 """
 
@@ -683,10 +720,15 @@ FROM embeddings e CROSS JOIN stats s
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension affine int8 quantization of the embedding column
     (operators/similarity.quantize_embeddings_int8): stats pass +
-    map-only transform, the 4x storage shrink for coarse search."""
+    map-only transform, the 4x storage shrink for coarse search.
+
+    qvec is stringified (array_join) at the query boundary: the
+    driver's pandas canonicalizer cannot sort list columns (the
+    stringify-driver-facing-arrays rule, queries/aggregates.py)."""
     from ..operators.similarity import quantize_embeddings_int8
 
-    return quantize_embeddings_int8(read_table(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings_int8(read_table(spark, sf_dir, "embeddings"))
+    return q.select("vec_id", F.array_join("qvec", ",").alias("qvec"))
 
 
 # Exact duplicated-span coverage (Lee et al. 2022): oracle recomputes

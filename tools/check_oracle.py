@@ -78,6 +78,25 @@ def _arrow_type_name(t) -> str:
     return str(t)
 
 
+def driver_incompatible_cols(tbl) -> list[str]:
+    """Columns the external driver's canonicalizer cannot hash: its
+    pandas sort_values over raw columns crashes on list cells
+    (TypeError: unhashable type 'list' — CORRECTNESS_r04's one red
+    row).  Driver-facing queries must stringify arrays (array_join)
+    or explode them; this check makes the violation fail locally."""
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in tbl.schema
+        if pa.types.is_list(f.type)
+        or pa.types.is_large_list(f.type)
+        or pa.types.is_fixed_size_list(f.type)
+        or pa.types.is_struct(f.type)
+        or pa.types.is_map(f.type)
+    ]
+
+
 def compare_types(spark_tbl, oracle_tbl) -> list[str]:
     st = {f.name: _arrow_type_name(f.type) for f in spark_tbl.schema}
     ot = {f.name: _arrow_type_name(f.type) for f in oracle_tbl.schema}
@@ -137,9 +156,28 @@ def main() -> int:
             print(f"ERROR  {qid}: spark side raised: {exc}")
             n_err += 1
             continue
+        bad_cols = driver_incompatible_cols(stbl)
         if qid not in ORACLE:
             n_rows_only += 1
-            print(f"rows-only {qid}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            note = (
+                f"  [warn: nested cols {bad_cols} — driver records "
+                "rows-only so this passes, but do not promote to a "
+                "SQL oracle without stringifying]"
+                if bad_cols
+                else ""
+            )
+            print(
+                f"rows-only {qid}: {len(sdf)} rows  "
+                f"({time.time()-t0:.1f}s){note}"
+            )
+            continue
+        if bad_cols:
+            n_fail += 1
+            print(
+                f"FAIL   {qid}: driver-incompatible nested columns "
+                f"{bad_cols} (driver canonicalizer crashes on list "
+                "cells; stringify with array_join or explode)"
+            )
             continue
         try:
             # go through Arrow so DATE stays date (df() coerces to
