@@ -282,7 +282,24 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_percentile_approx")  # rows-only: sketch-based by design
+# Promoted from rows-only (VERDICT r4 #4): Greenwald-Khanna at
+# accuracy >= group size degenerates to the EXACT discrete quantile
+# (the element at rank ceil(p*n)), which is DuckDB's quantile_disc —
+# verified value-identical per group at sf0.001/sf0.01 (n~3000 per
+# priority vs accuracy 10000).  The oracle's validity domain is
+# group_size <= accuracy; the driver gate runs at sf0.01 where that
+# holds with 3x headroom.  At 100 TB the sketch is approximate again —
+# that is its point — and the rows-only-era invariant tests still pin
+# the error envelope.
+@query(
+    "q_agg_percentile_approx",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.95) AS p95
+FROM orders GROUP BY o_orderpriority
+""",
+)
 def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(

@@ -390,10 +390,47 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TxTable(spark, os.path.join(base, "pairs")).read()
 
 
-@query("q_stream_session_timeout")  # rows-only: which trailing
-# sessions emit depends on the final watermark (state-timeout
-# semantics); batch-equivalence is pinned in
-# tests/test_streaming_multibatch.py for 1- and multi-batch replays
+# Promoted from rows-only (VERDICT r4 #4): under an availableNow
+# replay the emission set IS deterministic — every gap session closed
+# by a later same-user event emits in-stream, and the trailing session
+# emits iff the final watermark (max ts − delay, ms precision) passes
+# its timeout (end + gap).  The boundary (< at ms) is pinned by
+# tests/test_streaming_multibatch.py for 1- and multi-batch replays.
+_SESSION_TIMEOUT_ORACLE = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+mx AS (SELECT MAX(us) AS max_us FROM ev),
+lagd AS (
+  SELECT user_id, us,
+         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+  FROM ev
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+),
+agg AS (
+  SELECT user_id, sid, MIN(us) AS s, MAX(us) AS e, COUNT(*) AS n
+  FROM sess GROUP BY user_id, sid
+),
+fin AS (
+  SELECT a.*, MAX(sid) OVER (PARTITION BY user_id) AS max_sid, m.max_us
+  FROM agg a CROSS JOIN mx m
+)
+SELECT user_id,
+       make_timestamp(s) AS session_start,
+       make_timestamp(e) AS session_end,
+       CAST(n AS BIGINT) AS n_events
+FROM fin
+WHERE sid <> max_sid
+   OR (e + 1800000000) // 1000 < (max_us - 3600000000) // 1000
+"""
+
+
+@query("q_stream_session_timeout", oracle=_SESSION_TIMEOUT_ORACLE)
 def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessions via applyInPandasWithState with EVENT-TIME STATE
     TIMEOUT (streaming/stateful.event_time_sessions): open sessions

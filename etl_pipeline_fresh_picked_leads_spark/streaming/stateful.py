@@ -133,16 +133,28 @@ def event_time_sessions(
                     // 1000
                 )
             ts.sort()
-            sessions: list[list[int]] = []
+            # Re-split instead of append-merge: the carried state
+            # session is one interval among the batch's single-event
+            # intervals; sort by start and gap-merge.  This extends
+            # session_start BACKWARDS when a not-yet-late out-of-order
+            # event arrives in a later micro-batch, and refuses to
+            # absorb events more than `gap` before the open session —
+            # both of which the old signed `t - end <= gap` test got
+            # wrong (ADVICE r4).  Matches the batch recomputation:
+            # the state interval's interior is gap-dense by
+            # construction, so interval-merge == event-level merge.
+            items = [[int(t), int(t), 1] for t in ts]
             if state.exists:
                 s, e, n = state.get
-                sessions.append([s, e, n])
-            for t in ts:
-                if sessions and t - sessions[-1][1] <= gap_us:
-                    sessions[-1][1] = max(sessions[-1][1], int(t))
-                    sessions[-1][2] += 1
+                items.append([int(s), int(e), int(n)])
+                items.sort()
+            sessions: list[list[int]] = []
+            for s, e, n in items:
+                if sessions and s - sessions[-1][1] <= gap_us:
+                    sessions[-1][1] = max(sessions[-1][1], e)
+                    sessions[-1][2] += n
                 else:
-                    sessions.append([int(t), int(t), 1])
+                    sessions.append([s, e, n])
             for s, e, n in sessions[:-1]:  # closed by a later event
                 closed.append((key[0], s, e, n))
             if sessions:

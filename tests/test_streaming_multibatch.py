@@ -188,6 +188,63 @@ def test_stateful_totals_batch_count_invariant(spark, split_events):
     assert _rows(final_state(True)) == _rows(final_state(False))
 
 
+def test_event_time_sessions_out_of_order_resplit(spark, tmp_path):
+    """A not-yet-late out-of-order event arriving in a LATER micro-
+    batch must re-split against the carried state session (ADVICE r4):
+    within-gap-before-start extends session_start backwards; far-
+    earlier forms its own session.  The old signed `t - end <= gap`
+    merge absorbed both into the open session with an unchanged
+    start."""
+    from datetime import datetime, timezone
+
+    from etl_pipeline_fresh_picked_leads_spark.streaming.stateful import (
+        event_time_sessions,
+    )
+
+    def t(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    batches = [
+        [(1, t(1000)), (1, t(1030))],
+        # 985 is 15s before the open session's start (within the 60s
+        # gap -> extend start back); 700 is 285s before (own session,
+        # closed immediately); 40000 opens a new trailing session
+        [(1, t(985)), (1, t(700)), (1, t(40000))],
+    ]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+        sub = str(tmp_path / f"_p{i}")
+        df.coalesce(1).write.parquet(sub)
+        src = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        dst = os.path.join(flat, f"b{i}.parquet")
+        shutil.copyfile(os.path.join(sub, src), dst)
+        os.utime(dst, (now - 100 + i * 30,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = run_available_now(
+        event_time_sessions(stream, 1, "1 hour"), spark, "append"
+    )
+    got = {
+        (r.user_id, r.s, r.e, r.n_events)
+        for r in out.select(
+            "user_id",
+            F.unix_micros("session_start").alias("s"),
+            F.unix_micros("session_end").alias("e"),
+            "n_events",
+        ).collect()
+    }
+    m = 1_000_000
+    # trailing [40000] session never times out (wm = 40000s - 1h)
+    assert got == {(1, 700 * m, 700 * m, 1), (1, 985 * m, 1030 * m, 3)}
+
+
 @pytest.mark.parametrize("multi", [False, True])
 def test_event_time_timeout_sessions_match_batch(spark, split_events, multi):
     """event_time_sessions (EventTimeTimeout state eviction): emitted
