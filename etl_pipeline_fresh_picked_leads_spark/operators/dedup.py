@@ -448,6 +448,7 @@ def incremental_lsh_pairs(
     threshold: float = 0.5,
     n: int = 3,
     update_index: bool = True,
+    txn: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against (itself ∪ the indexed
     corpus), without touching the corpus text: the daily-increment
@@ -461,7 +462,13 @@ def incremental_lsh_pairs(
     same banding — pinned in tests).
 
     With ``update_index`` the batch's signatures are appended after
-    pairing, so tomorrow's increment sees today's docs.
+    pairing, so tomorrow's increment sees today's docs.  The append is
+    replay-safe (ADVICE r4): pass ``txn`` from an exactly-once
+    replayer (foreachBatch batch id) and TxTable skips the re-commit;
+    without a tag, already-indexed doc_ids are anti-joined out first,
+    so at-least-once redelivery cannot duplicate signature rows (a
+    doc_id-only column scan of the index — cheap next to the banding
+    join that already read the full index this batch).
     """
     from ..sources.txtable import TxTable
 
@@ -516,8 +523,16 @@ def incremental_lsh_pairs(
     pairs = verify_jaccard(candidates, doc_sh, threshold)
 
     if update_index:
-        if TxTable.is_table(index_root):
-            TxTable(spark, index_root).append(new_base)
-        else:
-            TxTable.create(spark, index_root, new_base)
+        if not TxTable.is_table(index_root):
+            # empty-create then append (minhash_index_append pattern):
+            # create records no txn tag, so create-with-data would
+            # double-commit on a checkpoint-loss replay
+            TxTable.create(spark, index_root, new_base.limit(0))
+        tbl = TxTable(spark, index_root)
+        to_add = new_base
+        if txn is None:
+            to_add = new_base.join(
+                tbl.read().select("doc_id"), "doc_id", "left_anti"
+            )
+        tbl.append(to_add, txn=txn)
     return pairs

@@ -70,28 +70,6 @@ def payload_metadata(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------- decoders --------
 
 
-def _pnm_tokens(buf: bytes, start: int) -> Iterator[bytes]:
-    """netpbm header tokenizer: whitespace-separated tokens, ``#``
-    comments run to end of line."""
-    i = start
-    n = len(buf)
-    while i < n:
-        c = buf[i : i + 1]
-        if c.isspace():
-            i += 1
-        elif c == b"#":
-            while i < n and buf[i : i + 1] not in (b"\n", b"\r"):
-                i += 1
-        else:
-            j = i
-            while j < n and not buf[j : j + 1].isspace() and buf[j : j + 1] != b"#":
-                j += 1
-            yield buf[i:j]
-            # the single whitespace byte after the maxval token is
-            # consumed by the caller via the positions we report
-            i = j
-
-
 def _decode_pnm(payload: bytes) -> dict:
     """P5 (binary graymap) / P6 (binary pixmap) decoder."""
     magic = payload[:2]

@@ -589,6 +589,43 @@ def test_incremental_lsh_equals_full_run_restriction(docs, tmp_path):
     assert again == inc
 
 
+def test_incremental_lsh_index_replay_safe(docs, tmp_path):
+    """update_index appends must be replay-safe (ADVICE r4): an
+    at-least-once redelivery without a txn tag is absorbed by the
+    doc_id anti-join; a txn-tagged replay is skipped by TxTable's
+    committed-txn check.  Either way the index holds exactly one
+    signature row per doc_id."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+
+    spark = docs.sparkSession
+    root = str(tmp_path / "idx")
+    mod = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5))
+    b0, b1 = docs.filter(mod == 0), docs.filter(mod == 1)
+
+    # cold start: first batch creates the table (empty-create + append)
+    incremental_lsh_pairs(b0, root, 0.5, update_index=True, txn="b0")
+    n0 = TxTable(spark, root).read().count()
+    assert n0 == b0.count()
+    # txn replay (checkpoint-loss redelivery): committed tag skipped
+    incremental_lsh_pairs(b0, root, 0.5, update_index=True, txn="b0")
+    assert TxTable(spark, root).read().count() == n0
+
+    # untagged append, then untagged redelivery: anti-join absorbs it
+    incremental_lsh_pairs(b1, root, 0.5, update_index=True)
+    n1 = TxTable(spark, root).read().count()
+    assert n1 == n0 + b1.count()
+    incremental_lsh_pairs(b1, root, 0.5, update_index=True)
+    assert TxTable(spark, root).read().count() == n1
+    dup = (
+        TxTable(spark, root).read().groupBy("doc_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
 def test_per_group_cap_deterministic_across_partitionings(docs):
     from etl_pipeline_fresh_picked_leads_spark.operators.sampling import (
         per_group_cap,
