@@ -40,42 +40,40 @@ from . import analytics  # noqa: E402,F401
 # hash-matchable LLM-extension queries.  Already-green r1 queries and
 # rows-only extras sit behind the window (their semantics are still
 # pinned by tests/ and tools/check_oracle.py).
-# Round-4 rotation: CORRECTNESS_r01 ∪ r02 ∪ r03 covers every query
-# registered through round 3.  This window front-loads (a) the
-# round-4 behavior changes — every streaming query (the source now
-# converts TIMESTAMP_NTZ event time), the rewritten MinHash banding,
-# the IVF queries (centroid side index), the new star-clustering
-# query, and q_multimodal_features (rows-only -> SQL oracle with the
-# real decoder) — and (b) the r1-last-verified relational surface,
-# which has not had a driver row since round 1.  Canaries stay per
-# ADVICE r2.
+# Round-5 rotation (VERDICT r4 #1/#3): front-load (a) this round's
+# behavior changes — the reshaped q_embed_quantize (r4's one red row),
+# the three rows-only -> SQL-oracle promotions (q_text_langid,
+# q_agg_percentile_approx, q_stream_session_timeout — the last also
+# carries the out-of-order re-split fix in streaming/stateful.py), and
+# the replay-safe incremental-dedup index appends — then (b) the
+# scalar/UDF surface, driver-unverified since round 2, and (c) the
+# r1-last-verified scan/filter/sort/setop tail.  Union of
+# CORRECTNESS_r01-r04 already covers everything else; canaries stay
+# per ADVICE r2.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # round-4 behavior changes / additions
-    "q_text_dup_spans", "q_embed_quantize", "q_dedup_incremental",
-    "q_stream_dedup_incremental", "q_win_percent_rank", "q_agg_histogram",
-    "q_sketch_quantile_rollup", "q_time_strings", "q_geo_wkt",
-    "q_join_bucketed", "q_variant_json", "q_udtf_lateral",
-    "q_scan_binaryfile", "q_stream_session_timeout",
-    "q_sample_pergroup", "q_map_in_arrow",
-    "q_dedup_fuzzy", "q_dedup_cluster_star", "q_multimodal_features",
-    "q_sim_ann_ivf", "q_sim_join_ivf", "q_dedup_cluster", "q_dedup_apply",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark", "q_stream_dedup", "q_stream_static_join",
-    "q_stream_stream_join", "q_stream_foreachbatch", "q_stream_stateful",
-    "q_stream_ingest",
-    # r1-last-verified rotation: joins/aggs/windows regression rows
-    "q_join_left", "q_join_right", "q_join_full", "q_join_semi",
-    "q_join_anti", "q_join_broadcast", "q_join_cross", "q_join_theta",
-    "q_join_range", "q_join_asof", "q_join_multikey",
-    "q_agg_global", "q_agg_having", "q_agg_distinct",
-    "q_agg_multi_distinct", "q_dedup_exact", "q_agg_rollup",
-    "q_agg_cube", "q_agg_gsets", "q_agg_percentile", "q_agg_stats",
-    "q_agg_collect", "q_pivot",
-    "q_win_rank", "q_win_ntile", "q_win_lag_lead", "q_win_running",
-    "q_win_range",
+    # round-5 behavior changes / promotions
+    "q_embed_quantize", "q_text_langid", "q_agg_percentile_approx",
+    "q_stream_session_timeout", "q_dedup_incremental",
+    "q_stream_dedup_incremental",
+    # r2-last-verified scalar/UDF surface (VERDICT r4 #3)
+    "q_str_basic", "q_str_split", "q_str_regex",
+    "q_date_fmt", "q_date_arith", "q_date_parts", "q_date_trunc",
+    "q_math", "q_cond",
+    "q_arr_basic", "q_arr_explode", "q_arr_transform",
+    "q_map_json", "q_map_ops",
+    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas", "q_udtf_mapinpandas",
+    # r2-last-verified extensions
+    "q_join_salted", "q_agg_skew_twophase", "q_win_firstlast",
+    "q_embed_norm", "q_sim_topk", "q_sim_join",
+    # r1-last-verified scan/filter/sort/setop tail
+    "q_scan_csv_infer", "q_ingest_reconcile", "q_ingest_stamp",
+    "q_project", "q_try_cast", "q_filter_null", "q_filter_cmp",
+    "q_filter_between", "q_filter_in", "q_filter_like",
+    "q_sort_multi", "q_limit", "q_topk_global",
+    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
 ]
 
 
