@@ -80,6 +80,13 @@ def main() -> None:
         timings[qid] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Canary normalization (VERDICT r4 item 6): the box's wall-clock
+    # swings ±20-70% between sessions, so raw seconds from different
+    # runs aren't comparable.  q_agg_group is the unchanged-since-r1
+    # canary; each query divided by the canary from the SAME run gives
+    # a box-speed-independent number that IS comparable across rounds.
+    canary = timings.get("q_agg_group") or 1.0
+    normalized = {qid: round(t / canary, 3) for qid, t in timings.items()}
     print(
         json.dumps(
             {
@@ -87,6 +94,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary": "q_agg_group",
+                "canary_sec": canary,
+                "queries_normalized": normalized,
+                "total_normalized": round(total / canary, 3),
                 "sf": float(sf),
             }
         )

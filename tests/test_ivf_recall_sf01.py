@@ -1,0 +1,64 @@
+"""IVF recall curve at sf0.1 (VERDICT r4 item 8): the recall floor was
+previously pinned only at sf0.01; this pins the 10x-corpus behavior at
+the DEFAULT settings and the monotone nprobe/replicas trade-off that
+PLANS.md documents.  Everything is seeded/hash-deterministic (sampled
+k-means fit, deterministic tie-breaks), so exact floors are stable.
+
+Measured curve (mean/min recall@10 over the 5 lowest vec_ids, n=2000):
+
+    replicas=1 nprobe=4 -> 0.58 / 0.50
+    replicas=4 nprobe=2 -> 0.82 / 0.60
+    replicas=4 nprobe=4 -> 0.96 / 0.90   (defaults)
+    replicas=4 nprobe=8 -> 0.98 / 0.90
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+)
+
+SF_01 = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def emb01(spark):
+    df = spark.read.parquet(f"{SF_01}/embeddings.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _recalls(emb, qids, exact, nprobe, replicas):
+    out = []
+    for q in qids:
+        approx = [
+            r.vec_id
+            for r in ivf_topk(
+                emb, q, k=10, nlist=16, nprobe=nprobe, replicas=replicas
+            ).collect()
+        ]
+        out.append(len(set(exact[q]) & set(approx)) / 10)
+    return out
+
+
+def test_ivf_recall_floor_at_defaults_sf01(emb01):
+    qids = [
+        r.vec_id
+        for r in emb01.select("vec_id").orderBy("vec_id").limit(5).collect()
+    ]
+    exact = {
+        q: [r.vec_id for r in cosine_topk(emb01, q, k=10).collect()]
+        for q in qids
+    }
+    # defaults: nprobe=4, replicas=4 — the floor PLANS.md claims
+    at_default = _recalls(emb01, qids, exact, nprobe=4, replicas=4)
+    assert sum(at_default) / len(at_default) >= 0.9, at_default
+    assert min(at_default) >= 0.85, at_default
+    # the trade-off is monotone: fewer replicas at the same nprobe
+    # must not beat the default (the reason replicas=4 IS the default)
+    low_rep = _recalls(emb01, qids, exact, nprobe=4, replicas=1)
+    assert sum(low_rep) <= sum(at_default)

@@ -185,3 +185,38 @@ def test_dup_spans_three_shuffles_and_broadcast_dup_grams(spark):
 def test_bucketed_join_query_has_zero_exchanges(spark):
     df = QUERIES["q_join_bucketed"](spark, SF_SMALL)
     assert n_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_incremental_dedup_shuffle_budget(spark):
+    """Batch-vs-index LSH: band-key join + jaccard verify = 3
+    exchanges on the BATCH side only; the signature index joins in
+    without ever re-reading corpus text, and the small batch side
+    broadcasts.  No Python anywhere (JVM minhash folds)."""
+    df = QUERIES["q_dedup_incremental"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) <= 3, plan
+    assert has_broadcast_join(df)
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_ivf_join_final_plan_single_shuffle(spark):
+    """After the eager (cached) k-means fit, the RETURNED plan is:
+    map-only centroid assignment (nested-literal centroids) ->
+    cell-key join -> verify — one data shuffle, centroids broadcast,
+    all-JVM expressions."""
+    df = QUERIES["q_sim_join_ivf"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) <= 2, plan
+    assert has_broadcast_join(df)
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_cluster_star_bounded_lineage(spark):
+    """Star CC localCheckpoints per round, so the final plan's
+    exchange count is bounded by the LAST round's shape (label join +
+    group) — NOT proportional to the number of rounds.  A lineage
+    leak would blow this bound on any multi-round input."""
+    df = QUERIES["q_dedup_cluster_star"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) <= 6, plan
+    assert "Python" not in plan and "Arrow" not in plan
