@@ -159,3 +159,58 @@ def per_group_cap(
         .filter(F.col("_hr") <= k)
         .drop("_hr")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    alpha: float = 0.5,
+    max_repeat: int = 4,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: resample so source ``s``
+    with natural share ``p_s`` contributes ~``p_s**alpha`` of the
+    mix (alpha=1 keeps natural proportions, alpha=0 equalizes
+    sources; alpha≈0.3-0.7 is the published LLM-corpus range).  The
+    per-row keep/repeat rate is ``r_s = (p_s / p_max)**(alpha - 1)``
+    — 1.0 for the LARGEST source, >1 (upsampled by repetition) for
+    rarer ones, capped at ``max_repeat`` so a tiny source can't
+    explode the output.
+
+    Each input row emits ``floor(r_s)`` guaranteed copies plus one
+    more with probability ``frac(r_s)``, decided by the same
+    md5-of-key construction as ``hash_sample`` (salted with the copy
+    index) — fully deterministic, SQL-portable, no rand().  Output
+    carries an ``epoch`` column (0-based copy index) so downstream
+    packing can interleave repeats instead of clustering them.
+
+    Plan shape: one source-count aggregate (rows = #sources,
+    broadcast back) + a per-row explode — the big side shuffles
+    ZERO times and nothing reaches the driver (``p_s / p_max``
+    reduces to ``n_s / n_max``, so the corpus total is never
+    needed).  Rates are rounded to 6 dp before the hash compare so
+    the Spark and oracle pow() agree bit-for-bit."""
+    counts = df.groupBy(source_col).count()
+    nmax = counts.agg(F.max("count").alias("_nmax"))
+    rate = F.round(
+        F.pow(F.col("count") / F.col("_nmax"), F.lit(alpha - 1.0)), 6
+    )
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        source_col,
+        F.least(rate, F.lit(float(max_repeat))).alias("_rate"),
+    )
+    out = df.join(F.broadcast(rates), source_col).withColumn(
+        "epoch",
+        F.explode(F.sequence(F.lit(0), F.ceil(F.col("_rate")).cast("int") - 1)),
+    )
+    # copy `epoch` survives iff epoch < floor(rate) (guaranteed) or
+    # the salted hash falls under the fractional remainder
+    u = _hash01(
+        F.concat(
+            F.col(key).cast("string"), F.lit(":"), F.col("epoch").cast("string")
+        )
+    )
+    return out.filter(
+        (F.col("epoch") < F.floor("_rate"))
+        | (u < F.col("_rate") - F.floor("_rate"))
+    ).drop("_rate")

