@@ -279,3 +279,49 @@ def q_txtable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert t.read().filter(F.col("n_name").startswith("EDITED_")).count() == 13
     return t.read(version=v1)
+
+
+@query(
+    "q_txtable_zorder",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem WHERE l_partkey BETWEEN 100 AND 180
+    """,
+)
+def q_txtable_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER: land lineitem in 4 append-order commits (every
+    file spans every key range — stats prune nothing), z-order compact
+    on (l_orderkey, l_partkey), then range-read on the SECOND
+    clustered column.  The in-query assert pins that the manifest
+    stats actually skipped files — the Morton curve gives every
+    clustered column partial pruning, where lexicographic clustering
+    serves only the leading one.  At 100 TB this is the difference
+    between a multi-key query opening ~sqrt(files) and opening all of
+    them."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "zorder_lineitem")
+    shutil.rmtree(root, ignore_errors=True)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    stripe = F.pmod(F.xxhash64("l_orderkey", "l_partkey"), F.lit(2))
+    t = TxTable.create(
+        spark,
+        root,
+        li.filter(stripe == 0).coalesce(1),
+        stats_cols=["l_orderkey", "l_partkey"],
+    )
+    t.append(li.filter(stripe == 1).coalesce(1))
+    sz = sum(os.path.getsize(f) for f in t.snapshot().files)
+    t.compact(
+        target_bytes=max(1, sz // 4),
+        cluster_by=["l_orderkey", "l_partkey"],
+        zorder=True,
+    )
+    n_files = len(t.snapshot().files)
+    opened = len(t.files_in_range("l_partkey", 100, 180))
+    assert 0 < opened < n_files, (opened, n_files)
+    return t.read_range("l_partkey", 100, 180)

@@ -595,11 +595,47 @@ class TxTable:
             stats=self._merged_stats(base, survivors, new),
         )
 
+    def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 8):
+        """Morton (interleaved-bit) key over quantile-binned numeric
+        columns — Delta OPTIMIZE ZORDER's multi-dimensional curve.
+        Each column is first binned by its own approx quantiles
+        (skew-resistant: uniform BIN occupancy whatever the value
+        distribution), then bit ``i`` of every column's bin index is
+        interleaved into position ``i*len(cols)+ci`` of the key, so
+        files sorted by the key own small hyper-rectangles of the key
+        SPACE and min/max stats prune on EVERY clustered column, not
+        just the leading one.
+
+        Boundaries come from one approxQuantile pass (driver-side
+        (2**bits-1) doubles per column — metadata-sized) and enter
+        the plan as ONE nested literal per column (the per-element
+        F.lit trap costs a Py4J round-trip each); binning is a JVM
+        fold over that array.  Numeric columns only — cast
+        dates/timestamps upstream."""
+        n_bins = 1 << bits
+        probs = [i / n_bins for i in range(1, n_bins)]
+        key = F.lit(0).cast("long")
+        for ci, c in enumerate(cols):
+            bounds = df.approxQuantile(c, probs, 1.0 / (4 * n_bins))
+            bin_ = F.aggregate(
+                F.lit(bounds),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            ).cast("long")
+            for i in range(bits):
+                key = key + F.shiftleft(
+                    F.shiftright(bin_, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + ci,
+                )
+        return key
+
     def compact(
         self,
         target_bytes: int = 128 << 20,
         small_frac: float = 0.5,
         cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE: coalesce small files into ~``target_bytes``
         outputs (the small-file problem every streaming-append table
@@ -622,6 +658,14 @@ class TxTable:
         (a sort is global), so run it on the cadence of range-query
         value, not every commit.
 
+        ``zorder=True`` (with >=2 numeric ``cluster_by`` columns)
+        clusters on the Morton curve of the columns instead of their
+        lexicographic order: lexicographic clustering prunes only the
+        LEADING column (every file spans the full range of the
+        second), the z-curve gives every clustered column partial
+        pruning — the right trade when range queries hit more than
+        one key (see ``_zorder_key``).
+
         File sizes come from a driver-side stat of the manifest's file
         list — metadata-sized, like the manifest itself; a real log
         store records sizes in the manifest and skips the stat.
@@ -632,7 +676,9 @@ class TxTable:
         """
         for attempt in range(3):
             try:
-                return self._compact_once(target_bytes, small_frac, cluster_by)
+                return self._compact_once(
+                    target_bytes, small_frac, cluster_by, zorder
+                )
             except TxConflictError:
                 if attempt == 2:
                     raise
@@ -642,6 +688,7 @@ class TxTable:
         target_bytes: int,
         small_frac: float,
         cluster_by: list[str] | None,
+        zorder: bool = False,
     ) -> int:
         base = self.snapshot()
         if base is None:
@@ -653,11 +700,20 @@ class TxTable:
         if cluster_by:
             total = sum(os.path.getsize(f) for f in base.files)
             n_out = max(1, -(-total // target_bytes))  # ceil
-            packed = (
-                self._read_files(list(base.files), base.schema_json)
-                .repartitionByRange(n_out, *cluster_by)
-                .sortWithinPartitions(*cluster_by)
-            )
+            full = self._read_files(list(base.files), base.schema_json)
+            if zorder and len(cluster_by) >= 2:
+                keyed = full.withColumn(
+                    "_zk", self._zorder_key(full, cluster_by)
+                )
+                packed = (
+                    keyed.repartitionByRange(n_out, "_zk")
+                    .sortWithinPartitions("_zk")
+                    .drop("_zk")
+                )
+            else:
+                packed = full.repartitionByRange(
+                    n_out, *cluster_by
+                ).sortWithinPartitions(*cluster_by)
             survivors: list[str] = []
             small = list(base.files)
         else:

@@ -447,3 +447,44 @@ def test_clustered_compact_enables_file_skipping(spark, tmp_path):
     assert len(t.files_in_range("k", 100, 110)) == 1
     # content-neutral
     assert sorted((r.k, r.v) for r in t.read().collect()) == before
+
+
+def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
+    """zorder=True clusters on the Morton curve: a 2-D key space cut
+    into ~4 files becomes ~quadrants, so a narrow range on EITHER
+    column skips files.  Lexicographic clustering is the control: it
+    prunes the leading column perfectly but every file spans the full
+    range of the second."""
+    import os as _os
+
+    root = str(tmp_path / "tz")
+    rows = [(i, (i * 37) % 400) for i in range(400)]
+
+    def batch(mod):
+        return spark.createDataFrame(
+            [r for r in rows if r[0] % 4 == mod], "k1 int, k2 int"
+        ).coalesce(1)
+
+    t = TxTable.create(spark, root, batch(0), stats_cols=["k1", "k2"])
+    for m in (1, 2, 3):
+        t.append(batch(m))
+    before = sorted((r.k1, r.k2) for r in t.read().collect())
+    sz = sum(_os.path.getsize(f) for f in t.snapshot().files)
+
+    # control: lexicographic cluster — k1 prunes, k2 cannot
+    t.compact(target_bytes=max(1, sz // 4), cluster_by=["k1", "k2"])
+    n_files = len(t.snapshot().files)
+    assert n_files >= 3
+    assert len(t.files_in_range("k1", 10, 60)) < n_files
+    assert len(t.files_in_range("k2", 10, 60)) == n_files  # no pruning
+
+    # z-order: BOTH columns prune
+    t.compact(
+        target_bytes=max(1, sz // 4), cluster_by=["k1", "k2"], zorder=True
+    )
+    n_files = len(t.snapshot().files)
+    assert n_files >= 3
+    assert len(t.files_in_range("k1", 10, 60)) < n_files
+    assert len(t.files_in_range("k2", 10, 60)) < n_files
+    # content-neutral
+    assert sorted((r.k1, r.k2) for r in t.read().collect()) == before
