@@ -58,6 +58,10 @@ HEADLINE = [
     # window) and int8 quantization (stats pass + map-only transform)
     "q_text_dup_spans",
     "q_embed_quantize",
+    # r5 additions: temperature corpus mixing (broadcast rates +
+    # explode) and z-order compaction (quantile binning + Morton sort)
+    "q_mix_temperature",
+    "q_txtable_zorder",
 ]
 
 
