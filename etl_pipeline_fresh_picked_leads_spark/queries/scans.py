@@ -284,14 +284,14 @@ def q_txtable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_txtable_zorder",
     oracle="""
-    SELECT l_orderkey, l_partkey, l_quantity
-    FROM lineitem WHERE l_partkey BETWEEN 100 AND 180
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_custkey BETWEEN 100 AND 180
     """,
 )
 def q_txtable_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPTIMIZE ZORDER: land lineitem in 4 append-order commits (every
+    """OPTIMIZE ZORDER: land orders in 2 append-order commits (every
     file spans every key range — stats prune nothing), z-order compact
-    on (l_orderkey, l_partkey), then range-read on the SECOND
+    on (o_orderkey, o_custkey), then range-read on the SECOND
     clustered column.  The in-query assert pins that the manifest
     stats actually skipped files — the Morton curve gives every
     clustered column partial pruning, where lexicographic clustering
@@ -302,26 +302,26 @@ def q_txtable_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.txtable import TxTable
 
-    root = os.path.join(_SCRATCH, "zorder_lineitem")
+    root = os.path.join(_SCRATCH, "zorder_orders")
     shutil.rmtree(root, ignore_errors=True)
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
-    stripe = F.pmod(F.xxhash64("l_orderkey", "l_partkey"), F.lit(2))
+    stripe = F.pmod(F.xxhash64("o_orderkey"), F.lit(2))
     t = TxTable.create(
         spark,
         root,
-        li.filter(stripe == 0).coalesce(1),
-        stats_cols=["l_orderkey", "l_partkey"],
+        o.filter(stripe == 0).coalesce(1),
+        stats_cols=["o_orderkey", "o_custkey"],
     )
-    t.append(li.filter(stripe == 1).coalesce(1))
+    t.append(o.filter(stripe == 1).coalesce(1))
     sz = sum(os.path.getsize(f) for f in t.snapshot().files)
     t.compact(
         target_bytes=max(1, sz // 4),
-        cluster_by=["l_orderkey", "l_partkey"],
+        cluster_by=["o_orderkey", "o_custkey"],
         zorder=True,
     )
     n_files = len(t.snapshot().files)
-    opened = len(t.files_in_range("l_partkey", 100, 180))
+    opened = len(t.files_in_range("o_custkey", 100, 180))
     assert 0 < opened < n_files, (opened, n_files)
-    return t.read_range("l_partkey", 100, 180)
+    return t.read_range("o_custkey", 100, 180)

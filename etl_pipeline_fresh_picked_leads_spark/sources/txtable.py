@@ -595,7 +595,7 @@ class TxTable:
             stats=self._merged_stats(base, survivors, new),
         )
 
-    def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 8):
+    def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 6):
         """Morton (interleaved-bit) key over quantile-binned numeric
         columns — Delta OPTIMIZE ZORDER's multi-dimensional curve.
         Each column is first binned by its own approx quantiles
@@ -607,22 +607,39 @@ class TxTable:
         just the leading one.
 
         Boundaries come from one approxQuantile pass (driver-side
-        (2**bits-1) doubles per column — metadata-sized) and enter
-        the plan as ONE nested literal per column (the per-element
-        F.lit trap costs a Py4J round-trip each); binning is a JVM
-        fold over that array.  Numeric columns only — cast
-        dates/timestamps upstream."""
+        (2**bits-1) doubles per column — metadata-sized) and are
+        compiled into a BALANCED ``when`` tree: ``bits`` comparisons
+        per row along one root-to-leaf path, not a linear scan of all
+        2**bits-1 boundaries (a fold over the boundary array measured
+        ~30x slower at bits=8 — the array fold evaluates every
+        element).  Numeric columns only — cast dates/timestamps
+        upstream.  Default 6 bits = 64 quantile bins per column:
+        granularity comfortably above any realistic output-file count
+        per dimension, while the boundary summaries (approxQuantile
+        error scales with bin count) and the compiled search trees
+        stay cheap — bits=8 measured 4-5x slower for no extra
+        pruning at these file counts."""
+
+        def search(c, bounds, lo, hi):
+            # expression for |{b in bounds[lo:hi) : x >= b}| + lo,
+            # i.e. the bin index, via binary search
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                F.col(c).cast("double") >= bounds[mid],
+                search(c, bounds, mid + 1, hi),
+            ).otherwise(search(c, bounds, lo, mid))
+
         n_bins = 1 << bits
         probs = [i / n_bins for i in range(1, n_bins)]
+        # ONE pass for every column's boundaries (per-column calls
+        # re-scan the table each time: 2x wall at 2 columns)
+        all_bounds = df.approxQuantile(list(cols), probs, 1.0 / (4 * n_bins))
         key = F.lit(0).cast("long")
         for ci, c in enumerate(cols):
-            bounds = df.approxQuantile(c, probs, 1.0 / (4 * n_bins))
-            bin_ = F.aggregate(
-                F.lit(bounds),
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
-            ).cast("long")
+            bounds = all_bounds[ci]
+            bin_ = search(c, bounds, 0, len(bounds)).cast("long")
             for i in range(bits):
                 key = key + F.shiftleft(
                     F.shiftright(bin_, i).bitwiseAND(F.lit(1)),
