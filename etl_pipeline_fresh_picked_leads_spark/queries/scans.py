@@ -325,3 +325,53 @@ def q_txtable_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     opened = len(t.files_in_range("o_custkey", 100, 180))
     assert 0 < opened < n_files, (opened, n_files)
     return t.read_range("o_custkey", 100, 180)
+
+
+@query(
+    "q_matview_incremental",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (sources/matview.py): orders
+    lands in two commits; the per-customer rollup is built after the
+    first and REFRESHED after the second — the refresh consumes only
+    the change feed (cost ∝ delta + |keys|, never ∝ source), and the
+    merged state + applied-version tag commit in one atomic manifest
+    (exactly-once under crash-replay; pinned in tests).  Must equal
+    the full recompute bit-for-bit: DECIMAL accumulation makes the
+    merge order irrelevant."""
+    import shutil
+
+    from ..sources.matview import MatView
+    from ..sources.txtable import TxTable
+
+    base = os.path.join(_SCRATCH, "matview_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    stripe = F.pmod(F.xxhash64("o_orderkey"), F.lit(2))
+    src = TxTable.create(
+        spark, os.path.join(base, "src"), o.filter(stripe == 0).coalesce(1)
+    )
+    mv = MatView(
+        spark,
+        os.path.join(base, "src"),
+        os.path.join(base, "mv"),
+        keys=["o_custkey"],
+        sum_cols=["o_totalprice"],
+    )
+    mv.refresh()  # full build of the first commit
+    src.append(o.filter(stripe == 1).coalesce(1))
+    v = mv.refresh()  # incremental: folds in only the second commit
+    assert mv.applied_version() == v == 2
+    return mv.read().select(
+        "o_custkey",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
+    )

@@ -79,6 +79,7 @@ class TxSnapshot:
     files: tuple[str, ...]
     schema_json: str | None = None  # table schema; None on pre-schema logs
     stats: dict | None = None  # per-file {rows, min:{col}, max:{col}}
+    txn: str | None = None  # idempotency tag of the commit, if any
 
 
 def _manifest_name(version: int) -> str:
@@ -159,6 +160,7 @@ class TxTable:
             tuple(m["files"]),
             m.get("schema"),
             m.get("stats"),
+            m.get("txn"),
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -314,12 +316,20 @@ class TxTable:
             os.unlink(tmp)
         return version
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: str | None = None) -> int:
+        """Replace the table; with ``txn`` the REPLACEMENT STATE and
+        its idempotency tag commit in one atomic manifest — the
+        primitive an exactly-once view refresher needs (state and
+        watermark can never disagree, whatever crashes between)."""
+        base = self.snapshot()
+        if txn is not None and txn in self._committed_txns():
+            return base.version  # replayed refresh: already applied
         new = self._write_data(df)
         return self._commit(
             new,
             "overwrite",
-            self.snapshot(),
+            base,
+            txn=txn,
             schema_json=self._schema_of(df),
             stats=self._merged_stats(None, [], new),
         )
