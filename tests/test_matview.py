@@ -100,3 +100,73 @@ def test_refresh_cost_reads_only_the_delta(spark, tmp_path):
     assert scanned <= {os.path.abspath(f) for f in delta_files}
     mv.refresh()
     assert _rows(mv.read()) == _rows(_full(spark, src))
+
+
+def test_streaming_ingest_feeds_incremental_matview(spark, tmp_path):
+    """End-to-end exactly-once composition: CSVs land -> streaming
+    ingest appends to the source TxTable (txn-tagged batches) ->
+    MatView.refresh() folds in only the new commits.  A replayed
+    drain (same checkpoint, nothing new landed) plus a re-refresh
+    must change nothing."""
+    from datetime import date
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_pipeline_fresh_picked_leads_spark.streaming.ingest import (
+        stream_ingest_directory,
+    )
+
+    target_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("grp", StringType()),
+            StructField("score", DoubleType()),
+            StructField("Ingestion_date", DateType()),
+        ]
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src_root, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+
+    def drain():
+        q = stream_ingest_directory(
+            spark, str(landing), src_root, target_schema,
+            run_date=date(2026, 8, 14), checkpoint=chk,
+        )
+        assert q.awaitTermination(120)
+
+    (landing / "a.csv").write_text("id,grp,score\n1,x,1.50\n2,y,2.25\n")
+    drain()
+    mv = MatView(
+        spark, src_root, str(tmp_path / "mv"), keys=["grp"],
+        sum_cols=["score"],
+    )
+    mv.refresh()
+
+    (landing / "b.csv").write_text("id,grp,score\n3,x,0.25\n4,z,9.00\n")
+    drain()
+    mv.refresh()
+    got = {
+        r.grp: (r.n_rows, str(r.sum_score)) for r in mv.read().collect()
+    }
+    assert got == {
+        "x": (2, "1.75"),
+        "y": (1, "2.25"),
+        "z": (1, "9.00"),
+    }
+
+    # replay: nothing landed -> drain is a no-op batch (txn-tag
+    # guarded), refresh is a no-op (version tag guarded)
+    v_src = TxTable(spark, src_root).snapshot().version
+    v_mv = mv.mv.snapshot().version
+    drain()
+    mv.refresh()
+    assert TxTable(spark, src_root).snapshot().version == v_src
+    assert mv.mv.snapshot().version == v_mv
