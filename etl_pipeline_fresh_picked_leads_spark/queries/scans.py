@@ -254,7 +254,11 @@ def q_txtable_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_txtable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: land nation, then UPSERT-mangle every name in a
     second commit — ``read(version=v1)`` must return the ORIGINAL
-    rows, byte-for-byte, while the live table differs.  Snapshot
+    rows, byte-for-byte, while the live table differs.  Parity note:
+    the reference's store gives this away as BigQuery time travel
+    (``FOR SYSTEM_TIME AS OF``) over the tables
+    big_uery_handler.py:124-165 loads; TxTable's manifest versions
+    replicate it on plain parquet.  Snapshot
     isolation is what makes reproducible training runs possible on a
     continuously-ingested 100 TB corpus: pin the version, get the
     exact bytes, regardless of later commits; the old manifest is
@@ -297,7 +301,9 @@ def q_txtable_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered column partial pruning, where lexicographic clustering
     serves only the leading one.  At 100 TB this is the difference
     between a multi-key query opening ~sqrt(files) and opening all of
-    them."""
+    them.  Parity note: the managed-store equivalent is BigQuery
+    table clustering on the loaded tables (big_uery_handler.py:124-165
+    targets); here the clustering is an explicit OPTIMIZE pass."""
     import shutil
 
     from ..sources.txtable import TxTable
