@@ -381,3 +381,55 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
     )
+
+
+_SCD2_ORACLE = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+SELECT c_custkey, c_name, c_acctbal,
+       DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM base WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal,
+       DATE '2024-01-01', DATE '2024-06-01', FALSE
+FROM base WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal + 100,
+       DATE '2024-06-01', NULL, TRUE
+FROM base WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey + 1000000, c_name, c_acctbal,
+       DATE '2024-06-01', NULL, TRUE
+FROM base WHERE c_custkey % 11 = 0
+"""
+
+
+@query("q_scd2_merge", oracle=_SCD2_ORACLE)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge (operators/scd.py): customers load
+    on 2024-01-01; a 2024-06-01 batch re-states every 7th customer's
+    balance (+100) and lands brand-new keys (every 11th, shifted).
+    Changed rows CLOSE (valid_to stamped, is_current cleared) and
+    re-insert as the new current version; unchanged rows carry over
+    untouched — the history-preserving upgrade of the reference's
+    WRITE_TRUNCATE dimension reloads (big_uery_handler.py:114,133).
+    One full-outer join of the current slice vs the batch; closed
+    history is a pass-through union and never joins."""
+    from datetime import date as _date
+
+    from ..operators.scd import scd2_apply, scd2_init
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    dim = scd2_init(cust, _date(2024, 1, 1))
+    batch = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    return scd2_apply(
+        dim, batch, "c_custkey", ["c_name", "c_acctbal"], _date(2024, 6, 1)
+    )
