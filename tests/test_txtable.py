@@ -488,3 +488,37 @@ def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
     assert len(t.files_in_range("k2", 10, 60)) < n_files
     # content-neutral
     assert sorted((r.k1, r.k2) for r in t.read().collect()) == before
+
+
+def test_zorder_on_date_column(spark, tmp_path):
+    """Temporal cluster keys bin on their epoch number: z-order on
+    (event_date, k) must prune files for BOTH a date range and a
+    numeric range."""
+    from datetime import date, timedelta
+
+    root = str(tmp_path / "tzd")
+    rows = [
+        (date(2024, 1, 1) + timedelta(days=i % 120), (i * 37) % 400)
+        for i in range(400)
+    ]
+
+    def batch(mod):
+        return spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 2 == mod],
+            "d date, k int",
+        ).coalesce(1)
+
+    t = TxTable.create(spark, root, batch(0), stats_cols=["d", "k"])
+    t.append(batch(1))
+    before = sorted((str(r.d), r.k) for r in t.read().collect())
+    sz = sum(
+        __import__("os").path.getsize(f) for f in t.snapshot().files
+    )
+    t.compact(target_bytes=max(1, sz // 4), cluster_by=["d", "k"], zorder=True)
+    n_files = len(t.snapshot().files)
+    assert n_files >= 3
+    assert 0 < len(
+        t.files_in_range("d", date(2024, 1, 10), date(2024, 1, 30))
+    ) < n_files
+    assert 0 < len(t.files_in_range("k", 10, 60)) < n_files
+    assert sorted((str(r.d), r.k) for r in t.read().collect()) == before
