@@ -390,3 +390,54 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_join(
         spark, "fpl_bucket.orders_b", "fpl_bucket.customer_b", "o_custkey"
     ).select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+_PIT_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       CASE WHEN o.o_custkey % 7 = 0 AND o.o_orderdate >= DATE '1995-01-01'
+            THEN c.c_acctbal + 100 ELSE c.c_acctbal END AS acctbal_then
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("q_join_pointintime", oracle=_PIT_ORACLE)
+def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — the consumer side of SCD2
+    (operators/scd.py): each order joins the customer VERSION whose
+    validity interval covers its order date, so a 1994 order sees the
+    pre-restatement balance and a 1996 order the +100 one.  Executed
+    as a key equi-join with the interval predicate in the join
+    condition; exactly one version matches per fact row by SCD2's
+    non-overlapping-interval invariant.  The dimension (versions ~
+    2x customers) broadcasts; the fact side never shuffles."""
+    from datetime import date as _date
+
+    from ..operators.scd import scd2_apply, scd2_init
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    dim = scd2_init(cust, _date(1992, 1, 1))
+    dim = scd2_apply(
+        dim,
+        cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100
+        ),
+        "c_custkey",
+        ["c_acctbal"],
+        _date(1995, 1, 1),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cond = (
+        (o.o_custkey == dim.c_custkey)
+        & (dim.valid_from <= o.o_orderdate)
+        & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to))
+    )
+    return o.join(F.broadcast(dim), cond).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("c_acctbal").alias("acctbal_then"),
+    )

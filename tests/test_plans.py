@@ -220,3 +220,13 @@ def test_cluster_star_bounded_lineage(spark):
     plan = formatted_plan(df)
     assert n_exchanges(df) <= 6, plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_pointintime_join_broadcasts_dimension(spark):
+    """The SCD2 version table is dimension-sized: it must broadcast
+    into the fact scan — a shuffled interval join of the 100 TB fact
+    side would be the classic temporal-join scale-killer."""
+    df = QUERIES["q_join_pointintime"](spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
