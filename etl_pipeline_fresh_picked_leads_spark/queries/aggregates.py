@@ -471,3 +471,32 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("min_key"),
         )
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, 'price' AS measure, o_totalprice AS value
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'cust' AS measure, CAST(o_custkey AS DOUBLE)
+FROM orders
+"""
+
+
+@query("q_unpivot", oracle=_UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long (UNPIVOT / melt), the inverse of q_pivot: each
+    measure column becomes a (name, value) row via ``unpivot`` — a
+    pure per-row Expand, no shuffle, output rows = rows x measures.
+    The tidy-format step feature pipelines use before per-measure
+    aggregation."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["price", "cust"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
