@@ -42,12 +42,13 @@ from . import analytics  # noqa: E402,F401
 # pinned by tests/ and tools/check_oracle.py).
 # Round-5 rotation (VERDICT r4 #1/#3): front-load (a) this round's
 # behavior changes — the reshaped q_embed_quantize (r4's one red row),
-# the three rows-only -> SQL-oracle promotions (q_text_langid,
-# q_agg_percentile_approx, q_stream_session_timeout — the last also
-# carries the out-of-order re-split fix in streaming/stateful.py), and
-# the replay-safe incremental-dedup index appends — then (b) the
-# scalar/UDF surface, driver-unverified since round 2, and (c) the
-# r1-last-verified scan/filter/sort/setop tail.  Union of
+# the five rows-only -> SQL-oracle promotions (q_text_langid,
+# q_agg_percentile_approx, q_stream_session_timeout, and the two
+# HLL contract oracles), the replay-safe incremental-dedup index
+# appends, and the eight NEW r5 queries (temperature mixing, time
+# travel, z-order, matview, SCD2 + point-in-time join, unpivot) —
+# then (b) the scalar/UDF surface, driver-unverified since round 2,
+# and (c) as much of the r1-last-verified tail as fits.  Union of
 # CORRECTNESS_r01-r04 already covers everything else; canaries stay
 # per ADVICE r2.
 _DRIVER_WINDOW = [
