@@ -68,3 +68,54 @@ def test_scd2_asof_point_in_time(spark):
     # three versions total, exactly one current
     assert dim.count() == 3
     assert dim.filter("is_current").count() == 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_scd2_invariants_under_arbitrary_batches(spark, data):
+    """Fold 1-3 random batches into a random initial dimension; for
+    ANY sequence: (a) exactly one current row per live key, (b) a
+    key's intervals are non-overlapping and contiguous, (c) the final
+    current slice equals a driver-side replay of last-write-wins."""
+    from datetime import timedelta
+
+    keys = list(range(1, data.draw(st.integers(2, 5)) + 1))
+    cities = ["rome", "oslo", "lima", None]
+
+    def rand_batch(avail):
+        ks = data.draw(
+            st.lists(st.sampled_from(avail), min_size=1, max_size=4,
+                     unique=True)
+        )
+        return [(k, data.draw(st.sampled_from(cities))) for k in ks]
+
+    init = [(k, data.draw(st.sampled_from(cities))) for k in keys]
+    dim = scd2_init(_mk(spark, init), D0)
+    expected = {k: c for k, c in init}
+    n_batches = data.draw(st.integers(1, 3))
+    for i in range(n_batches):
+        when = D0 + timedelta(days=30 * (i + 1))
+        batch = rand_batch(keys + [max(keys) + 1 + i])
+        dim = scd2_apply(dim, _mk(spark, batch), "k", ["city"], when)
+        expected.update({k: c for k, c in batch})
+
+    rows = dim.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    cur = {r.k: r.city for r in rows if r.is_current}
+    assert cur == expected  # last write wins
+    for k, vs in by_key.items():
+        assert sum(1 for r in vs if r.is_current) == 1
+        ordered = sorted(vs, key=lambda r: r.valid_from)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no overlap
+        assert ordered[-1].valid_to is None
