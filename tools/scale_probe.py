@@ -55,6 +55,10 @@ DEFAULT_QIDS = [
     "q_text_tokens",
     "q_sim_topk",
     "q_sim_join_ivf",
+    # r4/r5 additions measured in PLANS.md "Round-5 additions"
+    "q_text_dup_spans",
+    "q_dedup_incremental",
+    "q_mix_temperature",
 ]
 
 
