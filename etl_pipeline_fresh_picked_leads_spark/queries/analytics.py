@@ -320,3 +320,121 @@ def q_sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("bucket"))
         ).alias("p95_bucket"),
     )
+
+
+# OHLC bars: open/close picked by deterministic row order (ts,
+# event_id) via mirrored ROW_NUMBERs on both engines.
+_BARS_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket,
+         ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       CAST(MAX(value) AS DOUBLE) AS high,
+       CAST(MIN(value) AS DOUBLE) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r GROUP BY event_type, bucket
+"""
+
+
+@query("q_time_bars", oracle=_BARS_ORACLE)
+def q_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to 15-minute OHLC bars — the downsample
+    step every metrics/market pipeline runs.  Bucketing is a pure
+    projection (epoch div), open/close are first/last by the
+    deterministic (ts, event_id) order via two mirrored row_number
+    windows; the window partitions and the final groupBy share the
+    (event_type, bucket) key, so ONE shuffle serves all three."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    b = ev.select(
+        "event_type",
+        F.floor(epoch / 900).cast("long").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# Forward fill: DuckDB lacks IGNORE NULLS in last_value, so the oracle
+# derives the carried value via the max filled-position trick.
+_FFILL_ORACLE = """
+WITH planted AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+pos AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS rn
+  FROM planted
+),
+grp AS (
+  SELECT *, MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER (
+              PARTITION BY user_id ORDER BY rn
+              ROWS UNBOUNDED PRECEDING) AS src_rn
+  FROM pos
+)
+SELECT g.event_id, g.user_id, g.ts,
+       s.v AS value_filled
+FROM grp g LEFT JOIN pos s
+  ON s.user_id = g.user_id AND s.rn = g.src_rn
+"""
+
+
+@query("q_win_fill_forward", oracle=_FFILL_ORACLE)
+def q_win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap filling (last observation carried forward): every 3rd
+    reading is planted NULL, then filled from the user's most recent
+    non-NULL value in (ts, event_id) order — one window, one shuffle,
+    `last(..., ignorenulls=True)` doing the carry.  Leading NULLs
+    (no prior observation) stay NULL."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return planted.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+    )
