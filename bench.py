@@ -62,6 +62,10 @@ HEADLINE = [
     # explode) and z-order compaction (quantile binning + Morton sort)
     "q_mix_temperature",
     "q_txtable_zorder",
+    # composite TPC-H shapes: multi-join + agg + top-k end to end
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
 ]
 
 

@@ -29,6 +29,7 @@ from . import udfs  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 # --------------------------------------------------------------- ordering --
 # The driver verifies the FIRST 50 registry entries per round
@@ -63,6 +64,7 @@ _DRIVER_WINDOW = [
     "q_mix_temperature", "q_txtable_timetravel", "q_txtable_zorder",
     "q_matview_incremental", "q_scd2_merge", "q_join_pointintime",
     "q_unpivot", "q_time_bars", "q_win_fill_forward",
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
     "q_agg_approx_cd", "q_sketch_rollup",
     # r2-last-verified scalar/UDF surface (VERDICT r4 #3)
     "q_str_basic", "q_str_split", "q_str_regex",

@@ -1,0 +1,151 @@
+"""Composite TPC-H-shaped benchmark queries (adapted to the testdata's
+reduced column set): multi-join + aggregate + top-k pipelines that
+exercise Catalyst's join ordering, broadcast selection and partial
+aggregation together — the end-to-end shapes a reporting layer runs
+against a 100 TB warehouse, and the composition proof that the §2B
+operators work chained, not just alone.
+
+Hash discipline: revenue sums accumulate in DECIMAL on both engines
+(registry.dsum), every LIMIT breaks ties on the unique business key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_table
+from .registry import dsum, dsum_sql, query
+
+def _rev():
+    # built lazily: Column construction needs the live gateway
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q_tpch_q3", oracle=_Q3_ORACLE)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted): segment-filtered
+    customers ⨝ orders ⨝ lineitem, revenue per urgent order, top 10.
+    The dimension-most side filters first; Catalyst broadcasts the
+    filtered customer set and the date predicates push to both
+    scans."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("date")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("q_tpch_q5", oracle=_Q5_ORACLE)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-table join — region ⨝
+    nation ⨝ customer/supplier ⨝ orders ⨝ lineitem with the
+    same-nation constraint — revenue per Asian nation.  The regional
+    dimension chain collapses to broadcasts; only the fact-fact
+    order⨝lineitem join shuffles."""
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation").join(
+        r, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q_tpch_q10", oracle=_Q10_ORACLE)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): quarter of orders ⨝
+    returned lineitems ⨝ customer ⨝ nation, top-20 customers by lost
+    revenue.  TakeOrdered handles the limit — no global sort."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

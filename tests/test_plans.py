@@ -230,3 +230,18 @@ def test_pointintime_join_broadcasts_dimension(spark):
     assert has_broadcast_join(df)
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_composites_plan_shape(spark):
+    """The composite benchmark queries must compose the right physical
+    pieces: dimension chains broadcast, top-k limits plan as
+    TakeOrdered (no global sort), revenue aggregates combine
+    map-side."""
+    q3 = QUERIES["q_tpch_q3"](spark, SF_SMALL)
+    assert has_broadcast_join(q3)
+    assert has_take_ordered(q3), formatted_plan(q3)
+    q5 = QUERIES["q_tpch_q5"](spark, SF_SMALL)
+    assert has_broadcast_join(q5)
+    assert "partial_sum" in formatted_plan(q5)
+    q10 = QUERIES["q_tpch_q10"](spark, SF_SMALL)
+    assert has_take_ordered(q10), formatted_plan(q10)
