@@ -699,3 +699,18 @@ def test_temperature_mix_contract(docs):
         epochs.setdefault(r.doc_id, set()).add(r.epoch)
     for did, es in epochs.items():
         assert es == set(range(max(es) + 1)), (did, es)
+
+
+def test_temperature_mix_alpha_one_is_identity(docs):
+    """alpha=1 keeps natural proportions: every rate is exactly 1, so
+    the mix is the input corpus itself (epoch 0, no repeats, no
+    drops) on any source distribution."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    base = docs.select("doc_id", "lang")
+    out = temperature_mix(base, "doc_id", "lang", alpha=1.0).collect()
+    assert {(r.doc_id, r.epoch) for r in out} == {
+        (r.doc_id, 0) for r in base.collect()
+    }
