@@ -64,8 +64,31 @@ DEFAULT_QIDS = [
 
 def build_scaled(spark, base_dir: str, mult: int) -> str:
     out = os.path.join(SCRATCH, f"{os.path.basename(base_dir.rstrip('/'))}_x{mult}")
-    if os.path.isdir(os.path.join(out, "documents.parquet")):
+    if os.path.isdir(os.path.join(out, "lineitem.parquet")):
         return out  # reuse a previous synthesis
+    # relational side: dims copy verbatim, facts replicate with the
+    # key stride folded into every join key so replicas join ONLY
+    # within themselves (the relational-core probe in PLANS.md used
+    # exactly this; having it here makes that table reproducible and
+    # lets the composite TPC-H queries run at Nx)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(os.path.join(base_dir, f"{t}.parquet")) \
+            .write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    orders = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    for rep in range(mult):
+        off = rep * KEY_STRIDE
+        mode = "overwrite" if rep == 0 else "append"
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + off) \
+            .repartition(8).write.mode(mode) \
+            .parquet(os.path.join(out, "orders.parquet"))
+        li.withColumn("l_orderkey", F.col("l_orderkey") + off) \
+            .repartition(8).write.mode(mode) \
+            .parquet(os.path.join(out, "lineitem.parquet"))
+        ev.withColumn("event_id", F.col("event_id") + off) \
+            .repartition(8).write.mode(mode) \
+            .parquet(os.path.join(out, "events.parquet"))
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
     dim = len(emb.first()["embedding"])
