@@ -1267,3 +1267,34 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.5,
         max_repeat=4,
     ).select("doc_id", "lang", "epoch")
+
+
+# Pooled (mean) embedding per label, exploded to (label, pos, v) so
+# the driver hashes scalars; double sums round 6 dp on both sides.
+_EMBED_POOL_ORACLE = """
+SELECT label, CAST(i AS INT) AS pos,
+       ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS v
+FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+GROUP BY label, i
+"""
+
+
+@query("q_embed_pool", oracle=_EMBED_POOL_ORACLE)
+def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pooling: mean vector per label — the chunk->document
+    (or doc->class centroid) pooling step of an embedding pipeline.
+    posexplode + one (label, pos) groupBy: the shuffle carries scalar
+    components, dim-partitioned, so pooling a 100 TB embedding table
+    parallelizes over labels x dimensions, never materializing a
+    vector in driver memory."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    )
+    return ex.groupBy(
+        "label", (F.col("pos0") + 1).cast("int").alias("pos")
+    ).agg(
+        F.round(
+            F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("v")
+    )
