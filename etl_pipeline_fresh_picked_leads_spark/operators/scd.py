@@ -51,7 +51,10 @@ def scd2_apply(
     dimension state.  ``dim`` carries the business columns plus
     ``valid_from``/``valid_to``/``is_current``; ``batch`` carries only
     business columns.  Deterministic — no timestamps are generated,
-    ``batch_date`` is the caller's effective date."""
+    ``batch_date`` is the caller's effective date.  The batch must
+    carry at most one row per key (dedupe upstream, e.g.
+    operators/sampling.per_group_cap or a keyed window): duplicate
+    keys would fan out the join and insert conflicting versions."""
     bd = F.lit(batch_date).cast("date")
     data_cols = [c for c in dim.columns if c not in SCD_COLS]
     hist = dim.filter(~F.col("is_current"))
