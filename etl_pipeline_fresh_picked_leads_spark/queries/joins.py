@@ -441,3 +441,44 @@ def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("c_acctbal").alias("acctbal_then"),
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders
+),
+r AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END AS k,
+         c_name
+  FROM customer
+)
+SELECT l.o_orderkey, r.c_custkey, r.c_name
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+@query("q_join_nullsafe", oracle=_NULLSAFE_ORACLE)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): planted NULL
+    keys on both sides MATCH each other instead of silently dropping —
+    the semantics dirty-key reconciliation joins need (a standard
+    equi-join makes NULL-keyed rows vanish without an error).  Still
+    plans as a hash join: <=> is an equality family, not a theta
+    condition.  NOTE the NULL×NULL block is a cross-product of the
+    null-keyed rows — at 100 TB filter or salt the null class first
+    unless that product is the intent."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_custkey")).alias("k"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 != 0, F.col("c_custkey")).alias("lk"),
+        "c_name",
+    )
+    return o.join(c, o.k.eqNullSafe(c.lk)).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
