@@ -75,16 +75,25 @@ def train_eval_split(
 
 
 def chunk_documents(
-    docs: DataFrame, chunk_tokens: int = 50
+    docs: DataFrame, chunk_tokens: int = 50, overlap: int = 0
 ) -> DataFrame:
     """Split each document into fixed-size token chunks (the
     sequence-prep step before packing/tokenization): one output row
     per (doc_id, chunk_id) with the chunk text and its token count.
-    Pure explode — no shuffle, output rows ~ total_tokens/chunk."""
+    Pure explode — no shuffle, output rows ~ total_tokens/stride.
+
+    ``overlap`` tokens are shared between consecutive chunks (chunk i
+    starts at ``i * (chunk_tokens - overlap)``) — the sliding-window
+    variant RAG indexing and context-boundary-sensitive training prep
+    use so no span is ever split across chunks without a chunk that
+    contains it whole."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
     toked = docs.select(
         "doc_id", "lang", tokens(F.col("text")).alias("toks")
     )
-    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("int")
     chunked = toked.select(
         "doc_id",
         "lang",
@@ -92,7 +101,7 @@ def chunk_documents(
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
     )
     piece = F.slice(
-        F.col("toks"), F.col("chunk_id") * chunk_tokens + 1, chunk_tokens
+        F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens
     )
     return chunked.select(
         "doc_id",

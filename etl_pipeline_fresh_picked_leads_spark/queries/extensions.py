@@ -1298,3 +1298,34 @@ def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6
         ).alias("v")
     )
+
+
+# Sliding-window chunking: stride 40 = 50-token chunks with 10-token
+# overlap; same arithmetic as _CHUNK_ORACLE with the stride swapped.
+_CHUNK_OVERLAP_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(t[i * 40 + 1 : i * 40 + 50], ' ') AS chunk_text,
+       CAST(least(50, len(t) - i * 40) AS INT) AS chunk_tokens
+FROM toked CROSS JOIN generate_series(0, 79) s(i)
+WHERE i < CAST(ceil(len(t) / 40.0) AS BIGINT)
+"""
+
+
+@query("q_text_chunk_overlap", oracle=_CHUNK_OVERLAP_ORACLE)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (50-token chunks, 10-token overlap):
+    consecutive chunks share a boundary region so no token span is
+    split without some chunk containing it whole — the RAG-indexing /
+    context-sensitive variant of q_text_chunk.  Still a pure explode:
+    output rows ~ tokens/stride, no shuffle."""
+    from ..operators.sampling import chunk_documents
+
+    return chunk_documents(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=50, overlap=10
+    )
