@@ -128,11 +128,17 @@ class MatView:
         if applied is not None and self._all_appends_since(
             applied, src_snap.version
         ):
+            # delta pinned to [applied+1, src_snap.version]: a commit
+            # racing in after snapshot() must NOT be folded in under
+            # this tag, or the next refresh re-delivers it
             merged = self._merge(
-                self.mv.read(), self._partial(self.src.read_since(applied))
+                self.mv.read(),
+                self._partial(
+                    self.src.read_since(applied, until=src_snap.version)
+                ),
             )
         else:  # first build, or history contains a rewrite op
-            merged = self._partial(self.src.read())
+            merged = self._partial(self.src.read(version=src_snap.version))
         self.mv.overwrite(merged, txn=f"{_TXN_PREFIX}{src_snap.version}")
         return src_snap.version
 

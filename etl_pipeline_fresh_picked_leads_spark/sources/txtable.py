@@ -406,7 +406,7 @@ class TxTable:
             stats=self._merged_stats(base, list(base.files), []),
         )
 
-    def read_since(self, version: int) -> DataFrame:
+    def read_since(self, version: int, until: int | None = None) -> DataFrame:
         """Rows in files ADDED after ``version`` — incremental
         consumption without reprocessing the table (the append-only
         core of a change-data-feed).  Exact for append/compact-only
@@ -414,9 +414,16 @@ class TxTable:
         carried-along unchanged rows of those files appear too — an
         over-approximation, never a miss.  Downstream incremental
         consumers dedup on their own key, same contract as replaying
-        an at-least-once feed."""
+        an at-least-once feed.
+
+        ``until`` pins the upper bound to a specific committed version
+        (default: the newest).  A consumer that records the version it
+        processed MUST pin — against the live head, a commit landing
+        between "note the head version" and "read the delta" would be
+        consumed now but re-delivered next cycle (the matview
+        double-count race)."""
         old = self.snapshot(version)
-        head = self.snapshot()
+        head = self.snapshot(until)
         if old is None or head is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         new_files = [f for f in head.files if f not in set(old.files)]

@@ -170,3 +170,24 @@ def test_streaming_ingest_feeds_incremental_matview(spark, tmp_path):
     mv.refresh()
     assert TxTable(spark, src_root).snapshot().version == v_src
     assert mv.mv.snapshot().version == v_mv
+
+
+def test_refresh_delta_is_pinned_against_racing_appends(spark, tmp_path):
+    """read_since(until=...) bounds the delta at the version the
+    refresh tags: a commit landing after the snapshot is NOT folded
+    in now, and IS delivered by the next refresh — no double count."""
+    src_root = str(tmp_path / "src")
+    src = TxTable.create(spark, src_root, _mk(spark, [(1, 1.0)]))
+    mv = MatView(
+        spark, src_root, str(tmp_path / "mv"), keys=["k"], sum_cols=["v"]
+    )
+    mv.refresh()
+    src.append(_mk(spark, [(1, 2.0)]))          # v2: in this refresh
+    pinned = src.snapshot().version
+    src.append(_mk(spark, [(1, 100.0)]))        # v3: the racing commit
+    # simulate the race: delta computed against the pinned version
+    delta = src.read_since(1, until=pinned)
+    assert sorted(r.v for r in delta.collect()) == [2.0]
+    # full refresh (now sees v3) still converges to the exact total
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_full(spark, src))
