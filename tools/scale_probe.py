@@ -64,7 +64,10 @@ DEFAULT_QIDS = [
 
 def build_scaled(spark, base_dir: str, mult: int) -> str:
     out = os.path.join(SCRATCH, f"{os.path.basename(base_dir.rstrip('/'))}_x{mult}")
-    if os.path.isdir(os.path.join(out, "lineitem.parquet")):
+    if all(
+        os.path.isdir(os.path.join(out, f"{t}.parquet"))
+        for t in ("lineitem", "documents", "embeddings")
+    ):
         return out  # reuse a previous synthesis
     # relational side: dims copy verbatim, facts replicate with the
     # key stride folded into every join key so replicas join ONLY
@@ -110,6 +113,7 @@ def build_scaled(spark, base_dir: str, mult: int) -> str:
             F.array(
                 *[F.col("embedding")[p] for p in perm]
             ).alias("embedding"),
+            "label",
         )
         mode = "overwrite" if rep == 0 else "append"
         d.repartition(32).write.mode(mode).parquet(
