@@ -260,3 +260,214 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------- audio ----
+# RIFF/WAVE PCM: the classic uncompressed audio container, parseable
+# with nothing but struct — same tier as PPM/BMP for images.  MP3/AAC
+# need codec libs absent from this container and route to the same
+# decoder seam.
+
+
+def planted_wav_bytes(doc_id: int) -> bytes:
+    """A deterministic REAL mono 16-bit PCM WAV file per doc_id:
+    8 kHz, 800 + (doc_id % 5) * 160 samples, sample[i] =
+    ((doc_id * 31 + i * 7) % 2048) - 1024 — every downstream feature
+    re-derivable, and the bytes play in any audio tool."""
+    rate, n = 8000, 800 + (doc_id % 5) * 160
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 7) % 2048 - 1024).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM payload: chunk walk to fmt + data, then
+    int16 samples.  Raises ValueError on non-RIFF/non-PCM input."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    codec, channels, rate, _, _, bits = fmt
+    if codec != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV codec={codec} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n = len(samples) // channels
+    absam = np.abs(samples)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "peak": int(absam.max()) if n else None,
+        "mean_abs": int(absam.sum() // len(samples)) if n else None,
+    }
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("mean_abs", IntegerType()),
+    ]
+)
+
+
+def with_planted_audio(docs: DataFrame) -> DataFrame:
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: planted_wav_bytes(int(i)))
+
+    return docs.select("doc_id", gen(F.col("doc_id")).alias("payload"))
+
+
+def audio_features(payloads: DataFrame) -> DataFrame:
+    """WAV decode + signal features via mapInPandas (same Arrow-batch
+    shape and per-row error isolation as ``extract_features``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    f = decode_wav(bytes(payload))
+                    rows.append(
+                        (int(doc_id), True, f["sample_rate"], f["channels"],
+                         f["n_samples"], f["duration_ms"], f["peak"],
+                         f["mean_abs"])
+                    )
+                except ValueError:
+                    rows.append(
+                        (int(doc_id), False, None, None, None, None, None,
+                         None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[s.name for s in AUDIO_SCHEMA.fields]
+            )
+
+    return payloads.mapInPandas(run, AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------- video ----
+# YUV4MPEG2 (y4m): the standard UNCOMPRESSED video interchange format
+# (plain-text header + raw 4:2:0 planes per FRAME marker) — real
+# frame-sampling without codec libraries.  H.264 etc. swap in at the
+# same decoder seam.
+
+
+def planted_y4m_bytes(doc_id: int) -> bytes:
+    """A deterministic REAL y4m clip per doc_id: even WxH, 3 +
+    (doc_id % 4) frames, luma Y[f][y][x] = (x + 2y + 5f + doc_id) %
+    256, chroma planes constant 128.  mpv/ffplay can play these."""
+    w = 16 + (doc_id % 8) * 2
+    h = 16 + ((doc_id * 3) % 8) * 2
+    n_frames = 3 + doc_id % 4
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode("ascii")]
+    ys, xs = np.mgrid[0:h, 0:w]
+    chroma = np.full((h // 2) * (w // 2) * 2, 128, dtype=np.uint8).tobytes()
+    for f in range(n_frames):
+        luma = ((xs + 2 * ys + 5 * f + doc_id) % 256).astype(np.uint8)
+        out.append(b"FRAME\n" + luma.tobytes() + chroma)
+    return b"".join(out)
+
+
+def iter_y4m_frames(payload: bytes):
+    """Parse a y4m payload; yields (frame_idx, w, h, luma ndarray).
+    Raises ValueError on malformed input."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    frame_bytes = w * h + 2 * (w // 2) * (h // 2)  # C420
+    pos, idx = nl + 1, 0
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        start = fnl + 1
+        luma = np.frombuffer(payload[start : start + w * h], dtype=np.uint8)
+        if len(luma) != w * h:
+            raise ValueError("truncated frame")
+        yield idx, w, h, luma.reshape(h, w)
+        pos = start + frame_bytes
+        idx += 1
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+    ]
+)
+
+
+def with_planted_video(docs: DataFrame) -> DataFrame:
+    @F.pandas_udf(BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: planted_y4m_bytes(int(i)))
+
+    return docs.select("doc_id", gen(F.col("doc_id")).alias("payload"))
+
+
+def sample_frames(payloads: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling via mapInPandas — the 1:N variant of the decode
+    plumbing: each clip emits one row per kept frame (every
+    ``every``-th, starting at 0) with per-frame luma stats.  Undecodable
+    clips emit a single decode-failure row (frame_idx = -1) so failures
+    stay visible without killing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    for idx, w, h, luma in iter_y4m_frames(bytes(payload)):
+                        if idx % every:
+                            continue
+                        rows.append(
+                            (int(doc_id), idx, w, h,
+                             int(luma.sum()) // (w * h))
+                        )
+                except ValueError:
+                    rows.append((int(doc_id), -1, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[s.name for s in FRAME_SCHEMA.fields]
+            )
+
+    return payloads.mapInPandas(run, FRAME_SCHEMA)

@@ -65,6 +65,7 @@ _DRIVER_WINDOW = [
     "q_matview_incremental", "q_scd2_merge", "q_join_pointintime",
     "q_unpivot", "q_time_bars", "q_win_fill_forward",
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_embed_pool", "q_join_nullsafe", "q_text_chunk_overlap",
+    "q_audio_features", "q_video_frames",
     "q_agg_approx_cd", "q_sketch_rollup",
     # r2-last-verified scalar/UDF surface (VERDICT r4 #3)
     "q_str_basic", "q_str_split", "q_str_regex",

@@ -1329,3 +1329,79 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         read_table(spark, sf_dir, "documents"), chunk_tokens=50, overlap=10
     )
+
+
+# Planted WAV files are pure functions of doc_id, so the DECODED
+# signal features are SQL-expressible — hash-matching proves the RIFF
+# chunk walk + int16 parse read real bytes (same proof style as
+# q_multimodal_features).
+_AUDIO_ORACLE = """
+WITH g AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, abs(((doc_id * 31 + i * 7) % 2048) - 1024) AS a
+  FROM g CROSS JOIN generate_series(0, 1439) t(i) WHERE i < n
+)
+SELECT doc_id, TRUE AS decode_ok,
+       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       CAST(n AS INT) AS n_samples,
+       CAST(n // 8 AS INT) AS duration_ms,
+       CAST(MAX(a) AS INT) AS peak,
+       CAST(SUM(a) // n AS INT) AS mean_abs
+FROM s GROUP BY doc_id, n
+"""
+
+
+@query("q_audio_features", oracle=_AUDIO_ORACLE)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + signal features: deterministic REAL RIFF/PCM WAV
+    payloads per doc, decoded by the pure-Python chunk walk in
+    operators/multimodal.decode_wav inside Arrow-batched mapInPandas
+    (duration / peak / mean-abs amplitude — the audio-quality triage
+    a speech-corpus pipeline runs before transcription)."""
+    from ..operators.multimodal import audio_features, with_planted_audio
+
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_features(with_planted_audio(docs))
+
+
+# Frame sampling over planted y4m clips: 1:N decode plumbing; luma
+# means re-derived from the generator formula per sampled frame.
+_VIDEO_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 16 + (doc_id % 8) * 2 AS w,
+         16 + ((doc_id * 3) % 8) * 2 AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx
+  FROM g CROSS JOIN generate_series(0, 6) t(f)
+  WHERE f < nf AND f % 2 = 0
+),
+px AS (
+  SELECT doc_id, frame_idx, w, h,
+         SUM((x + 2 * y + 5 * frame_idx + doc_id) % 256) AS total
+  FROM fr
+  CROSS JOIN generate_series(0, 29) tx(x)
+  CROSS JOIN generate_series(0, 29) ty(y)
+  WHERE x < w AND y < h
+  GROUP BY doc_id, frame_idx, w, h
+)
+SELECT doc_id, frame_idx, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(total // (w * h) AS INT) AS mean_luma
+FROM px
+"""
+
+
+@query("q_video_frames", oracle=_VIDEO_ORACLE)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: deterministic REAL YUV4MPEG2 clips per
+    doc, every 2nd frame kept, per-frame mean luma — the 1:N
+    mapInPandas shape (one clip in, one row per sampled frame out)
+    that frame-level dedup/captioning pipelines are built on
+    (operators/multimodal.sample_frames)."""
+    from ..operators.multimodal import sample_frames, with_planted_video
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_frames(with_planted_video(docs), every=2)

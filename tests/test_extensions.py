@@ -714,3 +714,60 @@ def test_temperature_mix_alpha_one_is_identity(docs):
     assert {(r.doc_id, r.epoch) for r in out} == {
         (r.doc_id, 0) for r in base.collect()
     }
+
+
+def test_decode_wav_known_samples():
+    import struct as _struct
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    # hand-built 4-sample mono 16-bit 8kHz WAV
+    data = _struct.pack("<4h", 100, -200, 300, -50)
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+           + b"data" + _struct.pack("<I", len(data)) + data)
+    f = decode_wav(wav)
+    assert f["n_samples"] == 4 and f["peak"] == 300
+    assert f["mean_abs"] == (100 + 200 + 300 + 50) // 4
+    assert f["duration_ms"] == 0  # 4 samples @ 8kHz
+    for bad in (b"", b"RIFFxxxxWAVE", b"OggS....."):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_video_frame_sampling_alignment_and_isolation(spark):
+    """1:N frame plumbing: sampled frame count per clip is
+    ceil(n_frames / 2); an undecodable payload yields one
+    frame_idx=-1 row instead of failing the batch."""
+    import pandas as pd
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.multimodal import (
+        planted_y4m_bytes,
+        sample_frames,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 99],
+            "payload": [
+                planted_y4m_bytes(0),
+                planted_y4m_bytes(1),
+                b"not a video",
+                planted_y4m_bytes(99),
+            ],
+        }
+    )
+    out = sample_frames(spark.createDataFrame(pdf), every=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did in (0, 1, 99):
+        nf = 3 + did % 4
+        assert [r.frame_idx for r in sorted(by_doc[did], key=lambda r: r.frame_idx)] == list(range(0, nf, 2))
+    assert [r.frame_idx for r in by_doc[2]] == [-1]
+    assert by_doc[2][0].mean_luma is None
