@@ -303,7 +303,10 @@ def decode_wav(payload: bytes) -> dict:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as e:  # truncated chunk: decode error,
+                raise ValueError(f"bad fmt chunk: {e}")  # not a crash
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
