@@ -500,3 +500,45 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY n DESC, l_quantity) AS rn
+  FROM c
+)
+SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty, n AS n_rows
+FROM r WHERE rn = 1
+"""
+
+
+@query("q_agg_mode", oracle=_MODE_ORACLE)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent value per group with an
+    explicit tie-break (smallest value) — the reproducible replacement
+    for the built-in ``mode()``, whose tie winner is
+    partitioning-dependent on both engines.  count-groupBy + one
+    window; the WindowGroupLimit pre-trim applies like any top-1."""
+    from pyspark.sql.window import Window
+
+    l = read_table(spark, sf_dir, "lineitem")
+    c = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("mode_qty"),
+            F.col("n").alias("n_rows"),
+        )
+    )
