@@ -234,3 +234,61 @@ def dedup_clusters(
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle census over an undirected pair graph:
+    degree, wedge count (d choose 2) and triangle membership, plus the
+    local clustering coefficient — the cluster-density diagnostics a
+    near-dup graph audit runs before choosing dedup survivors (a
+    high-degree, low-coefficient node is a template/boilerplate hub,
+    not a genuine duplicate cluster).
+
+    Triangles enumerate via the ORDERED orientation (every edge kept
+    as a<b only): each triangle a<b<c matches exactly one
+    (p1=(a,b), p2=(b,c), p3=(a,c)) triple, so the count needs no
+    dedup and the heavy side of the join fans out by the ordered —
+    not total — degree (the standard degree-reduction; at 100 TB
+    orient by (degree, id) instead of raw id to shave hubs).  Two
+    self-joins on edge endpoints; no Python."""
+    e = pairs.select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_vertex = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    wedges = (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+    return (
+        deg.join(per_vertex, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            "degree",
+            wedges.alias("wedges"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                wedges > 0,
+                F.round(F.coalesce(F.col("triangles"), F.lit(0)) / wedges, 6),
+            ).alias("clustering_coef"),
+        )
+    )

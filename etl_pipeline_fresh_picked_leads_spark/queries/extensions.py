@@ -1405,3 +1405,62 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return sample_frames(with_planted_video(docs), every=2)
+
+
+# Triangle census over the exact ngram pair graph (same pairs CTE as
+# _CLUSTER_ORACLE); DuckDB enumerates the ordered triples and the
+# per-vertex rollup identically.
+_TRIANGLES_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+),
+deg AS (
+  SELECT v, COUNT(*) AS degree FROM (
+    SELECT pa AS v FROM pairs UNION ALL SELECT pb AS v FROM pairs
+  ) GROUP BY v
+),
+tri AS (
+  SELECT p1.pa AS x, p1.pb AS y, p2.pb AS z
+  FROM pairs p1 JOIN pairs p2 ON p1.pb = p2.pa
+                JOIN pairs p3 ON p3.pa = p1.pa AND p3.pb = p2.pb
+),
+pv AS (
+  SELECT v, COUNT(*) AS triangles FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+    UNION ALL SELECT z AS v FROM tri
+  ) GROUP BY v
+)
+SELECT d.v AS doc_id, d.degree,
+       CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS wedges,
+       COALESCE(pv.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         ROUND(COALESCE(pv.triangles, 0) * 1.0
+               / (d.degree * (d.degree - 1) / 2), 6)
+       END AS clustering_coef
+FROM deg d LEFT JOIN pv ON pv.v = d.v
+"""
+
+
+@query("q_graph_triangles", oracle=_TRIANGLES_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph (operators/graph.py
+    triangle_stats): per-doc degree, wedges, triangle membership and
+    local clustering coefficient — distinguishes genuine duplicate
+    cliques (coef ~1) from boilerplate hubs (high degree, coef ~0)
+    before survivor selection.  Ordered-orientation enumeration: two
+    equi-joins, no dedup pass, fan-out bounded by ordered degree."""
+    from ..operators.graph import triangle_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return triangle_stats(ngram_jaccard_pairs(docs, threshold=0.35))
