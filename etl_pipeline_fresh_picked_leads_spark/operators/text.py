@@ -312,7 +312,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def dup_span_signals(docs: DataFrame, n: int = 5) -> DataFrame:
+def dup_span_signals(
+    docs: DataFrame, n: int = 5, key_slices: int = 1
+) -> DataFrame:
     """Exact duplicated-span detection (the Lee et al. 2022
     "Deduplicating Training Data" signal): for each doc, the fraction
     of its tokens covered by word n-grams that also occur in at least
@@ -339,6 +341,16 @@ def dup_span_signals(docs: DataFrame, n: int = 5) -> DataFrame:
     oracle only checks the per-doc OUTPUT stats, which are invariant
     under injective key renaming), and fixed-width longs shuffle and
     compare far cheaper than n-word strings.
+
+    ``key_slices=K`` bounds that shuffle: the detection stage runs K
+    passes, each over the grams whose hash lands in one key-range
+    slice — EXACT, because every instance of a gram shares its hash
+    and therefore its slice (doc-sharding would miss cross-shard
+    duplicates).  Only the slice's dup POSITIONS survive each pass;
+    the coverage window then runs once over the union, which is
+    duplicated-content-sized, not corpus-sized.  K trades wall-clock
+    (K corpus re-reads) for peak shuffle footprint (1/K) — the knob
+    for the 100 TB capacity-model row.  K=1 is the single-pass plan.
     """
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -357,15 +369,31 @@ def dup_span_signals(docs: DataFrame, n: int = 5) -> DataFrame:
         .persist()
     )
     ex.count()  # both branches below must reuse, not recompute
-    dup_grams = (
-        ex.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
+
+    def dup_positions(grams):
+        dg = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("g")
+        )
+        return grams.join(dg, "g").select("doc_id", "pos")
+
+    if key_slices <= 1:
+        dup_pos = dup_positions(ex)
+    else:
+        parts = [
+            dup_positions(
+                ex.filter(F.pmod(F.xxhash64("g"), F.lit(key_slices)) == i)
+            )
+            for i in range(key_slices)
+        ]
+        dup_pos = parts[0]
+        for p in parts[1:]:
+            dup_pos = dup_pos.unionAll(p)
     w = Window.partitionBy("doc_id").orderBy("pos")
     covered = (
-        ex.join(dup_grams, "g")
+        dup_pos
         .select(
             "doc_id",
             "pos",

@@ -771,3 +771,23 @@ def test_video_frame_sampling_alignment_and_isolation(spark):
         assert [r.frame_idx for r in sorted(by_doc[did], key=lambda r: r.frame_idx)] == list(range(0, nf, 2))
     assert [r.frame_idx for r in by_doc[2]] == [-1]
     assert by_doc[2][0].mean_luma is None
+
+
+def test_dup_spans_key_slicing_is_exact(docs):
+    """key_slices=K decomposes the gram-detection shuffle into K
+    exact passes: output must be identical to the single-pass run
+    (gram instances co-locate by hash slice, so no cross-slice
+    duplicate is ever missed)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        dup_span_signals,
+    )
+
+    one = {
+        (r.doc_id, r.n_dup_grams, r.dup_tokens, r.dup_fraction)
+        for r in dup_span_signals(docs, n=5).collect()
+    }
+    sliced = {
+        (r.doc_id, r.n_dup_grams, r.dup_tokens, r.dup_fraction)
+        for r in dup_span_signals(docs, n=5, key_slices=3).collect()
+    }
+    assert one == sliced
