@@ -281,6 +281,29 @@ def _store_cached_centers(spark, key: tuple, centers: list[list[float]]) -> None
         pass  # just means the other writer's identical fit landed
 
 
+def _coarse_groups(centers: list, kc: int, seed: int = 7):
+    """Tiny driver-side Lloyd k-means over the FINE centroids (nlist
+    points, numpy) — builds the two-level routing table.  Deterministic
+    (seeded init by hash order); cost is O(nlist * kc * dim * iters)
+    on nlist points, microscopic next to any data pass."""
+    import numpy as np
+
+    pts = np.asarray(centers, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    reps = pts[rng.permutation(len(pts))[:kc]].copy()
+    for _ in range(15):
+        d = ((pts[:, None, :] - reps[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for g in range(kc):
+            m = pts[lab == g]
+            if len(m):
+                reps[g] = m.mean(axis=0)
+    groups = [[int(j) for j in np.where(lab == g)[0]] for g in range(kc)]
+    # an empty coarse group contributes an empty candidate list — keep
+    # it (expressions handle zero-length arrays)
+    return reps.tolist(), groups
+
+
 def ivf_assign(
     vecs: DataFrame,
     nlist: int = 16,
@@ -289,6 +312,7 @@ def ivf_assign(
     sample_cap: int = 100_000,
     replicas: int = 4,
     use_index: bool = True,
+    two_level: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Coarse quantizer: seeded spherical k-means (Spark ML KMeans on
     L2-normalized vectors — Euclidean on the unit sphere is monotone
@@ -304,7 +328,17 @@ def ivf_assign(
     across calls AND sessions via the fingerprint-keyed side index
     (see module comment above): the second ivf query on an unchanged
     corpus skips the k-means entirely and goes straight to the
-    map-only assignment pass."""
+    map-only assignment pass.
+
+    ``two_level=kc`` routes assignment hierarchically: score ``kc``
+    coarse representatives (a driver-side k-means over the FINE
+    centroids), probe the best 4 coarse groups, and score only their
+    fine members — per-row compute drops from nlist*dim to
+    ~(kc + 4*nlist/kc)*dim, which at ``kc ~ sqrt(nlist)`` turns the
+    nlist ∝ n assignment from the quadratic term of the 100 TB
+    capacity model into ~sqrt(n).  Routing is approximate at coarse-
+    group boundaries (the standard IVF-of-IVF trade; recall vs flat
+    is pinned in tests); still map-only, still zero Python."""
     spark = vecs.sparkSession
     unit = with_norms(vecs, vec_col)
 
@@ -359,38 +393,90 @@ def ivf_assign(
     # so cell selection is a map-only JVM expression: per row, score
     # all centroids, sort, slice top-r, explode.  No shuffle, no
     # window, no Python.
-    cent_lit = F.lit([[float(x) for x in c] for c in centers])
-    cn_lit = F.lit(
-        [float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers]
-    )
-
-    def cell_score(i):
-        cv = F.element_at(cent_lit, i + 1)
-        cos = _dot(F.col("v"), cv) / (
-            F.col("nrm") * F.element_at(cn_lit, i + 1)
+    norms = [float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers]
+    if two_level and two_level < len(centers):
+        # hierarchical routing: coarse reps + per-group fine members,
+        # all as single nested literals; per-row cost ~(kc + 4*nlist/kc)*dim
+        reps, groups = _coarse_groups(centers, two_level)
+        rep_lit = F.lit([[float(x) for x in r] for r in reps])
+        rep_cn = F.lit(
+            [float(sum(x * x for x in r) ** 0.5) or 1.0 for r in reps]
         )
-        return F.struct((-cos).alias("negcos"), i.alias("cid"))
+        gid_lit = F.lit(groups)
+        gcv_lit = F.lit([[centers[j] for j in g] for g in groups])
+        gcn_lit = F.lit([[norms[j] for j in g] for g in groups])
 
-    assignments = (
-        unit.withColumn(
-            "cells",
-            F.slice(
-                F.sort_array(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                        cell_score,
-                    )
-                ),
-                1,
-                min(replicas, nlist),
+        def rep_score(i):
+            rv = F.element_at(rep_lit, i + 1)
+            cos = _dot(F.col("v"), rv) / (
+                F.col("nrm") * F.element_at(rep_cn, i + 1)
+            )
+            return F.struct((-cos).alias("negcos"), i.alias("gid"))
+
+        probed = F.slice(
+            F.sort_array(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(reps) - 1)), rep_score
+                )
             ),
+            1,
+            min(4, two_level),
         )
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            F.explode(F.col("cells.cid")).alias("centroid_id"),
+
+        def fine_scores(g):
+            ids = F.element_at(gid_lit, g + 1)
+            cvs = F.element_at(gcv_lit, g + 1)
+            cns = F.element_at(gcn_lit, g + 1)
+            # 2-param transform lambda receives (element, 0-based index)
+            return F.transform(
+                cvs,
+                lambda cv, i: F.struct(
+                    (
+                        -(
+                            _dot(F.col("v"), cv)
+                            / (F.col("nrm") * F.element_at(cns, i + 1))
+                        )
+                    ).alias("negcos"),
+                    F.element_at(ids, i + 1).alias("cid"),
+                ),
+            )
+
+        cells = F.slice(
+            F.sort_array(
+                F.flatten(
+                    F.transform(probed, lambda st: fine_scores(st["gid"]))
+                )
+            ),
+            1,
+            min(replicas, nlist),
         )
+    else:
+        cent_lit = F.lit([[float(x) for x in c] for c in centers])
+        cn_lit = F.lit(norms)
+
+        def cell_score(i):
+            cv = F.element_at(cent_lit, i + 1)
+            cos = _dot(F.col("v"), cv) / (
+                F.col("nrm") * F.element_at(cn_lit, i + 1)
+            )
+            return F.struct((-cos).alias("negcos"), i.alias("cid"))
+
+        cells = F.slice(
+            F.sort_array(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                    cell_score,
+                )
+            ),
+            1,
+            min(replicas, nlist),
+        )
+
+    assignments = unit.withColumn("cells", cells).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(F.col("cells.cid")).alias("centroid_id"),
     )
     return centroids, assignments
 
@@ -449,6 +535,7 @@ def ivf_self_join(
     threshold: float = 0.4,
     nlist: int | None = None,
     replicas: int = 4,
+    two_level: int | None = None,
 ) -> DataFrame:
     """Approximate cosine threshold self-join, IVF-pruned: candidates
     are pairs sharing at least one of their ``replicas`` nearest
@@ -470,7 +557,9 @@ def ivf_self_join(
     """
     if nlist is None:
         nlist = max(16, vecs.count() // 64)
-    _, assignments = ivf_assign(vecs, nlist, replicas=replicas)
+    _, assignments = ivf_assign(
+        vecs, nlist, replicas=replicas, two_level=two_level
+    )
     assignments = assignments.persist()
     assignments.count()  # materialize before self-join (dedup.py:116 trap)
     right = assignments.select(

@@ -62,3 +62,42 @@ def test_ivf_recall_floor_at_defaults_sf01(emb01):
     # must not beat the default (the reason replicas=4 IS the default)
     low_rep = _recalls(emb01, qids, exact, nprobe=4, replicas=1)
     assert sum(low_rep) <= sum(at_default)
+
+
+def test_two_level_assignment_recall_close_to_flat(spark, emb01):
+    """Hierarchical (coarse->fine) centroid routing — the path that
+    keeps nlist ∝ n assignment sub-quadratic at 100 TB — may cost only
+    a small recall delta vs flat scoring of all centroids.  Measured:
+    candidate recall 0.845 (kc=6) vs 0.870 flat at nlist=31."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+        cosine_self_join,
+        ivf_assign,
+    )
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in cosine_self_join(emb01, threshold=0.4).collect()
+    }
+
+    def recall(two_level):
+        _, a = ivf_assign(emb01, nlist=31, use_index=False,
+                          two_level=two_level)
+        a = a.persist()
+        a.count()
+        r = a.select("centroid_id", F.col("vec_id").alias("rv"))
+        cands = {
+            (x.vec_id, x.rv)
+            for x in a.join(r, "centroid_id")
+            .filter(F.col("vec_id") < F.col("rv"))
+            .select("vec_id", "rv")
+            .distinct()
+            .collect()
+        }
+        a.unpersist()
+        return len(exact & cands) / len(exact)
+
+    flat, hier = recall(None), recall(6)
+    assert hier >= flat - 0.05, (flat, hier)
+    assert hier >= 0.8
