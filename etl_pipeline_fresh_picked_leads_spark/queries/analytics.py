@@ -438,3 +438,57 @@ def q_win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+# Date spine: every (event_type, day) in the observed global range,
+# zero-filled where no events happened.
+_DENSIFY_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, CAST(b.lo + to_days(CAST(i AS INT)) AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds b
+  CROSS JOIN generate_series(0, 5000) s(i)
+  WHERE b.lo + to_days(CAST(i AS INT)) <= b.hi
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, COALESCE(daily.n, 0) AS n_events
+FROM spine s LEFT JOIN daily USING (event_type, day)
+"""
+
+
+@query("q_time_densify", oracle=_DENSIFY_ORACLE)
+def q_time_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a (event_type x day) spine over the
+    observed range, zero-filled where nothing happened — the step that
+    turns sparse event aggregates into chartable/LOCF-able series
+    (missing-row creation; q_win_fill_forward fills missing VALUES).
+    The spine is a 1-row bounds aggregate broadcast into a
+    sequence-explode — spine size = types x days, never event-scan
+    sized; daily counts shuffle once."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
