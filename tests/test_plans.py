@@ -245,3 +245,29 @@ def test_tpch_composites_plan_shape(spark):
     assert "partial_sum" in formatted_plan(q5)
     q10 = QUERIES["q_tpch_q10"](spark, SF_SMALL)
     assert has_take_ordered(q10), formatted_plan(q10)
+
+
+def test_densify_spine_is_broadcast_and_single_event_shuffle(spark):
+    """The (type x day) spine derives from a 1-row bounds aggregate
+    and a distinct-types set — both broadcast; the event stream
+    shuffles once for the daily counts."""
+    df = QUERIES["q_time_densify"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "partial_count" in plan or "partial_" in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_triangle_census_all_jvm(spark):
+    df = QUERIES["q_graph_triangles"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_embed_pool_partial_aggregates(spark):
+    """Pooling combines map-side: the shuffle carries (label, pos)
+    partial sums, not raw exploded components."""
+    df = QUERIES["q_embed_pool"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan
+    assert "Python" not in plan and "Arrow" not in plan
