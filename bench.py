@@ -66,6 +66,9 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q10",
+    # time-series resampling + gap filling
+    "q_time_bars",
+    "q_win_fill_forward",
 ]
 
 
