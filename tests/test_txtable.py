@@ -522,3 +522,32 @@ def test_zorder_on_date_column(spark, tmp_path):
     ) < n_files
     assert 0 < len(t.files_in_range("k", 10, 60)) < n_files
     assert sorted((str(r.d), r.k) for r in t.read().collect()) == before
+
+
+def test_zorder_edge_distributions(spark, tmp_path):
+    """Quantile binning must survive hostile distributions: negative
+    values, heavy duplicates (repeated boundaries -> empty bins) and a
+    CONSTANT column (every boundary identical).  Content neutrality is
+    the invariant; pruning is best-effort on the degenerate column."""
+    import os as _os
+
+    root = str(tmp_path / "tze")
+    rows = (
+        [(-i, 7, i % 3) for i in range(200)]      # negative keys, const col
+        + [(i, 7, 5) for i in range(200)]         # duplicate-heavy
+    )
+    df = spark.createDataFrame(rows, "a int, b int, c int").coalesce(1)
+    t = TxTable.create(spark, root, df, stats_cols=["a", "b"])
+    t.append(df.select((F.col("a") + 1000).alias("a"), "b", "c").coalesce(1))
+    before = sorted((r.a, r.b, r.c) for r in t.read().collect())
+    sz = sum(_os.path.getsize(f) for f in t.snapshot().files)
+    v = t.compact(
+        target_bytes=max(1, sz // 4), cluster_by=["a", "b"], zorder=True
+    )
+    assert t.snapshot().version == v
+    assert sorted((r.a, r.b, r.c) for r in t.read().collect()) == before
+    n_files = len(t.snapshot().files)
+    # the varying column still prunes; the constant column degrades
+    # gracefully (opens everything, loses nothing)
+    assert 0 < len(t.files_in_range("a", -50, -10)) < n_files
+    assert len(t.files_in_range("b", 7, 7)) == n_files
