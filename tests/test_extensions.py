@@ -791,3 +791,20 @@ def test_dup_spans_key_slicing_is_exact(docs):
         for r in dup_span_signals(docs, n=5, key_slices=3).collect()
     }
     assert one == sliced
+
+
+def test_temperature_mix_max_repeat_cap(spark):
+    """A pathologically rare source would get an unbounded rate;
+    max_repeat clamps it — epochs never exceed the cap and the rare
+    rows appear exactly max_repeat times (floor(4.0) guaranteed
+    copies, no fractional copy)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "doc_id", "lang", alpha=0.0, max_repeat=4)
+    rare = [r.epoch for r in out.filter("lang = 'rare'").collect()]
+    assert sorted(rare) == [0, 1, 2, 3]  # capped at exactly 4 copies
+    assert out.filter("lang = 'big'").count() == 400  # dominant: rate 1

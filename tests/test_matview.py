@@ -191,3 +191,31 @@ def test_refresh_delta_is_pinned_against_racing_appends(spark, tmp_path):
     # full refresh (now sees v3) still converges to the exact total
     mv.refresh()
     assert _rows(mv.read()) == _rows(_full(spark, src))
+
+
+def test_matview_composite_keys(spark, tmp_path):
+    """Multi-column grouping keys merge correctly through the
+    full-outer join (coalesced key columns, not ambiguous refs)."""
+    src_root = str(tmp_path / "src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k1 int, k2 string, v double"
+    )
+    src = TxTable.create(
+        spark, src_root, mk([(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)])
+    )
+    mv = MatView(
+        spark, src_root, str(tmp_path / "mv"), keys=["k1", "k2"],
+        sum_cols=["v"],
+    )
+    mv.refresh()
+    src.append(mk([(1, "a", 0.5), (3, "c", 9.0)]))
+    mv.refresh()
+    got = {
+        (r.k1, r.k2): (r.n_rows, str(r.sum_v)) for r in mv.read().collect()
+    }
+    assert got == {
+        (1, "a"): (2, "1.50"),
+        (1, "b"): (1, "2.00"),
+        (2, "a"): (1, "3.00"),
+        (3, "c"): (1, "9.00"),
+    }
