@@ -808,3 +808,21 @@ def test_temperature_mix_max_repeat_cap(spark):
     rare = [r.epoch for r in out.filter("lang = 'rare'").collect()]
     assert sorted(rare) == [0, 1, 2, 3]  # capped at exactly 4 copies
     assert out.filter("lang = 'big'").count() == 400  # dominant: rate 1
+
+
+def test_decode_wav_stereo():
+    import struct as _struct
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    # 3 stereo frames (L,R interleaved), 16-bit 44.1kHz
+    data = _struct.pack("<6h", 10, -10, 20, -20, 30, -30)
+    fmt = _struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+           + b"data" + _struct.pack("<I", len(data)) + data)
+    f = decode_wav(wav)
+    assert f["channels"] == 2 and f["n_samples"] == 3
+    assert f["peak"] == 30 and f["mean_abs"] == 20
