@@ -8,16 +8,18 @@ Arrow-batched ``mapInPandas`` — the only sane shape for CPU-heavy
 per-item Python work at scale (one Python worker per partition, whole
 Arrow batches across the boundary, no shuffle).
 
-``decode_image`` is a REAL pure-Python decoder for the two classic
-uncompressed raster formats (netpbm PPM/PGM and 24-bpp Windows BMP):
-struct-parsed headers, real pixel extraction, real width/height/
-channel/mean-pixel features.  Compressed formats (PNG/JPEG) need a
-codec library that is not in this container; they route to the same
-seam — swap the decoder, the Spark plumbing does not change.  The
-test corpus carries text, so ``with_planted_images`` synthesizes
-deterministic PPM/BMP payloads per doc_id: the bytes flowing through
-mapInPandas are genuine image files that any external tool could
-open.
+All three modalities ship REAL pure-Python decoders for their
+classic uncompressed container: ``decode_image`` (netpbm PPM/PGM +
+24-bpp Windows BMP), ``decode_wav`` (RIFF/WAVE 16-bit PCM audio) and
+``iter_y4m_frames`` (YUV4MPEG2 video — 1:N frame sampling).
+Compressed formats (PNG/JPEG, MP3/AAC, H.264) need codec libraries
+that are not in this container; they route to the same seam — swap
+the decoder, the Spark plumbing (Arrow batches, per-row error
+isolation, 1:1 or 1:N output shape) does not change.  The test corpus
+carries text, so the ``with_planted_*`` generators synthesize
+deterministic payloads per doc_id: the bytes flowing through
+mapInPandas are genuine media files any external tool could open, and
+every decoded feature is re-derivable in the DuckDB oracle.
 """
 
 from __future__ import annotations
