@@ -85,10 +85,16 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for qid in HEADLINE:
         t0 = time.time()
-        QUERIES[qid](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.time() - t0, 3)
+        try:
+            QUERIES[qid](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[qid] = round(time.time() - t0, 3)
+        except Exception as e:  # one broken query must not void the run
+            errors[qid] = str(e).splitlines()[0][:200]
 
     total = round(sum(timings.values()), 3)
     # Canary normalization (VERDICT r4 item 6): the box's wall-clock
@@ -109,6 +115,7 @@ def main() -> None:
                 "canary_sec": canary,
                 "queries_normalized": normalized,
                 "total_normalized": round(total / canary, 3),
+                "errors": errors,
                 "sf": float(sf),
             }
         )
