@@ -700,3 +700,38 @@ def quantize_embeddings_int8(
         "vec_id",
         F.transform(_as_double(F.col(vec_col)), q).alias("qvec"),
     )
+
+
+def cosine_topk_batch(
+    vecs: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Multi-query exact top-k — the SERVING shape (a batch of query
+    vectors against the corpus), vs ``cosine_topk``'s single probe.
+    All query vectors broadcast as one small table; ONE corpus pass
+    scores every (vector, query) pair and a per-query row_number trims
+    to k — Spark inserts WindowGroupLimit, so each mapper ships at
+    most k rows per query, not the scored corpus.  Corpus-side cost is
+    nq·dim per row; at 100 TB you batch the day's queries and pay one
+    scan for all of them instead of one scan each."""
+    from pyspark.sql.window import Window
+
+    base = with_norms(vecs)
+    q = base.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

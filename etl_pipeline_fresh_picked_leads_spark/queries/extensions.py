@@ -1464,3 +1464,46 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return triangle_stats(ngram_jaccard_pairs(docs, threshold=0.35))
+
+
+# Batch serving shape: 3 query vectors, one corpus pass, top-10 each.
+_TOPK_BATCH_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+q AS (SELECT vec_id AS query_id, i, x FROM flat WHERE vec_id IN (0, 1, 2)),
+dots AS (
+  SELECT q.query_id, f.vec_id, SUM(f.x * q.x) AS dot
+  FROM flat f JOIN q ON f.i = q.i
+  WHERE f.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         round(d.dot / (n.nrm * nq.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms n ON d.vec_id = n.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= 10
+"""
+
+
+@query("q_sim_topk_batch", oracle=_TOPK_BATCH_ORACLE)
+def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k (operators/similarity.cosine_topk_batch):
+    3 query vectors broadcast, ONE corpus pass scores all of them,
+    WindowGroupLimit trims per query — the serving-batch shape that
+    amortizes the 100 TB scan across the query set."""
+    from ..operators.similarity import cosine_topk_batch
+
+    return cosine_topk_batch(
+        read_table(spark, sf_dir, "embeddings"), [0, 1, 2], k=10
+    )
