@@ -271,3 +271,14 @@ def test_embed_pool_partial_aggregates(spark):
     plan = formatted_plan(df)
     assert "partial_sum" in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_batch_topk_broadcasts_queries_and_pretrims(spark):
+    """The query set broadcasts (corpus never shuffles for scoring)
+    and the per-query limit pre-trims map-side (WindowGroupLimit):
+    each mapper ships <= k rows per query, not the scored corpus."""
+    df = QUERIES["q_sim_topk_batch"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan
