@@ -279,6 +279,7 @@ def test_batch_topk_broadcasts_queries_and_pretrims(spark):
     each mapper ships <= k rows per query, not the scored corpus."""
     df = QUERIES["q_sim_topk_batch"](spark, SF_SMALL)
     plan = formatted_plan(df)
-    assert has_broadcast_join(df)
+    # the scoring join is a broadcast CROSS join (BNLJ BuildRight)
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "Python" not in plan and "Arrow" not in plan
