@@ -488,12 +488,15 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     replicas: int = 4,
+    two_level: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` centroid
     partitions nearest the query.  Candidate count ~ n * nprobe *
     replicas / nlist; recall grows with nprobe and replicas
     (nprobe = nlist degenerates to exact)."""
-    centroids, assignments = ivf_assign(vecs, nlist, replicas=replicas)
+    centroids, assignments = ivf_assign(
+        vecs, nlist, replicas=replicas, two_level=two_level
+    )
     # the assignment pipeline (norms + model.transform) feeds both the
     # query-row lookup and the candidate scan — persist so it computes
     # once, not once per branch (the dedup.py:116 recompute trap)
