@@ -47,3 +47,27 @@ def test_rows_only_queries_run(spark, qid):
     df = QUERIES[qid](spark, SF_SMALL)
     assert df.count() >= 0  # runs without error, stable schema
     assert df.columns
+
+
+def test_local_gate_rejects_array_columns(spark):
+    """VERDICT r4 #2 done-criterion: a deliberately array-returning
+    SQL-oracle query must FAIL the local gate (the external driver's
+    pandas canonicalizer crashes on list cells), and a stringified
+    variant must pass the guard."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import driver_incompatible_cols
+
+    bad = spark.createDataFrame(
+        [(1, [1, 2])], "id int, qvec array<int>"
+    ).toArrow()
+    assert driver_incompatible_cols(bad) == ["qvec"]
+    good = spark.sql(
+        "SELECT 1 AS id, array_join(array('1','2'), ',') AS qvec"
+    ).toArrow()
+    assert driver_incompatible_cols(good) == []
+    nested_struct = spark.sql(
+        "SELECT named_struct('a', 1) AS s"
+    ).toArrow()
+    assert driver_incompatible_cols(nested_struct) == ["s"]
