@@ -492,3 +492,49 @@ def q_time_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce("n", F.lit(0)).alias("n_events"),
     )
+
+
+# Rolling 7-day distinct users per day via the expand-contribution
+# trick; trailing days beyond the data's max drop.
+_ROLLING_DISTINCT_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM act),
+contrib AS (
+  SELECT a.user_id, CAST(a.day + to_days(CAST(i AS INT)) AS DATE) AS obs_day
+  FROM act a CROSS JOIN generate_series(0, 6) s(i)
+)
+SELECT c.obs_day AS day, COUNT(DISTINCT c.user_id) AS wau_7d
+FROM contrib c, bounds b
+WHERE c.obs_day <= b.hi
+GROUP BY c.obs_day
+"""
+
+
+@query("q_win_rolling_distinct", oracle=_ROLLING_DISTINCT_ORACLE)
+def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per day — DISTINCT defeats
+    partial aggregation over sliding frames, so the scalable exact
+    shape is the EXPAND-CONTRIBUTION trick: collapse to distinct
+    (user, day) pairs first (event-scale -> user-day-scale), explode
+    each pair into the <=7 observation days it serves, then one
+    count-distinct groupBy.  Shuffle carries user-day pairs x 7, never
+    raw events; the window never materializes per-day user sets."""
+    ev = read_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    hi = act.agg(F.max("day").alias("hi"))
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("obs_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(hi))
+        .filter(F.col("obs_day") <= F.col("hi"))
+        .groupBy(F.col("obs_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
