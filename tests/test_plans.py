@@ -283,3 +283,14 @@ def test_batch_topk_broadcasts_queries_and_pretrims(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_rolling_distinct_has_no_window_operator(spark):
+    """The expand-contribution WAU must plan as pure aggregates +
+    explode — no Window over per-day user sets, events collapsed to
+    distinct pairs before the explode."""
+    df = QUERIES["q_win_rolling_distinct"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan  # the 7-day contribution explode
