@@ -538,3 +538,71 @@ def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("obs_day").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau_7d"))
     )
+
+
+@query(
+    "q_sketch_rolling_wau",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT MAX(day) AS hi FROM act),
+contrib AS (
+  SELECT a.user_id, CAST(a.day + to_days(CAST(i AS INT)) AS DATE) AS obs_day
+  FROM act a CROSS JOIN generate_series(0, 6) s(i)
+)
+SELECT c.obs_day AS day, COUNT(DISTINCT c.user_id) AS exact_wau,
+       TRUE AS within_5pct
+FROM contrib c, bounds b WHERE c.obs_day <= b.hi
+GROUP BY c.obs_day
+""",
+)
+def q_sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users, SKETCH tier: one HLL sketch per
+    day (events-scale pass, map-side combinable), then a RANGE-framed
+    window UNION of the trailing 7 sketches — the stored-sketch shape
+    that answers any rolling-distinct window from day-sized state
+    instead of re-expanding user-day pairs (q_win_rolling_distinct is
+    the exact tier).  Register-max union is associative, so the same
+    daily sketches serve WAU/MAU/arbitrary ranges.  Contract oracle
+    (like q_agg_approx_cd): estimate within 5% of exact on every day."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # RANGE frame on the epoch-day number: ROWS would silently span
+    # more than 7 calendar days across gaps
+    dayno = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dayno).rangeBetween(-6, 0)
+    approx = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("_approx"),
+    )
+    exact = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    hi = daily.agg(F.max("day").alias("hi"))
+    return (
+        exact.join(approx, "day")
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("day") <= F.col("hi"))
+        .select(
+            "day",
+            "exact_wau",
+            (
+                F.abs(F.col("_approx") - F.col("exact_wau"))
+                <= F.col("exact_wau") * F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+    )
