@@ -102,8 +102,14 @@ def main() -> None:
     # runs aren't comparable.  q_agg_group is the unchanged-since-r1
     # canary; each query divided by the canary from the SAME run gives
     # a box-speed-independent number that IS comparable across rounds.
-    canary = timings.get("q_agg_group") or 1.0
-    normalized = {qid: round(t / canary, 3) for qid, t in timings.items()}
+    # A broken canary must be VISIBLE, not silently un-normalized
+    # (ADVICE r5): normalized figures are null when the canary errored.
+    canary = timings.get("q_agg_group")
+    normalized = (
+        {qid: round(t / canary, 3) for qid, t in timings.items()}
+        if canary
+        else None
+    )
     print(
         json.dumps(
             {
@@ -114,7 +120,7 @@ def main() -> None:
                 "canary": "q_agg_group",
                 "canary_sec": canary,
                 "queries_normalized": normalized,
-                "total_normalized": round(total / canary, 3),
+                "total_normalized": round(total / canary, 3) if canary else None,
                 "errors": errors,
                 "sf": float(sf),
             }

@@ -572,11 +572,23 @@ def q_sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    # Densify over the full obs-day spine BEFORE the window (ADVICE
+    # r5): a calendar-gap day that still falls inside some active
+    # day's trailing 7-day window must get an approx row — the exact
+    # side and the DuckDB oracle both emit it — contributing no sketch
+    # of its own (hll_union_agg skips NULL sketches).  sf0.01's 30
+    # days happen to be dense; a driver dataset with a gap is not.
+    spine = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day")
+    ).distinct()
+    dense = spine.join(daily, "day", "left")
     # RANGE frame on the epoch-day number: ROWS would silently span
     # more than 7 calendar days across gaps
     dayno = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     w = Window.orderBy(dayno).rangeBetween(-6, 0)
-    approx = daily.select(
+    approx = dense.select(
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("_approx"),
     )

@@ -70,9 +70,21 @@ FROM orders
 """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    """Global NTILE(4) WITHOUT the single-partition sort (VERDICT r5
+    item 3): two-pass distributed rank — range-partition on the sort
+    key, per-partition row_number + broadcast cumulative offsets —
+    then the quartile derived arithmetically from rank and total.
+    Bit-identical to ``NTILE(4) OVER (ORDER BY ...)``; the plan has no
+    Exchange SinglePartition (pinned in tests/test_plans.py)."""
+    from ..operators.distwindow import global_rank, ntile_expr
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked, total = global_rank(o, ["o_totalprice", "o_orderkey"])
+    return ranked.select(
+        "o_orderkey", ntile_expr("_grank", total, 4).alias("quartile")
+    )
 
 
 @query(
@@ -143,17 +155,28 @@ WHERE o_orderkey % 20 = 0
 """,
 )
 def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # RANGE frames are value-defined: ties all share the same frame,
-    # so the result is deterministic without a tiebreaker.
-    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
-    return o.select(
-        "o_orderkey",
+    """Global value-RANGE running sum WITHOUT the single-partition
+    sort (VERDICT r5 item 3): range-partition on the value, borrow the
+    boundary rows (within 1000.0 of each partition's min) from earlier
+    partitions via a broadcast bounds join, evaluate the frame
+    per-partition.  RANGE frames are value-defined — ties share a
+    frame, and range partitioning keeps ties co-located — so no
+    tiebreaker is needed and the result is bit-identical."""
+    from ..operators.distwindow import range_frame_agg
+
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return range_frame_agg(
+        o,
         "o_totalprice",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        1000,
+        lambda w: F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w)
-        .cast("double")
-        .alias("near_sum"),
+        .cast("double"),
+        "near_sum",
     )
 
 

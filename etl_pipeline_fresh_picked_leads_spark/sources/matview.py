@@ -93,15 +93,18 @@ class MatView:
             )
         return m.join(d, on=self.keys, how="full_outer").select(*cols)
 
+    @staticmethod
+    def _applied_of(snap) -> int | None:
+        if snap is None or not (snap.txn or "").startswith(_TXN_PREFIX):
+            return None
+        return int(snap.txn[len(_TXN_PREFIX):])
+
     def applied_version(self) -> int | None:
         """Source version the view currently reflects (None = never
         built).  Read from the view's own commit tag — no sidecar."""
         if not TxTable.is_table(self.mv.root):
             return None
-        snap = self.mv.snapshot()
-        if snap is None or not (snap.txn or "").startswith(_TXN_PREFIX):
-            return None
-        return int(snap.txn[len(_TXN_PREFIX):])
+        return self._applied_of(self.mv.snapshot())
 
     def _all_appends_since(self, applied: int, current: int) -> bool:
         try:
@@ -122,7 +125,13 @@ class MatView:
         src_snap = self.src.snapshot()
         if src_snap is None:
             raise FileNotFoundError(f"no source table at {self.src.root}")
-        applied = self.applied_version()
+        # ONE mv snapshot pins both the applied watermark AND the state
+        # to be merged (ADVICE r5): deriving `applied` from an earlier
+        # snapshot than the state read would let a refresher that
+        # committed in between make the delta overlap the state —
+        # a silently double-counted view under a fresh tag.
+        mv_snap = self.mv.snapshot() if TxTable.is_table(self.mv.root) else None
+        applied = self._applied_of(mv_snap)
         if applied == src_snap.version:
             return applied
         if applied is not None and self._all_appends_since(
@@ -132,7 +141,7 @@ class MatView:
             # racing in after snapshot() must NOT be folded in under
             # this tag, or the next refresh re-delivers it
             merged = self._merge(
-                self.mv.read(),
+                self.mv.read(version=mv_snap.version),
                 self._partial(
                     self.src.read_since(applied, until=src_snap.version)
                 ),

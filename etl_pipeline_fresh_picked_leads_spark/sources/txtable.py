@@ -316,23 +316,40 @@ class TxTable:
             os.unlink(tmp)
         return version
 
-    def overwrite(self, df: DataFrame, txn: str | None = None) -> int:
+    def overwrite(
+        self, df: DataFrame, txn: str | None = None, max_retries: int = 5
+    ) -> int:
         """Replace the table; with ``txn`` the REPLACEMENT STATE and
         its idempotency tag commit in one atomic manifest — the
         primitive an exactly-once view refresher needs (state and
-        watermark can never disagree, whatever crashes between)."""
+        watermark can never disagree, whatever crashes between).
+
+        Like ``append``, a lost manifest race is resolved by
+        re-reading the snapshot: if the txn tag (ours, replayed by a
+        twin) is now committed the write no-ops, otherwise the SAME
+        already-written files re-commit against the new base — a
+        losing refresher never surfaces TxConflictError to its caller
+        for a race it can resolve (ADVICE r5)."""
         base = self.snapshot()
         if txn is not None and txn in self._committed_txns():
             return base.version  # replayed refresh: already applied
         new = self._write_data(df)
-        return self._commit(
-            new,
-            "overwrite",
-            base,
-            txn=txn,
-            schema_json=self._schema_of(df),
-            stats=self._merged_stats(None, [], new),
-        )
+        for attempt in range(max_retries + 1):
+            try:
+                return self._commit(
+                    new,
+                    "overwrite",
+                    base,
+                    txn=txn,
+                    schema_json=self._schema_of(df),
+                    stats=self._merged_stats(None, [], new),
+                )
+            except TxConflictError:
+                if attempt == max_retries:
+                    raise
+                base = self.snapshot()
+                if txn is not None and txn in self._committed_txns():
+                    return base.version
 
     def append(
         self, df: DataFrame, txn: str | None = None, max_retries: int = 5

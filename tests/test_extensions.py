@@ -826,3 +826,25 @@ def test_decode_wav_stereo():
     f = decode_wav(wav)
     assert f["channels"] == 2 and f["n_samples"] == 3
     assert f["peak"] == 30 and f["mean_abs"] == 20
+
+
+def test_rolling_wau_sketch_covers_calendar_gaps(spark, tmp_path):
+    """ADVICE r5: the sketch-tier rolling WAU must emit a row for a
+    calendar-gap day that falls inside some active day's trailing
+    7-day window — the exact side and the DuckDB oracle both do, so
+    an approx side built only from event-bearing days row-count-fails
+    on any corpus with a gap (sf0.01 is accidentally dense)."""
+    import datetime as dt
+
+    from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
+
+    rows = [
+        (u, dt.datetime(2024, 1, d, 12, 0))
+        for d in (1, 2, 3, 10, 11, 12)  # 6-day calendar gap
+        for u in range(5)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["q_sketch_rolling_wau"](spark, str(tmp_path)).collect()
+    assert sorted(r["day"].day for r in out) == list(range(1, 13))
+    assert all(r["within_5pct"] for r in out)
