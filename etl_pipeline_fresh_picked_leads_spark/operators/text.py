@@ -151,7 +151,9 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     length, stopword ratio, alpha ratio, repetition (distinct/total
     tokens).  Mirrors the usual pre-training quality filters
     (C4/Gopher-style thresholds would sit on top as plain WHEREs)."""
-    all_stop = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    # ONE nested literal, not a per-element F.lit comprehension — each
+    # lit is a Py4J round-trip (CLAUDE.md plan-literal rule)
+    all_stop = F.lit([w for ws in STOPWORDS.values() for w in ws])
     toked = docs.select(
         "doc_id", "lang", "text", tokens(F.col("text")).alias("toks")
     )
@@ -186,7 +188,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     toks = F.col("toks")
     n_tok = F.size(toks)
     def _in_list(ws: tuple[str, ...]):
-        arr = F.array(*[F.lit(w) for w in ws])
+        arr = F.lit(list(ws))  # one nested literal (plan-literal rule)
         # single-param lambda on purpose: pyspark infers higher-order
         # lambda arity from the signature (2 params would mean (x, i))
         return lambda t: F.array_contains(arr, t)

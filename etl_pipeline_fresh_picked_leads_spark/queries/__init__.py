@@ -52,37 +52,35 @@ from . import tpch  # noqa: E402,F401
 # and (c) as much of the r1-last-verified tail as fits.  Union of
 # CORRECTNESS_r01-r04 already covers everything else; canaries stay
 # per ADVICE r2.
+# Round-6 rotation (VERDICT r5 #1): front-load (a) the six r5-late
+# queries that have NEVER had a driver row, (b) every query whose
+# behavior changed this round (distributed ntile/range windows, the
+# densified rolling-WAU sketch, the matview race fix), (c) this
+# round's rows-only -> contract-oracle promotions and new queries,
+# then (d) the r1-last-verified aggregate/window tail, stalest first.
+# tests/test_registry_drift.py now enforces that nothing registered
+# sits outside both this window and the historical CORRECTNESS record.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # round-5 behavior changes / promotions
-    "q_embed_quantize", "q_text_langid", "q_agg_percentile_approx",
-    "q_stream_session_timeout", "q_dedup_incremental",
-    "q_stream_dedup_incremental",
-    # round-5 new queries + sketch-contract promotions
-    "q_mix_temperature", "q_txtable_timetravel", "q_txtable_zorder",
-    "q_matview_incremental", "q_scd2_merge", "q_join_pointintime",
-    "q_unpivot", "q_time_bars", "q_win_fill_forward",
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_embed_pool", "q_join_nullsafe", "q_text_chunk_overlap",
-    "q_audio_features", "q_video_frames",
-    "q_agg_approx_cd", "q_sketch_rollup",
-    # r2-last-verified scalar/UDF surface (VERDICT r4 #3)
-    "q_str_basic", "q_str_split", "q_str_regex",
-    "q_date_fmt", "q_date_arith", "q_date_parts", "q_date_trunc",
-    "q_math", "q_cond",
-    "q_arr_basic", "q_arr_explode", "q_arr_transform",
-    "q_map_json", "q_map_ops",
-    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas", "q_udtf_mapinpandas",
-    # r2-last-verified extensions
-    "q_join_salted", "q_agg_skew_twophase", "q_win_firstlast",
-    "q_embed_norm", "q_sim_topk", "q_sim_join",
-    # r1-last-verified scan/filter/sort/setop tail
-    "q_scan_csv_infer", "q_ingest_reconcile", "q_ingest_stamp",
-    "q_project", "q_try_cast", "q_filter_null", "q_filter_cmp",
+    # never driver-verified (registered after the r5 window freeze)
+    "q_agg_mode", "q_graph_triangles", "q_sim_topk_batch",
+    "q_sketch_rolling_wau", "q_time_densify", "q_win_rolling_distinct",
+    # round-6 behavior changes
+    "q_win_ntile", "q_win_range", "q_matview_incremental",
+    # r1-last-verified aggregate/window/setop tail (stalest-first)
+    "q_agg_having", "q_agg_distinct", "q_agg_multi_distinct",
+    "q_dedup_exact", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+    "q_agg_percentile", "q_agg_stats", "q_agg_collect", "q_pivot",
+    "q_win_rank", "q_win_lag_lead", "q_win_running",
+    "q_agg_global", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_join_broadcast", "q_join_asof", "q_join_range",
     "q_filter_between", "q_filter_in", "q_filter_like",
     "q_sort_multi", "q_limit", "q_topk_global",
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+    "q_text_quality", "q_text_stats", "q_text_tokens",
+    "q_scan_csv_infer", "q_project",
 ]
 
 
