@@ -89,12 +89,35 @@ def q_dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_ml(docs, threshold=0.5)
 
 
-@query("q_dedup_simhash")  # rows-only: xxhash64 signature family
+# The simhash signature family (xxhash64) has no DuckDB twin, so the
+# oracle pins a PLANTED-pair contract instead (VERDICT r5 item 4):
+# clone docs 0-49 verbatim under doc_id+200000 — identical text means
+# hamming 0, so chunk banding MUST surface every planted pair — and
+# hash the recovered planted set.  One missed pair drops a row and
+# fails the row-count gate; organic corpus pairs still get computed
+# but are excluded from the hashed surface (they stay pinned by
+# tests/test_extensions.py cluster invariants).
+_SIMHASH_ORACLE = """
+SELECT doc_id AS doc_id_a, doc_id + 200000 AS doc_id_b, TRUE AS found
+FROM documents WHERE doc_id < 50
+"""
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk
-    banding."""
+    banding, planted-pair contract form (rows-only history: r1-r5)."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    base = docs.filter(F.col("doc_id") < 50)
+    clones = base.withColumn("doc_id", F.col("doc_id") + 200000)
+    pairs = simhash_pairs(docs.unionByName(clones), max_hamming=3)
+    planted = base.select(
+        F.col("doc_id").alias("doc_id_a"),
+        (F.col("doc_id") + 200000).alias("doc_id_b"),
+    )
+    return planted.join(
+        pairs.select("doc_id_a", "doc_id_b"), ["doc_id_a", "doc_id_b"], "left_semi"
+    ).withColumn("found", F.lit(True))
 
 
 _CONTENT_HASH_ORACLE = """
@@ -237,13 +260,48 @@ def q_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_ann_ivf")  # rows-only: approximate by design
+_ANN_IVF_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+q AS (SELECT i, x FROM flat WHERE vec_id = 0),
+dots AS (
+  SELECT f.vec_id, SUM(f.x * q.x) AS dot
+  FROM flat f JOIN q ON f.i = q.i
+  WHERE f.vec_id <> 0
+  GROUP BY 1
+),
+topk AS (
+  SELECT d.vec_id,
+         round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6)
+           AS cosine
+  FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+  ORDER BY cosine DESC, d.vec_id
+  LIMIT 10
+)
+SELECT vec_id, cosine, TRUE AS recall_ok FROM topk
+"""
+
+
+@query("q_sim_ann_ivf", oracle=_ANN_IVF_ORACLE)
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 for vec 0 (nlist=16, nprobe=4): the
-    scale path — recall vs exact asserted in tests."""
-    return ivf_topk(
-        read_table(spark, sf_dir, "embeddings"), 0, k=10, nlist=16, nprobe=4
+    """IVF approximate top-10 for vec 0 (nlist=16, nprobe=4) in
+    contract-oracle form (VERDICT r5 item 4, the q_agg_approx_cd
+    pattern): the emitted rows are the EXACT top-10 — DuckDB
+    recomputes them — and ``recall_ok`` certifies the IVF candidate
+    set recovered >= 8 of the 10 (floor 0.8, margin under the 0.9
+    recall the tests pin at sf0.01 and sf0.1).  A broken IVF routing
+    flips the flag on every row and fails the hash gate; at 100 TB
+    you keep only the IVF side (rows-only history: r1-r5)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, 0, k=10)
+    approx = ivf_topk(emb, 0, k=10, nlist=16, nprobe=4).select("vec_id")
+    rec = exact.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) >= F.lit(8)).alias("recall_ok")
     )
+    return exact.crossJoin(F.broadcast(rec))
 
 
 _EMBED_NORM_ORACLE = """
@@ -1129,13 +1187,51 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_join_ivf")  # rows-only: IVF candidate set is kmeans-dependent
+_SIM_JOIN_IVF_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, SUM(a.x * b.x) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_id_a, vec_id_b,
+       round(dot / (x.nrm * y.nrm), 6) AS cosine,
+       TRUE AS recall_ok
+FROM dots
+JOIN norms x ON vec_id_a = x.vec_id
+JOIN norms y ON vec_id_b = y.vec_id
+WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4
+"""
+
+
+@query("q_sim_join_ivf", oracle=_SIM_JOIN_IVF_ORACLE)
 def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned cosine threshold self-join — the scale tier above
-    the exact blocked matmul; recall vs exact pinned in tests."""
+    """IVF-pruned cosine threshold self-join in contract-oracle form
+    (VERDICT r5 item 4): rows are the EXACT pair set (same blocked
+    matmul the hash-matched q_sim_join uses); ``recall_ok`` certifies
+    the IVF candidate generation recovered >= 80% of those pairs
+    (margin under the 0.9 test pin — a missed pair means neither
+    endpoint shared any of its 4 replica cells).  Kmeans-dependent
+    candidate sets stop mattering: only the recall contract is hashed
+    (rows-only history: r1-r5)."""
     from ..operators.similarity import ivf_self_join
 
-    return ivf_self_join(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_self_join(emb, threshold=0.4)
+    approx = ivf_self_join(emb, threshold=0.4).select("vec_id_a", "vec_id_b")
+    keys = ["vec_id_a", "vec_id_b"]
+    rec = (
+        exact.select(*keys)
+        .join(approx, keys, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_tot")))
+        .select((F.col("n_hit") * 10 >= F.col("n_tot") * 8).alias("recall_ok"))
+    )
+    return exact.crossJoin(F.broadcast(rec))
 
 
 # xxhash64 is unavailable in DuckDB, but the SELECTION is reproducible

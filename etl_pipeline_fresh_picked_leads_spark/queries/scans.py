@@ -188,19 +188,31 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_overwrite")  # rows-only: side-effecting, verified by re-read
+# Final-table-state oracles (VERDICT r5 item 8): the side effect is
+# still exercised — write, then RE-READ the written table — but the
+# re-read state now hashes against the DuckDB-computed expectation
+# instead of a weaker rows-only check.
+@query(
+    "sink_overwrite",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
 def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overwrite sink (WRITE_TRUNCATE, big_uery_handler.py:114,133):
-    write, then re-read and return — row count must equal the source."""
+    write, then re-read — the final table state must hash-equal the
+    source exactly (rows-only history: r1-r5)."""
     target = os.path.join(_SCRATCH, "sink_overwrite")
     read_table(spark, sf_dir, "region").write.mode("overwrite").parquet(target)
-    return spark.read.parquet(target).orderBy("r_regionkey")
+    return spark.read.parquet(target).select("r_regionkey", "r_name")
 
 
-@query("sink_append")  # rows-only: side-effecting, verified by re-read
+@query(
+    "sink_append",
+    oracle="SELECT r_regionkey, CAST(2 AS BIGINT) AS copies FROM region",
+)
 def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append sink (INSERT INTO ... SELECT, big_uery_handler.py:158-165):
-    overwrite then append the same batch -> exactly 2x rows."""
+    overwrite then append the same batch — final state holds exactly
+    2 copies of every key (rows-only history: r1-r5)."""
     target = os.path.join(_SCRATCH, "sink_append")
     src = read_table(spark, sf_dir, "region")
     src.write.mode("overwrite").parquet(target)
@@ -209,7 +221,6 @@ def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(target)
         .groupBy("r_regionkey")
         .agg(F.count(F.lit(1)).alias("copies"))
-        .orderBy("r_regionkey")
     )
 
 
