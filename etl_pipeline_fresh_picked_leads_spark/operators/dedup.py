@@ -16,8 +16,13 @@ oracle and for reproducible data lineage at 100 TB.
 Scale shape: candidate generation is a shuffle on short band keys
 (8 rows/doc for MinHash, 4 for SimHash), never an all-pairs product;
 only the candidate pairs (tiny vs n^2) fetch shingle sets for exact
-verification.  AQE's skew-join handles pathological bands (e.g. a
-boilerplate shingle shared by millions of docs).
+verification.  Pathological bands (a boilerplate text shared by a
+large doc fraction -> one hot band key) are absorbed by AQE's
+skew-join split: MEASURED in tests/test_plans.py
+test_lsh_band_join_skew_split_active_and_exact — 20% planted
+boilerplate, executed plan shows SortMergeJoin(skew=true), pair set
+bit-identical to the unsplit run (thresholds scaled to the test
+corpus; at 100 TB the 256 MB defaults trip on the same shape).
 """
 
 from __future__ import annotations

@@ -356,3 +356,60 @@ def test_distwindow_matches_vanilla_on_ties_and_gaps(spark):
         ).collect()
     }
     assert got_rs == want_rs
+
+
+def test_lsh_band_join_skew_split_active_and_exact(spark):
+    """VERDICT r5 item 5: evidence (not just a claim) that AQE's
+    skew-join split absorbs a pathological band key.  20% of a 2000-doc
+    corpus is overwritten with one boilerplate text -> identical
+    minhash signatures -> 8 band keys each shared by 400 docs.  With
+    the broadcast path disabled (both sides are fact-sized at 100 TB)
+    and skew thresholds scaled to the test corpus (the detection
+    RATIOS, not the mechanism, are what the small corpus can't hit at
+    the 256 MB defaults), the executed plan must show skew=true and
+    the pair set must equal the default-conf run bit-for-bit, with
+    every planted pair present."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for updates terms of service apply "
+        "all rights reserved contact us for more information today"
+    )
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(boiler))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert n_planted * 5 >= docs.count()  # >= 20% of the corpus
+    baseline = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    planted_pairs = {
+        (a, b) for a, b in baseline if a % 5 == 0 and b % 5 == 0
+    }
+    assert len(planted_pairs) == n_planted * (n_planted - 1) // 2
+
+    skew_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        df = minhash_lsh_pairs(docs, threshold=0.5)
+        got = {(r.doc_id_a, r.doc_id_b) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, "AQE skew-join split did not activate"
+    assert got == baseline  # split changes the plan, never the pairs
