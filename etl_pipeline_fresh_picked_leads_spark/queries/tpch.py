@@ -149,3 +149,88 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# Round-6 additions (VERDICT r5 item 7): the two optimizer shapes the
+# first three composites don't exercise — correlated-scalar-subquery
+# decorrelation (Q17) and group-by-having semijoin + partial-agg (Q18).
+
+_Q17_ORACLE = f"""
+SELECT {dsum_sql('l_extendedprice', 4)} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q_tpch_q17", oracle=_Q17_ORACLE)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery — each Brand#23 lineitem compared against 0.2x the mean
+    quantity of ITS part.  Written as literal correlated SQL so
+    Catalyst's decorrelation rewrites it to a per-part aggregate
+    joined back to the filtered fact (one lineitem re-scan, not one
+    subquery per row — at 100 TB the difference between a job and a
+    non-termination).  AVG over integral doubles is order-exact, so
+    the 0.2x boundary is bit-identical on both engines; the revenue
+    sum uses the DECIMAL discipline."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "tpch17_lineitem"
+    )
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("tpch17_part")
+    return spark.sql(
+        f"""
+        SELECT {dsum_sql('l_extendedprice', 4)} / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM tpch17_lineitem, tpch17_part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM tpch17_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       {dsum_sql('l_quantity', 2)} AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q_tpch_q18", oracle=_Q18_ORACLE)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): group-by-having semijoin —
+    the IN (GROUP BY ... HAVING) subquery plans as an aggregate whose
+    partial (map-side) phase runs before its shuffle, then a LeftSemi
+    against orders, never materializing the full per-order rollup
+    twice.  Top-100 by o_totalprice with the unique o_orderkey
+    tie-break."""
+    for t in ("customer", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"tpch18_{t}")
+    return spark.sql(
+        f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               {dsum_sql('l_quantity', 2)} AS sum_qty
+        FROM tpch18_customer, tpch18_orders, tpch18_lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM tpch18_lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )

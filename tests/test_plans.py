@@ -413,3 +413,20 @@ def test_lsh_band_join_skew_split_active_and_exact(spark):
             spark.conf.set(k, v)
     assert "skew=true" in plan, "AQE skew-join split did not activate"
     assert got == baseline  # split changes the plan, never the pairs
+
+
+def test_tpch_q17_decorrelated_and_q18_semijoin(spark):
+    """Q17's correlated scalar subquery must DECORRELATE into a
+    per-part aggregate joined back to the fact — no per-row subquery
+    execution survives in the physical plan.  Q18's IN(GROUP BY ...
+    HAVING) must plan as a LeftSemi against a partially-aggregated
+    rollup, and the top-100 as TakeOrdered, not a global sort."""
+    q17 = QUERIES["q_tpch_q17"](spark, SF_SMALL)
+    p17 = formatted_plan(q17)
+    assert "Subquery" not in p17, p17
+    assert "partial_avg" in p17 or "partial_sum" in p17, p17
+    q18 = QUERIES["q_tpch_q18"](spark, SF_SMALL)
+    p18 = formatted_plan(q18)
+    assert "LeftSemi" in p18, p18
+    assert "partial_sum" in p18, p18
+    assert has_take_ordered(q18), p18
