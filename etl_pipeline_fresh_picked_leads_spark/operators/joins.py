@@ -86,3 +86,58 @@ def skewed_agg_two_phase(
         F.sum("_psum").cast("double").alias(f"sum_{value}"),
         F.sum("_pcnt").alias("n_rows"),
     )
+
+
+def bloom_build(keys: DataFrame, key: str, m_bits: int = 1 << 16, k: int = 3) -> list[int]:
+    """Build a Bloom filter over ``keys[key]`` as a list of
+    ``m_bits/64`` bitmap words.  Build cost is one aggregation of the
+    (dimension-sized) key set; the result is KILOBYTES — small enough
+    to ship as a plan literal to every task, where the full key set
+    (or the dimension itself) might not be.  k positions per key via
+    seeded xxhash64.  Driver state = m_bits/64 longs (8 KB at the
+    default) — bitmap-sized, never data-sized."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["word"]
+    return arr
+
+
+def bloom_prune(
+    df: DataFrame, key: str, words: list[int], m_bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``key`` MIGHT be in the Bloom filter
+    (no false negatives; false positives expected — follow with an
+    exact semi-join).  The words array enters the plan as ONE nested
+    literal; the membership test is pure JVM bit arithmetic evaluated
+    at the scan, upstream of any shuffle — the hand-rolled form of a
+    runtime row-level filter, for when the build side is known before
+    the query (a curated blocklist, yesterday's hot-key set)."""
+    df = df.withColumn("_bloom_words", F.lit(words))
+    cond = F.lit(True)
+    for i in range(k):
+        # probe hashes must mirror bloom_build's F.xxhash64(col, lit(i))
+        bit = F.expr(
+            f"shiftright(element_at(_bloom_words,"
+            f" cast(pmod(xxhash64({key}, {i}), {m_bits}) div 64 as int) + 1),"
+            f" cast(pmod(xxhash64({key}, {i}), {m_bits}) % 64 as int)) & 1"
+        )
+        cond = cond & (bit == F.lit(1))
+    return df.filter(cond).drop("_bloom_words")

@@ -69,6 +69,12 @@ _DRIVER_WINDOW = [
     "q_sketch_rolling_wau", "q_time_densify", "q_win_rolling_distinct",
     # round-6 behavior changes
     "q_win_ntile", "q_win_range", "q_matview_incremental",
+    # round-6 rows-only -> contract/final-state oracle promotions
+    "q_sim_ann_ivf", "q_sim_join_ivf", "q_dedup_simhash",
+    "sink_overwrite", "sink_append", "q_stream_ingest",
+    "q_stream_foreachbatch",
+    # round-6 new queries
+    "q_tpch_q17", "q_tpch_q18",
     # r1-last-verified aggregate/window/setop tail (stalest-first)
     "q_agg_having", "q_agg_distinct", "q_agg_multi_distinct",
     "q_dedup_exact", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
@@ -76,11 +82,8 @@ _DRIVER_WINDOW = [
     "q_win_rank", "q_win_lag_lead", "q_win_running",
     "q_agg_global", "q_join_left", "q_join_semi", "q_join_anti",
     "q_join_broadcast", "q_join_asof", "q_join_range",
-    "q_filter_between", "q_filter_in", "q_filter_like",
     "q_sort_multi", "q_limit", "q_topk_global",
-    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-    "q_text_quality", "q_text_stats", "q_text_tokens",
-    "q_scan_csv_infer", "q_project",
+    "q_union_all", "q_union_distinct",
 ]
 
 

@@ -482,3 +482,38 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.k.eqNullSafe(c.lk)).select(
         "o_orderkey", "c_custkey", "c_name"
     )
+
+
+_BLOOM_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+@query("q_join_bloom", oracle=_BLOOM_ORACLE)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/joins.py bloom_build/prune,
+    r6): the BUILDING-customer key set folds into an 8 KB bitmap that
+    ships as one plan literal; the fact scan drops non-members with
+    pure JVM bit arithmetic BEFORE any shuffle, and the exact
+    broadcast semi join then removes the bloom's false positives — no
+    false negatives by construction.  The hand-rolled form of a
+    runtime row-level filter for a build side known ahead of the
+    query (curated blocklist, yesterday's hot keys); at 100 TB the
+    bitmap rides the plan where a 10M-key set could not."""
+    from ..operators.joins import bloom_build, bloom_prune
+
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    pruned = bloom_prune(o, "o_custkey", bloom_build(c, "c_custkey"))
+    return pruned.join(
+        F.broadcast(c), pruned.o_custkey == c.c_custkey, "left_semi"
+    )

@@ -444,3 +444,46 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         dim, batch, "c_custkey", ["c_name", "c_acctbal"], _date(2024, 6, 1)
     )
+
+
+@query(
+    "q_txtable_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+    """,
+)
+def q_txtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM ... WHERE`` as file-granular copy-on-write
+    (sources/txtable.py delete, r6): orders lands in two file stripes
+    split on the predicate column, so the delete must rewrite ONLY the
+    stripe containing matches — the in-query assert pins that the
+    clean stripe's file carries over by reference (path-identical).
+    At 100 TB a selective delete (GDPR erasure, bad-batch rollback)
+    rewrites a handful of files, never the table.  Final state hashes
+    against the DuckDB-filtered source; a second no-match delete must
+    commit nothing."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "delete_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark, root, o.filter(F.col("o_orderstatus") == "F").coalesce(1)
+    )
+    t.append(o.filter(F.col("o_orderstatus") != "F").coalesce(1))
+    before = set(t.snapshot().files)
+    n = t.delete(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000.0)
+    )
+    after = set(t.snapshot().files)
+    assert n > 0 and before & after, "clean stripe must survive by reference"
+    v = t.snapshot().version
+    assert t.delete(F.col("o_orderstatus") == "ZZZ") == 0
+    assert t.snapshot().version == v, "no-match delete must not commit"
+    return t.read()

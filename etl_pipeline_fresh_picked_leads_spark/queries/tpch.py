@@ -234,3 +234,195 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+def _views(spark: SparkSession, sf_dir: str, prefix: str, tables: tuple) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"{prefix}_{t}")
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_tpch_q4", oracle=_Q4_ORACLE)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking, adapted to the reduced
+    column set: 'late' = shipped >60 days after order date): correlated
+    EXISTS with a non-equi inner predicate — Catalyst rewrites it to a
+    LeftSemi join, so lineitem is touched once, map-side-filtered by
+    the pushed date bound."""
+    _views(spark, sf_dir, "tpch4", ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM tpch4_orders
+        WHERE o_orderdate >= DATE '1996-07-01'
+          AND o_orderdate < DATE '1996-10-01'
+          AND EXISTS (SELECT 1 FROM tpch4_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND CAST(l_shipdate AS DATE) > date_add(o_orderdate, 60))
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+@query("q_tpch_q13", oracle=_Q13_ORACLE)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): outer join with an
+    ON-clause filter (NOT a WHERE — rows must survive as zero-count),
+    then a re-aggregation of the aggregate.  Exercises the
+    outer-join-condition vs post-filter distinction and double
+    partial aggregation."""
+    _views(spark, sf_dir, "tpch13", ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM tpch13_customer c LEFT OUTER JOIN tpch13_orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) t
+        GROUP BY c_count
+        """
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q_tpch_q16", oracle=_Q16_ORACLE)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part relationship, adapted: lineitem plays
+    partsupp): NOT IN subquery — the null-aware anti-join path — plus
+    COUNT(DISTINCT) over a multi-column group.  The excluded-supplier
+    set is dimension-sized and broadcasts."""
+    _views(spark, sf_dir, "tpch16", ("lineitem", "part", "supplier"))
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM tpch16_lineitem, tpch16_part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM tpch16_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query("q_tpch_q21", oracle=_Q21_ORACLE)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting, adapted: 'late' =
+    shipped >30 days after order date): EXISTS + NOT EXISTS on the
+    SAME fact table — semijoin and null-tolerant anti-join stacked on
+    one scan lineage, with a correlated non-equi predicate referencing
+    a column from a third table."""
+    _views(spark, sf_dir, "tpch21", ("supplier", "lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM tpch21_supplier, tpch21_lineitem l1, tpch21_orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND CAST(l1.l_shipdate AS DATE) > date_add(o_orderdate, 30)
+          AND EXISTS (SELECT 1 FROM tpch21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM tpch21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND CAST(l3.l_shipdate AS DATE)
+                                > date_add(o_orderdate, 30))
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+_Q22_ORACLE = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {dsum_sql('c_acctbal', 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {dsum_sql('c_acctbal', 2)} / COUNT(*) FROM customer
+    WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+@query("q_tpch_q22", oracle=_Q22_ORACLE)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity, adapted: nationkey plays
+    the country code): uncorrelated scalar subquery (the global
+    average becomes a broadcast 1-row join) + NOT EXISTS anti-join
+    against the urgent-order subset (every customer here has SOME
+    order, so the classic no-orders predicate would be vacuous).  The average accumulates in DECIMAL on both
+    engines so the > boundary is bit-identical."""
+    _views(spark, sf_dir, "tpch22", ("customer", "orders"))
+    return spark.sql(
+        f"""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               {dsum_sql('c_acctbal', 2)} AS totacctbal
+        FROM tpch22_customer
+        WHERE c_acctbal > (
+            SELECT {dsum_sql('c_acctbal', 2)} / COUNT(*) FROM tpch22_customer
+            WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM tpch22_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        """
+    )

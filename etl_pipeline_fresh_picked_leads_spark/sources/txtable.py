@@ -588,6 +588,37 @@ class TxTable:
         )
         return n
 
+    def delete(self, where: Column) -> int:
+        """``DELETE FROM <table> WHERE ...`` as file-granular
+        copy-on-write: only files containing matching rows are
+        rewritten (keeping their NON-matching rows); untouched files
+        carry over by reference — at 100 TB a selective delete
+        rewrites a handful of files, never the table.  Returns the
+        number of rows deleted; a no-match delete commits nothing."""
+        base = self.snapshot()
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        affected = self._affected_files(
+            self._scan_with_fp(base.files, base.schema_json).filter(where)
+        )
+        if not affected:
+            return 0
+        hit = self._read_files(affected, base.schema_json)
+        n = hit.filter(where).count()
+        # SQL DELETE semantics: a NULL predicate row is NOT deleted —
+        # keep everything that is not definitely-true
+        kept = hit.filter(~where.eqNullSafe(F.lit(True)))
+        survivors = [f for f in base.files if f not in set(affected)]
+        new = self._write_data(kept)
+        self._commit(
+            survivors + new,
+            "delete",
+            base,
+            schema_json=base.schema_json,
+            stats=self._merged_stats(base, survivors, new),
+        )
+        return n
+
     def upsert(self, batch: DataFrame, key: str) -> int:
         """MERGE keyed by ``key``: batch rows replace existing rows
         with the same key, new keys append.  Only files containing a

@@ -70,3 +70,33 @@ def test_two_phase_agg_matches_direct(spark):
         .collect()
     }
     assert two == direct
+
+
+def test_bloom_prune_no_false_negatives_and_selective(spark):
+    """Every true member survives the bloom (no false negatives —
+    correctness), and the prune actually drops a large share of
+    non-members (effectiveness — otherwise the pattern is pointless);
+    the exact semi join then removes any false positives."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    c = (
+        read_table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = read_table(spark, SF_SMALL, "orders")
+    words = bloom_build(c, "c_custkey")
+    pruned = bloom_prune(o, "o_custkey", words)
+    true_hits = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+    n_true, n_pruned, n_all = true_hits.count(), pruned.count(), o.count()
+    # no false negatives: the pruned set contains every true hit
+    assert true_hits.join(pruned, "o_orderkey", "left_anti").count() == 0
+    assert n_pruned >= n_true
+    # selective: false-positive overhead stays far below the non-member mass
+    assert n_pruned - n_true < 0.05 * (n_all - n_true), (n_pruned, n_true, n_all)
+    # the membership test is JVM expression work, no Python, no shuffle
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

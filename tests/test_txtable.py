@@ -551,3 +551,25 @@ def test_zorder_edge_distributions(spark, tmp_path):
     # gracefully (opens everything, loses nothing)
     assert 0 < len(t.files_in_range("a", -50, -10)) < n_files
     assert len(t.files_in_range("b", 7, 7)) == n_files
+
+
+def test_delete_file_granular_and_null_predicate(spark, tmp_path):
+    """delete() rewrites only files containing matches; rows where the
+    predicate evaluates NULL are KEPT (SQL DELETE semantics), and a
+    no-match delete commits no new version."""
+    root = str(tmp_path / "del")
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k int, v double"
+    ).coalesce(1)
+    b = spark.createDataFrame([(4, 40.0), (5, 50.0)], "k int, v double").coalesce(1)
+    t = TxTable.create(spark, root, a)
+    t.append(b)
+    before = set(t.snapshot().files)
+    n = t.delete(F.col("v") < 15.0)  # matches k=1; NULL for k=2
+    assert n == 1
+    after = set(t.snapshot().files)
+    assert before & after, "the b-stripe file must carry over by reference"
+    assert sorted(r.k for r in t.read().collect()) == [2, 3, 4, 5]
+    v = t.snapshot().version
+    assert t.delete(F.col("v") > 999.0) == 0
+    assert t.snapshot().version == v
