@@ -69,6 +69,13 @@ HEADLINE = [
     # time-series resampling + gap filling
     "q_time_bars",
     "q_win_fill_forward",
+    # r6 additions: distributed global ntile (range partition + offset
+    # broadcast), decorrelated scalar subquery, having-semijoin top-k,
+    # bloom-pruned semi join
+    "q_win_ntile",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_join_bloom",
 ]
 
 

@@ -70,20 +70,20 @@ _DRIVER_WINDOW = [
     # round-6 behavior changes
     "q_win_ntile", "q_win_range", "q_matview_incremental",
     # round-6 rows-only -> contract/final-state oracle promotions
+    # (registry is now 100% oracle-backed)
     "q_sim_ann_ivf", "q_sim_join_ivf", "q_dedup_simhash",
     "sink_overwrite", "sink_append", "q_stream_ingest",
-    "q_stream_foreachbatch",
+    "q_stream_foreachbatch", "q_dedup_fuzzy", "q_dedup_fuzzy_ml",
+    "q_dedup_incremental", "q_stream_dedup_incremental",
     # round-6 new queries
-    "q_tpch_q17", "q_tpch_q18",
-    # r1-last-verified aggregate/window/setop tail (stalest-first)
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q13",
+    "q_tpch_q16", "q_tpch_q21", "q_tpch_q22",
+    "q_txtable_delete", "q_join_bloom", "q_stream_matview",
+    # r1-last-verified aggregate/window tail (stalest-first)
     "q_agg_having", "q_agg_distinct", "q_agg_multi_distinct",
     "q_dedup_exact", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
     "q_agg_percentile", "q_agg_stats", "q_agg_collect", "q_pivot",
     "q_win_rank", "q_win_lag_lead", "q_win_running",
-    "q_agg_global", "q_join_left", "q_join_semi", "q_join_anti",
-    "q_join_broadcast", "q_join_asof", "q_join_range",
-    "q_sort_multi", "q_limit", "q_topk_global",
-    "q_union_all", "q_union_distinct",
 ]
 
 

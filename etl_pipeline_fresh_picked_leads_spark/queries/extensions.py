@@ -45,12 +45,56 @@ from .registry import query
 # ---------------------------------------------------------------- dedup ----
 
 
-@query("q_dedup_fuzzy")  # rows-only: candidate set depends on xxhash64 family
+# The LSH candidate set depends on the xxhash64 family, so the oracle
+# (promoted r6, after the r5 IVF pattern) pins the exact ground truth
+# plus the detection CONTRACT instead: rows are the exact 3-gram
+# Jaccard >= 0.5 pairs (DuckDB-recomputable), and recall_hi_ok
+# certifies every pair with Jaccard >= 0.8 was surfaced by the LSH —
+# at 8x2 banding the miss probability of a 0.8 pair is
+# (1-0.8^2)^8 ~ 3e-4 per pair, and the corpus-level floor is pinned
+# 256/256 at sf0.1 in tests.  A broken hash family, banding bug, or
+# dropped candidate join flips the flag on every row.
+_FUZZY_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT doc_id_a, doc_id_b, jaccard, TRUE AS recall_hi_ok FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+def _lsh_recall_contract(exact: DataFrame, lsh_pairs: DataFrame) -> DataFrame:
+    """exact >= 0.5 pairs + a single recall flag: every exact pair at
+    Jaccard >= 0.8 must appear in the LSH output (broadcast 1-row
+    join; no driver collect)."""
+    keys = ["doc_id_a", "doc_id_b"]
+    missed = (
+        exact.filter(F.col("jaccard") >= 0.8)
+        .select(*keys)
+        .join(lsh_pairs.select(*keys), keys, "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("recall_hi_ok"))
+    )
+    return exact.crossJoin(F.broadcast(missed))
+
+
+@query("q_dedup_fuzzy", oracle=_FUZZY_ORACLE)
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs at Jaccard >= 0.5.  Recall vs the
-    exact q_dedup_ngram ground truth is asserted in tests."""
+    """MinHash-LSH near-dup pairs at Jaccard >= 0.5, contract-oracle
+    form (rows-only history: r1-r5; recall vs the exact q_dedup_ngram
+    ground truth additionally asserted in tests)."""
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    return _lsh_recall_contract(exact, minhash_lsh_pairs(docs, threshold=0.5))
 
 
 _NGRAM_ORACLE = """
@@ -79,14 +123,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.35)
 
 
-@query("q_dedup_fuzzy_ml")  # rows-only: seeded ML hash family
+@query("q_dedup_fuzzy_ml", oracle=_FUZZY_ORACLE)
 def q_dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML MinHashLSH variant (library-parity cross-check of
-    q_dedup_fuzzy; seeded for reproducibility)."""
+    q_dedup_fuzzy; seeded), same contract-oracle form (promoted r6):
+    with 8 OR-amplified hash tables a 0.8-Jaccard pair is missed with
+    probability (1-0.8)^8 ~ 3e-6, so the recall_hi_ok contract holds
+    for the library family too (rows-only history: r1-r5)."""
     from ..operators.dedup import minhash_lsh_pairs_ml
 
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_ml(docs, threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    return _lsh_recall_contract(
+        exact, minhash_lsh_pairs_ml(docs, threshold=0.5)
+    )
 
 
 # The simhash signature family (xxhash64) has no DuckDB twin, so the
@@ -714,16 +764,41 @@ FROM cnt GROUP BY doc_id
 """
 
 
-@query("q_dedup_incremental")  # rows-only: LSH candidate set (same
-# rationale as q_dedup_fuzzy); equality with the full-corpus run's
-# restriction and the index round-trip are pinned in tests
+# Contract oracle (promoted r6, q_dedup_fuzzy pattern): rows are the
+# exact >=0.5 pairs RESTRICTED to pairs touching the batch (the split
+# is plain doc_id % 5 so DuckDB can re-derive it); recall_hi_ok
+# certifies the incremental banding surfaced every restricted pair at
+# Jaccard >= 0.8.  The index round-trip and full-run-restriction
+# equality stay pinned in tests.
+_INCR_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT doc_id_a, doc_id_b, jaccard, TRUE AS recall_hi_ok FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+  AND (doc_id_a % 5 = 0 OR doc_id_b % 5 = 0)
+"""
+
+
+@query("q_dedup_incremental", oracle=_INCR_ORACLE)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment dedup: a deterministic 20% of documents plays
     the incoming batch, the other 80% the already-indexed corpus.
     The batch is paired against (itself ∪ the TxTable signature
     index) WITHOUT re-reading corpus text — the shape that makes
     near-dup dedup affordable on a 100 TB corpus with daily arrivals
-    (operators/dedup.incremental_lsh_pairs)."""
+    (operators/dedup.incremental_lsh_pairs).  Contract-oracle form
+    (rows-only history: r1-r5)."""
     import hashlib
     import os
     import tempfile
@@ -732,7 +807,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txtable import TxTable
 
     docs = read_table(spark, sf_dir, "documents")
-    is_new = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5)) == 0
+    is_new = F.col("doc_id") % 5 == 0
     old, new = docs.filter(~is_new), docs.filter(is_new)
     root = os.path.join(
         tempfile.gettempdir(),
@@ -743,7 +818,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuild the index each call so the query is a pure function of
     # the inputs (create = overwrite semantics)
     TxTable.create(spark, root, minhash_signatures(old))
-    return incremental_lsh_pairs(new, root, threshold=0.5, update_index=False)
+    inc = incremental_lsh_pairs(new, root, threshold=0.5, update_index=False)
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).filter(
+        (F.col("doc_id_a") % 5 == 0) | (F.col("doc_id_b") % 5 == 0)
+    )
+    return _lsh_recall_contract(exact, inc)
 
 
 # Int8 quantization: oracle reproduces the identical stats pass and

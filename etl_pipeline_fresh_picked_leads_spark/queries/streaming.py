@@ -359,9 +359,31 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup_incremental")  # rows-only: LSH candidate set
-# (q_dedup_fuzzy rationale); union-equals-full-corpus-run pinned in
-# tests/test_streaming_incremental.py
+# Contract oracle (promoted r6, q_dedup_fuzzy pattern): the union of
+# per-batch pair sets equals the full-corpus LSH run (pinned in
+# tests/test_streaming_incremental.py), so the hashed rows are the
+# exact full >=0.5 pair set and recall_hi_ok certifies every >=0.8
+# pair was streamed out across the batches.
+_STREAM_INCR_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT doc_id_a, doc_id_b, jaccard, TRUE AS recall_hi_ok FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+@query("q_stream_dedup_incremental", oracle=_STREAM_INCR_ORACLE)
 def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup dedup over a documents landing feed: two
     micro-batches (doc_id parity split, maxFilesPerTrigger=1); each
@@ -403,7 +425,12 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("stream incremental dedup did not finish")
-    return TxTable(spark, os.path.join(base, "pairs")).read()
+    from ..operators.dedup import ngram_jaccard_pairs
+    from .extensions import _lsh_recall_contract
+
+    streamed = TxTable(spark, os.path.join(base, "pairs")).read()
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    return _lsh_recall_contract(exact, streamed)
 
 
 # Promoted from rows-only (VERDICT r4 #4): under an availableNow
@@ -462,4 +489,80 @@ def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _ntz(out, "session_start", "session_end").orderBy(
         "user_id", "session_start"
+    )
+
+
+_STREAM_MATVIEW_ORACLE = """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_stream_matview", oracle=_STREAM_MATVIEW_ORACLE)
+def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming materialized-view maintenance (r6): events
+    arrive in two micro-batches; each foreachBatch txn-appends the
+    batch to the source TxTable (empty-create + tagged append — the
+    exactly-once replayer shape, never create-with-data) and then
+    refreshes the per-type rollup OFF THE CHANGE FEED
+    (sources/matview.py) — per batch the refresh costs delta + |keys|,
+    never the accumulated source.  The final view state must equal the
+    full recompute bit-for-bit: DECIMAL accumulation makes the
+    batch-merge order irrelevant, and the state + applied-version tag
+    commit in one manifest, so a crash between append and refresh
+    replays cleanly."""
+    from ..sources.matview import MatView
+    from ..sources.txtable import TxTable
+
+    base = os.path.join(tempfile.gettempdir(), "fpl_spark_scratch", "stream_mv")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for part in (0, 1):
+        half = ev.filter(F.pmod("event_id", F.lit(2)) == part).coalesce(1)
+        tmp = os.path.join(base, f"tmp{part}")
+        half.write.mode("overwrite").parquet(tmp)
+        srcf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, srcf), os.path.join(landing, f"b{part}.parquet")
+        )
+    src_root = os.path.join(base, "src")
+    TxTable.create(spark, src_root, ev.limit(0))
+    src = TxTable(spark, src_root)
+    mv = MatView(
+        spark,
+        src_root,
+        os.path.join(base, "mv"),
+        keys=["event_type"],
+        sum_cols=["value"],
+        scale=6,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        src.append(batch_df, txn=f"batch-{batch_id}")
+        mv.refresh()
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream matview did not finish")
+    assert mv.applied_version() == src.snapshot().version >= 3
+    return mv.read().select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )

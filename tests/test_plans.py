@@ -5,6 +5,8 @@ output — pushdown, broadcast, top-k plan shape, shuffle counts
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_fresh_picked_leads_spark.plans import (
@@ -192,7 +194,33 @@ def test_incremental_dedup_shuffle_budget(spark):
     exchanges on the BATCH side only; the signature index joins in
     without ever re-reading corpus text, and the small batch side
     broadcasts.  No Python anywhere (JVM minhash folds)."""
-    df = QUERIES["q_dedup_incremental"](spark, SF_SMALL)
+    # pin the OPERATOR plan (the r6 query wraps it in an exact-pairs
+    # contract join whose ngram side has its own plan)
+    import hashlib
+    import tempfile
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "fpl_spark_scratch",
+        "lsh_index_plan",
+        hashlib.sha1(SF_SMALL.encode()).hexdigest()[:12],
+    )
+    TxTable.create(
+        spark, root, minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0))
+    )
+    df = incremental_lsh_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        root,
+        threshold=0.5,
+        update_index=False,
+    )
     plan = formatted_plan(df)
     assert n_exchanges(df) <= 3, plan
     assert has_broadcast_join(df)
@@ -204,7 +232,16 @@ def test_ivf_join_final_plan_single_shuffle(spark):
     map-only centroid assignment (nested-literal centroids) ->
     cell-key join -> verify — one data shuffle, centroids broadcast,
     all-JVM expressions."""
-    df = QUERIES["q_sim_join_ivf"](spark, SF_SMALL)
+    # pin the OPERATOR plan (the r6 query emits the exact pair set —
+    # which is Arrow blocked-matmul by design — plus the IVF recall
+    # contract; the IVF pipeline itself must stay all-JVM)
+    from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+        ivf_self_join,
+    )
+
+    df = ivf_self_join(
+        read_table(spark, SF_SMALL, "embeddings"), threshold=0.4
+    )
     plan = formatted_plan(df)
     assert n_exchanges(df) <= 2, plan
     assert has_broadcast_join(df)

@@ -26,7 +26,13 @@ def _pairs(df):
 
 
 def test_stream_incremental_union_equals_full_run(spark):
-    got = _pairs(QUERIES["q_stream_dedup_incremental"](spark, SF_SMALL))
+    # run the query for its side effects (it now returns the exact-
+    # pairs contract surface); the union-equals-full-run property is
+    # asserted on the streamed pairs TxTable itself
+    contract = QUERIES["q_stream_dedup_incremental"](spark, SF_SMALL)
+    assert all(r.recall_hi_ok for r in contract.collect())
+    base = os.path.join("/tmp", "fpl_spark_scratch", "stream_lsh")
+    got = _pairs(TxTable(spark, os.path.join(base, "pairs")).read())
     docs = read_table(spark, SF_SMALL, "documents")
     want = _pairs(minhash_lsh_pairs(docs, threshold=0.5))
     assert got == want and len(got) > 0
@@ -37,8 +43,9 @@ def test_stream_incremental_replay_is_exactly_once(spark):
     # streaming job over the same landing dir + checkpoint must not
     # duplicate pairs or signatures (file source skips processed
     # files; txn tags guard foreachBatch re-fires)
-    before = _pairs(QUERIES["q_stream_dedup_incremental"](spark, SF_SMALL))
+    QUERIES["q_stream_dedup_incremental"](spark, SF_SMALL).collect()
     base = os.path.join("/tmp", "fpl_spark_scratch", "stream_lsh")
+    before = _pairs(TxTable(spark, os.path.join(base, "pairs")).read())
     from etl_pipeline_fresh_picked_leads_spark.streaming.dedup import (
         stream_incremental_lsh,
     )
