@@ -542,3 +542,43 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_rows"),
         )
     )
+
+
+# Heavy hitters (r6): a deterministic hot key (-1, exactly n/10
+# copies) is planted so the contract is non-trivial on ANY data
+# distribution; both engines then compute the identical exact
+# condition freq*k > n over the identical constructed corpus, so
+# organic heavy users (if the driver data has them) agree too.
+_HEAVY_HITTERS_ORACLE = """
+WITH corpus AS (
+  SELECT user_id FROM events
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS user_id
+  FROM (SELECT row_number() OVER () AS rn FROM events) t
+  WHERE rn <= (SELECT COUNT(*) // 10 FROM events)
+),
+tot AS (SELECT COUNT(*) AS n FROM corpus)
+SELECT user_id, COUNT(*) AS freq
+FROM corpus, tot
+GROUP BY user_id, n
+HAVING COUNT(*) * 20 > n
+"""
+
+
+@query("q_agg_heavyhitters", oracle=_HEAVY_HITTERS_ORACLE)
+def q_agg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys with frequency > n/20 via per-partition Misra-Gries
+    candidates + exact verification (operators/sketches.py): per-task
+    memory O(k) and a candidate-only shuffle, instead of grouping the
+    full distinct key domain — the 100 TB way to ask "which users
+    dominate the event stream".  The sketch only prunes (pigeonhole:
+    a global heavy hitter is partition-heavy somewhere), so the
+    output is bit-identical to the full groupBy."""
+    from ..operators.sketches import heavy_hitters
+
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    n0 = ev.count()
+    hot = spark.range(n0 // 10).select(
+        F.lit(-1).cast("bigint").alias("user_id")
+    )
+    return heavy_hitters(ev.unionByName(hot), "user_id", k=20)

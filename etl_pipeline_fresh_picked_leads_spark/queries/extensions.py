@@ -1682,3 +1682,63 @@ def q_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_batch(
         read_table(spark, sf_dir, "embeddings"), [0, 1, 2], k=10
     )
+
+
+# Cross-source duplication matrix (r6): which sources mirror each
+# other's content — the curation report that decides which feed to
+# drop before training.  Planted 'mirror' clones (doc_id % 7, verbatim
+# text) guarantee a non-trivial matrix on any corpus; organic
+# cross-source duplicates fold into the same exact computation.
+_CROSS_SOURCE_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, 'mirror', text FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM corpus
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_pairs
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("q_dedup_cross_source", oracle=_CROSS_SOURCE_ORACLE)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-pair exact-duplicate counts via normalized content
+    hash: fingerprint once (md5 of whitespace-collapsed lowercase
+    text), self-join on the 16-byte hash — the join key is
+    fingerprint-sized however long the documents are, and the matrix
+    output is |sources|^2-bounded.  source_a/source_b orientation
+    follows doc_id order, deterministic on both engines."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    fp = docs.unionByName(mirror).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("h"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

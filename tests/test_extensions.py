@@ -848,3 +848,25 @@ def test_rolling_wau_sketch_covers_calendar_gaps(spark, tmp_path):
     out = QUERIES["q_sketch_rolling_wau"](spark, str(tmp_path)).collect()
     assert sorted(r["day"].day for r in out) == list(range(1, 13))
     assert all(r["within_5pct"] for r in out)
+
+
+def test_heavy_hitters_matches_full_groupby(spark):
+    """Misra-Gries candidates + exact verify must equal the full
+    groupBy answer on a skewed corpus, under an adversarial
+    partitioning (hot key scattered across all partitions)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rows = [(i % 997,) for i in range(20000)] + [(10**6,)] * 6000
+    df = spark.createDataFrame(rows, "k long").repartition(16)  # scatter
+    got = {(r.k, r.freq) for r in heavy_hitters(df, "k", k=5).collect()}
+    n = df.count()  # 26000: the planted key (6000) clears n/5 = 5200
+    want = {
+        (r.k, r.freq)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * 5 > n)
+        .collect()
+    }
+    assert got == want and (10**6, 6000) in got
