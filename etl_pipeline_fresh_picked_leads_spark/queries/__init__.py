@@ -80,11 +80,11 @@ _DRIVER_WINDOW = [
     "q_tpch_q16", "q_tpch_q21", "q_tpch_q22",
     "q_txtable_delete", "q_join_bloom", "q_stream_matview",
     "q_agg_heavyhitters", "q_dedup_cross_source",
+    "q_tpch_q6", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19", "q_tpch_q20",
     # r1-last-verified aggregate/window tail (stalest-first)
     "q_agg_having", "q_agg_distinct", "q_agg_multi_distinct",
     "q_dedup_exact", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
-    "q_agg_percentile", "q_agg_stats", "q_agg_collect", "q_pivot",
-    "q_win_rank", "q_win_running",
+    "q_agg_percentile",
 ]
 
 

@@ -426,3 +426,187 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+_Q6_ORACLE = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q_tpch_q6", oracle=_Q6_ORACLE)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical scan-filter-
+    aggregate — every predicate pushes to the parquet scan and the
+    whole query is one map-side-combined aggregation, zero joins.
+    The float boundary (discount BETWEEN 0.05 AND 0.07) is exact on
+    both engines because the stored values are identical doubles."""
+    _views(spark, sf_dir, "tpch6", ("lineitem",))
+    return spark.sql(
+        f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue,
+               COUNT(*) AS n
+        FROM tpch6_lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+_Q12_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN CAST(l_shipdate AS DATE)
+                       > CAST(o_orderdate AS DATE) + 45 THEN 1 END)
+         AS late_count,
+       COUNT(*) AS total_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_tpch_q12", oracle=_Q12_ORACLE)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority exceptions, adapted to the
+    reduced column set): fact-fact join + CONDITIONAL aggregation —
+    the late/total split computes in one pass over the joined rows
+    (COUNT(CASE ...)), not two scans or a self-join."""
+    _views(spark, sf_dir, "tpch12", ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN CAST(l_shipdate AS DATE)
+                               > date_add(CAST(o_orderdate AS DATE), 45)
+                          THEN 1 END) AS late_count,
+               COUNT(*) AS total_count
+        FROM tpch12_orders JOIN tpch12_lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT round(
+  100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+        / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 6)
+  AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
+"""
+
+
+@query("q_tpch_q14", oracle=_Q14_ORACLE)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional-over-total revenue
+    ratio in ONE aggregation pass — numerator and denominator are
+    sibling DECIMAL sums over the same joined rows, divided in double
+    and rounded on both engines."""
+    _views(spark, sf_dir, "tpch14", ("lineitem", "part"))
+    return spark.sql(
+        f"""
+        SELECT round(
+          100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+                / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 6)
+          AS promo_share
+        FROM tpch14_lineitem JOIN tpch14_part ON p_partkey = l_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
+        """
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       COUNT(*) AS n
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 10 AND 20)
+  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+@query("q_tpch_q19", oracle=_Q19_ORACLE)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunctive OR-of-ANDs join
+    predicate — the optimizer must extract the common p_partkey =
+    l_partkey conjunct as the join key and evaluate the OR blocks as
+    a post-join filter (a naive plan degenerates to a nested loop)."""
+    _views(spark, sf_dir, "tpch19", ("lineitem", "part"))
+    return spark.sql(
+        f"""
+        SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+               COUNT(*) AS n
+        FROM tpch19_lineitem, tpch19_part
+        WHERE p_partkey = l_partkey AND (
+             (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30))
+        """
+    )
+
+
+_Q20_ORACLE = """
+WITH vol AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns FROM vol GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT v.l_suppkey
+  FROM vol v
+  JOIN tot t ON v.l_partkey = t.l_partkey
+  JOIN part p ON p.p_partkey = v.l_partkey AND p.p_type = 'PROMO'
+  WHERE v.sq * t.ns > 2 * t.tq)
+"""
+
+
+@query("q_tpch_q20", oracle=_Q20_ORACLE)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (dominant suppliers, adapted: lineitem plays
+    partsupp): two stacked aggregations of the same fact at different
+    grains joined against each other (supplier share vs part total),
+    filtered to one part type, collapsed into an IN semijoin against
+    the supplier dimension.  'Dominant' = share more than 2x the
+    average supplier share of that part (scale-robust where an
+    absolute 50% share empties out as supplier counts grow); SUMs of
+    integral doubles are order-exact, so the boundary is
+    bit-identical."""
+    _views(spark, sf_dir, "tpch20", ("lineitem", "part", "supplier"))
+    return spark.sql(
+        """
+        WITH vol AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+          FROM tpch20_lineitem GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns FROM vol GROUP BY 1
+        )
+        SELECT s_suppkey, s_name
+        FROM tpch20_supplier
+        WHERE s_suppkey IN (
+          SELECT v.l_suppkey
+          FROM vol v
+          JOIN tot t ON v.l_partkey = t.l_partkey
+          JOIN tpch20_part p
+            ON p.p_partkey = v.l_partkey AND p.p_type = 'PROMO'
+          WHERE v.sq * t.ns > 2 * t.tq)
+        """
+    )
