@@ -141,6 +141,12 @@ def minhash_lsh_pairs(
     base = minhash_signatures(docs, n).persist()
     base.count()  # eager: both join branches must hit the cache, not
     # race to recompute the signature pipeline in parallel
+    return _lsh_pairs_from_base(base, threshold)
+
+
+def _lsh_pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
+    """Band join + exact verification from an already-PERSISTED
+    signatures frame (doc_id, shingles, sig)."""
     # Band id is folded INTO the 64-bit key (xxhash64(..., band)), so
     # the self-join needs a single join column; a cross-band key
     # collision is ~2^-64 and harmless anyway — candidates are exactly
@@ -182,6 +188,22 @@ def minhash_lsh_pairs(
     return verify_jaccard(candidates, doc_shingles, threshold)
 
 
+def lsh_pairs_with_exact(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """(exact gram-join pairs, LSH pairs) at the same threshold from
+    ONE tokenize/shingle pass: the signatures frame is persisted once
+    and both pipelines branch off it — the shape the contract-oracle
+    queries need (exact rows + LSH recall flag) without paying the
+    corpus scan twice."""
+    base = minhash_signatures(docs, n).persist()
+    base.count()
+    sh = base.select("doc_id", F.col("shingles").alias("sh"))
+    return _exact_pairs_from_sh(sh, threshold), _lsh_pairs_from_base(
+        base, threshold
+    )
+
+
 def verify_jaccard(
     pairs: DataFrame, doc_shingles: DataFrame, threshold: float
 ) -> DataFrame:
@@ -217,6 +239,13 @@ def ngram_jaccard_pairs(
     as exact ground truth for the LSH variant."""
     sh = _with_shingles(docs, n).persist()
     sh.count()  # both branches below must reuse, not recompute
+    return _exact_pairs_from_sh(sh, threshold)
+
+
+def _exact_pairs_from_sh(sh: DataFrame, threshold: float) -> DataFrame:
+    """Gram-join exact pairs from an already-PERSISTED (doc_id, sh)
+    frame — the branch point that lets one shingle pass serve both
+    the exact ground truth and the LSH pipeline."""
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("g"))
     a, b = exploded.alias("a"), exploded.alias("b")

@@ -91,10 +91,14 @@ def _lsh_recall_contract(exact: DataFrame, lsh_pairs: DataFrame) -> DataFrame:
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard >= 0.5, contract-oracle
     form (rows-only history: r1-r5; recall vs the exact q_dedup_ngram
-    ground truth additionally asserted in tests)."""
+    ground truth additionally asserted in tests).  Both sides branch
+    off ONE persisted shingle pass (dedup.lsh_pairs_with_exact) — the
+    corpus is tokenized once, not twice."""
+    from ..operators.dedup import lsh_pairs_with_exact
+
     docs = read_table(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.5)
-    return _lsh_recall_contract(exact, minhash_lsh_pairs(docs, threshold=0.5))
+    exact, lsh = lsh_pairs_with_exact(docs, threshold=0.5)
+    return _lsh_recall_contract(exact, lsh)
 
 
 _NGRAM_ORACLE = """
