@@ -585,7 +585,11 @@ def q_sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     dense = spine.join(daily, "day", "left")
     # RANGE frame on the epoch-day number: ROWS would silently span
-    # more than 7 calendar days across gaps
+    # more than 7 calendar days across gaps.  This window is global
+    # BY DESIGN and day-scale, not data-scale — its input is one
+    # HLL sketch per calendar day (~365 rows/year at any corpus
+    # size; the events-scale reduction happened in the groupBy
+    # above), so the single-partition WindowExec holds kilobytes.
     dayno = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     w = Window.orderBy(dayno).rangeBetween(-6, 0)
     approx = dense.select(

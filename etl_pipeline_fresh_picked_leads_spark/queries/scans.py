@@ -487,3 +487,56 @@ def q_txtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert t.delete(F.col("o_orderstatus") == "ZZZ") == 0
     assert t.snapshot().version == v, "no-match delete must not commit"
     return t.read()
+
+
+@query(
+    "q_matview_minmax",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_totalprice,
+           MIN(o_totalprice) AS min_totalprice,
+           MAX(o_totalprice) AS max_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view WITH min/max (r6): least/greatest
+    merge on the append-only fast path — sound because any rewrite op
+    in the history forces the full recompute that re-derives them
+    (sources/matview.py).  Orders lands in two commits; the second
+    refresh folds in only the delta and must still equal the full
+    recompute bit-for-bit on all four aggregate families."""
+    import shutil
+
+    from ..sources.matview import MatView
+    from ..sources.txtable import TxTable
+
+    base = os.path.join(_SCRATCH, "matview_minmax")
+    shutil.rmtree(base, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    stripe = F.pmod(F.xxhash64("o_orderkey"), F.lit(2))
+    src = TxTable.create(
+        spark, os.path.join(base, "src"), o.filter(stripe == 0).coalesce(1)
+    )
+    mv = MatView(
+        spark,
+        os.path.join(base, "src"),
+        os.path.join(base, "mv"),
+        keys=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    mv.refresh()
+    src.append(o.filter(stripe == 1).coalesce(1))
+    mv.refresh()  # incremental: sum adds, min/max least/greatest-merge
+    return mv.read().select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
+        F.col("min_o_totalprice").alias("min_totalprice"),
+        F.col("max_o_totalprice").alias("max_totalprice"),
+    )

@@ -17,8 +17,10 @@ so a crash-and-replay either sees the tag and no-ops or redoes the
 whole merge from the same inputs — the state can never reflect a
 half-applied delta, and there is no sidecar watermark to drift.
 
-Only mergeable aggregates are maintained (count/sum; min/max merge
-too but are NOT defensible under deletes, so they are omitted).
+Only mergeable aggregates are maintained: count/sum always, min/max
+optionally (sound here because the incremental least/greatest merge
+is only taken on the append-only fast path; deletes force the full
+recompute that re-derives them — see the class docstring).
 Incremental consumption assumes append-only history; any non-append
 commit (upsert/update/compact-with-changes) since the last refresh
 triggers a full recompute — detected from the op column of the
@@ -41,10 +43,18 @@ _INCREMENTAL_OPS = {"append"}
 
 class MatView:
     """``keys``-grouped COUNT(*) + exact DECIMAL SUMs of ``sum_cols``
-    over the TxTable at ``src_root``, materialized as the TxTable at
-    ``mv_root``.  Column layout: keys, ``n_rows``, ``sum_<col>`` as
-    DECIMAL(28, scale) (exact and associative, so incremental merge
-    order cannot change a single bit — the dsum discipline)."""
+    (plus optional ``min_cols``/``max_cols``) over the TxTable at
+    ``src_root``, materialized as the TxTable at ``mv_root``.  Column
+    layout: keys, ``n_rows``, ``sum_<col>`` as DECIMAL(28, scale)
+    (exact and associative, so incremental merge order cannot change a
+    single bit — the dsum discipline), ``min_<col>``/``max_<col>``
+    verbatim-typed.
+
+    min/max are SOUND in this refresher even though they are not
+    invertible under deletes: the incremental least/greatest merge is
+    only taken on the append-only fast path (``_all_appends_since``),
+    and any rewrite op in the history forces the full recompute, which
+    re-derives them from scratch."""
 
     def __init__(
         self,
@@ -54,6 +64,8 @@ class MatView:
         keys: list[str],
         sum_cols: list[str],
         scale: int = 2,
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.src = TxTable(spark, src_root)
@@ -61,6 +73,8 @@ class MatView:
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
         self.scale = scale
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
 
     # ------------------------------------------------------- internals
 
@@ -71,6 +85,8 @@ class MatView:
             .alias(f"sum_{c}")
             for c in self.sum_cols
         ]
+        aggs += [F.min(c).alias(f"min_{c}") for c in self.min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in self.max_cols]
         return df.groupBy(*self.keys).agg(*aggs)
 
     def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:
@@ -90,6 +106,22 @@ class MatView:
                 )
                 .cast(f"decimal(28,{self.scale})")
                 .alias(f"sum_{c}")
+            )
+        for c in self.min_cols:  # NULL side -> other side (coalesce)
+            cols.append(
+                F.coalesce(
+                    F.least(F.col(f"m.min_{c}"), F.col(f"d.min_{c}")),
+                    F.col(f"m.min_{c}"),
+                    F.col(f"d.min_{c}"),
+                ).alias(f"min_{c}")
+            )
+        for c in self.max_cols:
+            cols.append(
+                F.coalesce(
+                    F.greatest(F.col(f"m.max_{c}"), F.col(f"d.max_{c}")),
+                    F.col(f"m.max_{c}"),
+                    F.col(f"d.max_{c}"),
+                ).alias(f"max_{c}")
             )
         return m.join(d, on=self.keys, how="full_outer").select(*cols)
 

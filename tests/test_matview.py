@@ -219,3 +219,28 @@ def test_matview_composite_keys(spark, tmp_path):
         (2, "a"): (1, "3.00"),
         (3, "c"): (1, "9.00"),
     }
+
+
+def test_minmax_incremental_and_update_fallback(spark, tmp_path):
+    """min/max merge correctly on the append path, and stay correct
+    after an UPDATE that lowers the max — the non-append history must
+    force the full recompute that forgets the old extreme (the case
+    where a naive least/greatest merge would be wrong)."""
+    src_root, mv_root = str(tmp_path / "s"), str(tmp_path / "m")
+    src = TxTable.create(
+        spark, src_root, _mk(spark, [(1, 10.0), (1, 50.0), (2, 5.0)])
+    )
+    mv = MatView(
+        spark, src_root, mv_root, keys=["k"], sum_cols=["v"],
+        min_cols=["v"], max_cols=["v"],
+    )
+    mv.refresh()
+    src.append(_mk(spark, [(1, 99.0), (2, 1.0)]))
+    mv.refresh()  # append fast path: least/greatest merge
+    got = {(r.k, r.min_v, r.max_v) for r in mv.read().collect()}
+    assert got == {(1, 10.0, 99.0), (2, 1.0, 5.0)}
+    # lower the max of k=1: invertible-merge would keep 99.0
+    src.update(F.col("v") == 99.0, {"v": F.lit(20.0)})
+    mv.refresh()  # history has a rewrite -> full recompute
+    got = {(r.k, r.min_v, r.max_v) for r in mv.read().collect()}
+    assert got == {(1, 10.0, 50.0), (2, 1.0, 5.0)}
