@@ -566,3 +566,95 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# Streaming SCD2 (r6): dimension updates arrive as a stream; each
+# foreachBatch folds the batch into the TxTable-backed SCD2 dimension
+# and commits the new state under the batch's txn tag (exactly-once
+# under replay — a re-fired batch sees its tag and no-ops).  Batch 1
+# (eff 2024-03-01) bumps acctbal +50 for custkey%5=0; batch 2
+# (eff 2024-06-01) bumps %10=0 keys to +150 — so %10 keys carry three
+# versions, %5-but-not-%10 two, everyone else one.
+_STREAM_SCD2_ORACLE = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+SELECT c_custkey, c_name, c_acctbal,
+       DATE '2024-01-01' AS valid_from,
+       CASE WHEN c_custkey % 5 = 0 THEN DATE '2024-03-01' END AS valid_to,
+       c_custkey % 5 <> 0 AS is_current
+FROM base
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal + 50,
+       DATE '2024-03-01',
+       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01' END,
+       c_custkey % 10 <> 0
+FROM base WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal + 150,
+       DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+FROM base WHERE c_custkey % 10 = 0
+"""
+
+
+@query("q_stream_scd2", oracle=_STREAM_SCD2_ORACLE)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance: CDC-style update batches
+    stream through foreachBatch into operators/scd.scd2_apply; the
+    full new dimension state commits atomically per batch with a txn
+    tag (TxTable.overwrite) — the streaming upgrade of the
+    reference's history-losing WRITE_TRUNCATE dimension reloads.
+    Deterministic: effective dates ride IN the batch, no wall-clock."""
+    from ..operators.scd import scd2_apply, scd2_init
+    from ..sources.txtable import TxTable
+
+    base = os.path.join(tempfile.gettempdir(), "fpl_spark_scratch", "stream_scd2")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b1 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+        F.lit("2024-03-01").alias("eff_date"),
+    )
+    b2 = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + 150).alias("c_acctbal"),
+        F.lit("2024-06-01").alias("eff_date"),
+    )
+    for i, b in enumerate((b1, b2)):
+        tmp = os.path.join(base, f"tmp{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        srcf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, srcf), os.path.join(landing, f"b{i}.parquet"))
+    dim_root = os.path.join(base, "dim")
+    TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        eff = batch_df.agg(F.max("eff_date")).collect()[0][0]
+        dim = TxTable(spark, dim_root)
+        new_state = scd2_apply(
+            dim.read(), batch_df.drop("eff_date"), "c_custkey",
+            ["c_acctbal"], eff,
+        )
+        dim.overwrite(new_state, txn=f"scd2-{batch_id}")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream scd2 did not finish")
+    return TxTable(spark, dim_root).read().select(
+        "c_custkey", "c_name", "c_acctbal",
+        "valid_from", "valid_to", "is_current",
+    )
