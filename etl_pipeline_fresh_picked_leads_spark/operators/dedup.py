@@ -248,6 +248,13 @@ def _exact_pairs_from_sh(sh: DataFrame, threshold: float) -> DataFrame:
     the exact ground truth and the LSH pipeline."""
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("g"))
+    # NOTE on a rejected optimization (r6, measured): pre-dropping
+    # grams that occur in only one doc (they can join no pair) ADDS
+    # ~20% here — this corpus is so repetitive that only 207 of 260k
+    # gram instances at sf0.1 are corpus-unique, so the counting pass
+    # buys nothing.  On natural web text (mostly unique grams) that
+    # frequency prune is the standard first move — revisit if the
+    # corpus profile changes.
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(
