@@ -189,13 +189,23 @@ def _lsh_pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
 
 
 def lsh_pairs_with_exact(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    family: str = "banded",
 ) -> tuple[DataFrame, DataFrame]:
     """(exact gram-join pairs, LSH pairs) at the same threshold from
     ONE tokenize/shingle pass: the signatures frame is persisted once
     and both pipelines branch off it — the shape the contract-oracle
     queries need (exact rows + LSH recall flag) without paying the
-    corpus scan twice."""
+    corpus scan twice.  ``family``: "banded" (engine-default xxhash64
+    banding) or "ml" (Spark ML MinHashLSH parity variant)."""
+    if family == "ml":
+        sh = _with_shingles(docs, n).persist()
+        sh.count()
+        return _exact_pairs_from_sh(sh, threshold), minhash_lsh_pairs_ml(
+            docs, threshold, n, sh=sh
+        )
     base = minhash_signatures(docs, n).persist()
     base.count()
     sh = base.select("doc_id", F.col("shingles").alias("sh"))
@@ -414,6 +424,7 @@ def minhash_lsh_pairs_ml(
     n: int = 3,
     num_hash_tables: int = 8,
     seed: int = 42,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Spark ML MinHashLSH formulation (SURVEY §4.3: ML first, custom
     banding only when insufficient): shingles -> HashingTF binary
@@ -425,8 +436,12 @@ def minhash_lsh_pairs_ml(
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     # MinHashLSH requires >=1 set bit per vector; filter once on the
-    # shingle set (secondary variant — hot path is minhash_lsh_pairs)
-    sh = _with_shingles(docs, n).filter(F.size("sh") > 0)
+    # shingle set (secondary variant — hot path is minhash_lsh_pairs).
+    # A caller with an already-persisted (doc_id, sh) frame passes it
+    # in so the tokenize pass isn't paid twice (lsh_pairs_with_exact).
+    sh = (_with_shingles(docs, n) if sh is None else sh).filter(
+        F.size("sh") > 0
+    )
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )

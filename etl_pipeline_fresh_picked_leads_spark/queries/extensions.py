@@ -134,13 +134,11 @@ def q_dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 8 OR-amplified hash tables a 0.8-Jaccard pair is missed with
     probability (1-0.8)^8 ~ 3e-6, so the recall_hi_ok contract holds
     for the library family too (rows-only history: r1-r5)."""
-    from ..operators.dedup import minhash_lsh_pairs_ml
+    from ..operators.dedup import lsh_pairs_with_exact
 
     docs = read_table(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.5)
-    return _lsh_recall_contract(
-        exact, minhash_lsh_pairs_ml(docs, threshold=0.5)
-    )
+    exact, ml = lsh_pairs_with_exact(docs, threshold=0.5, family="ml")
+    return _lsh_recall_contract(exact, ml)
 
 
 # The simhash signature family (xxhash64) has no DuckDB twin, so the
