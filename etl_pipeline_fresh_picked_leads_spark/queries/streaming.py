@@ -658,3 +658,63 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal",
         "valid_from", "valid_to", "is_current",
     )
+
+
+# Stream point-in-time enrichment (r6): each event joins the SCD2
+# dimension VERSION valid at its event time — the temporal-validity
+# upgrade of q_stream_static_join (which always sees the latest row).
+# Dim schedule: acctbal bumps +100 effective 1998-01-01 for
+# c_custkey%3=0, so events before/after the cutover see different
+# versions of the same key.
+_STREAM_PIT_ORACLE = """
+SELECT e.event_id, e.user_id,
+       c.c_acctbal
+         + CASE WHEN c.c_custkey % 3 = 0
+                 AND CAST(e.ts AS DATE) >= DATE '1998-01-01'
+                THEN 100 ELSE 0 END AS acctbal_asof,
+       CAST(e.ts AS DATE) >= DATE '1998-01-01' AND c.c_custkey % 3 = 0
+         AS saw_v2
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@query("q_stream_pointintime", oracle=_STREAM_PIT_ORACLE)
+def q_stream_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static POINT-IN-TIME join: the static side is a real
+    SCD2 dimension (operators/scd.py) and the join predicate is the
+    validity interval — ``valid_from <= date(ts) < valid_to`` — so
+    each event is enriched with the dimension row that was current
+    WHEN THE EVENT HAPPENED, not the latest one.  The dimension
+    broadcasts (stream-static inner join with non-equi conditions);
+    at 100 TB the stream never shuffles for the enrichment."""
+    from ..operators.scd import scd2_apply, scd2_init
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    dim = scd2_apply(
+        scd2_init(cust, "1900-01-01"),
+        cust.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal")
+        ),
+        "c_custkey",
+        ["c_acctbal"],
+        "1998-01-01",
+    )
+    stream = events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    ev_date = F.col("ts").cast("date")
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("c_custkey"))
+        & (ev_date >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (ev_date < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_acctbal").alias("acctbal_asof"),
+        (
+            (ev_date >= F.lit("1998-01-01").cast("date"))
+            & (F.col("c_custkey") % 3 == 0)
+        ).alias("saw_v2"),
+    )
+    return run_available_now(joined, spark, "append")
