@@ -141,3 +141,47 @@ def bloom_prune(
         )
         cond = cond & (bit == F.lit(1))
     return df.filter(cond).drop("_bloom_words")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: int,
+) -> DataFrame:
+    """Interval overlap join (``l_start < r_end AND r_start < l_end``)
+    as an EQUI-join: each interval explodes to the time buckets it
+    covers, buckets equi-join, the exact overlap predicate filters,
+    and duplicates (pairs sharing several buckets) drop.  A naive
+    theta join is a nested-loop O(|L|*|R|); bucketing makes the
+    shuffle key-partitioned and the per-key work local — the classic
+    range-join optimization.  ``bucket`` should be on the order of
+    typical interval length: too small multiplies rows, too large
+    degenerates toward all-pairs within a bucket.  Columns must be
+    numeric (epoch micros); half-open [start, end) semantics."""
+    # integer `div`, never float division + floor: at epoch-micros
+    # magnitudes a double quotient can round across a bucket boundary,
+    # and a pair overlapping exactly at that boundary would then miss
+    # its shared bucket
+    def _buckets(df, start, end):
+        return df.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"`{start}` div {bucket}"),
+                    F.expr(f"(`{end}` - 1) div {bucket}"),
+                )
+            ),
+        )
+
+    lb = _buckets(left, l_start, l_end)
+    rb = _buckets(right, r_start, r_end)
+    joined = lb.join(rb, "_b").filter(
+        (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    )
+    return joined.drop("_b").dropDuplicates(
+        [c for c in left.columns + right.columns]
+    )

@@ -517,3 +517,46 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.join(
         F.broadcast(c), pruned.o_custkey == c.c_custkey, "left_semi"
     )
+
+
+# 40 deterministic 6-hour campaign windows every 18 h from 2024-01-01
+# (epoch micros; both engines compute the same bigint arithmetic), each
+# event carries a 10-minute activity window.
+_INTERVAL_ORACLE = """
+SELECT e.event_id, CAST(c.i AS BIGINT) AS campaign_id
+FROM events e, (SELECT i FROM generate_series(0, 39) t(i)) c
+WHERE epoch_us(e.ts) < 1704067200000000 + c.i * 64800000000 + 21600000000
+  AND 1704067200000000 + c.i * 64800000000 < epoch_us(e.ts) + 600000000
+"""
+
+
+@query("q_join_interval", oracle=_INTERVAL_ORACLE)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join via time-bucket equi-join
+    (operators/joins.py interval_overlap_join): event activity
+    windows (10 min) x campaign windows (6 h) — the exact overlap
+    predicate evaluates only within shared 6-hour buckets, so the
+    plan is a key join, never a nested-loop product.  At 100 TB both
+    sides can be fact-sized; the bucket key is what keeps the shuffle
+    partitionable."""
+    from ..operators.joins import interval_overlap_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 600_000_000).alias(
+            "e_us"
+        ),
+    )
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    camp = spark.range(40).select(
+        F.col("id").alias("campaign_id"),
+        (F.lit(base) + F.col("id") * 64_800_000_000).alias("c_s"),
+        (F.lit(base) + F.col("id") * 64_800_000_000 + 21_600_000_000).alias(
+            "c_e"
+        ),
+    )
+    out = interval_overlap_join(
+        ev, camp, "s_us", "e_us", "c_s", "c_e", bucket=21_600_000_000
+    )
+    return out.select("event_id", "campaign_id")

@@ -100,3 +100,31 @@ def test_bloom_prune_no_false_negatives_and_selective(spark):
     # the membership test is JVM expression work, no Python, no shuffle
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_interval_overlap_join_matches_theta(spark):
+    """Bucketized interval join == naive theta join, including
+    intervals that touch bucket boundaries exactly and intervals
+    spanning multiple buckets; plan must stay an equi join."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    B = 100
+    lrows = [(i, (i * 37) % 1000, (i * 37) % 1000 + 1 + (i % 250)) for i in range(300)]
+    rrows = [(j, j * 100, j * 100 + 100) for j in range(12)]  # exactly on boundaries
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket=B
+        ).collect()
+    }
+    want = {
+        (r.lid, r.rid)
+        for r in left.join(
+            right, (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0

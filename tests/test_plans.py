@@ -467,3 +467,11 @@ def test_tpch_q17_decorrelated_and_q18_semijoin(spark):
     assert "LeftSemi" in p18, p18
     assert "partial_sum" in p18, p18
     assert has_take_ordered(q18), p18
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The interval overlap join must plan as an equi join on the
+    bucket key (hash or sort-merge) — never a nested-loop product,
+    which is what a bare theta overlap predicate degenerates to."""
+    plan = formatted_plan(QUERIES["q_join_interval"](spark, SF_SMALL))
+    assert "NestedLoop" not in plan, plan
