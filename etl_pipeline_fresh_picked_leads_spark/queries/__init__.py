@@ -82,10 +82,9 @@ _DRIVER_WINDOW = [
     "q_agg_heavyhitters", "q_dedup_cross_source",
     "q_tpch_q6", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19", "q_tpch_q20",
     "q_matview_minmax", "q_stream_scd2", "q_stream_pointintime",
-    "q_join_interval",
+    "q_join_interval", "q_sql_recursive",
     # r1-last-verified aggregate/window tail (stalest-first)
     "q_agg_having", "q_agg_distinct", "q_agg_multi_distinct",
-    "q_dedup_exact",
 ]
 
 

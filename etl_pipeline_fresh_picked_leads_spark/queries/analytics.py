@@ -622,3 +622,78 @@ def q_sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+# Recursive CTE (r6 — Spark 4 WITH RECURSIVE): per-event session-ROOT
+# resolution by walking the prev-event chain.  The recursion is LINEAR
+# (each event has at most one predecessor edge, so every event appears
+# exactly once per step and the working set only shrinks) — the shape
+# recursive CTEs are safe for at scale, unlike closure over a cyclic
+# or high-fanout graph.  The DuckDB oracle derives the same roots
+# NON-recursively (gaps-and-islands + FIRST_VALUE), pinning
+# cross-paradigm equivalence.
+_SQL_RECURSIVE_ORACLE = """
+WITH lagd AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT event_id, user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+)
+SELECT event_id,
+       FIRST_VALUE(event_id)
+         OVER (PARTITION BY user_id, sid ORDER BY ts, event_id)
+         AS root_id
+FROM sess
+"""
+
+
+@query("q_sql_recursive", oracle=_SQL_RECURSIVE_ORACLE)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE session-root resolution: session starts seed the
+    recursion with themselves; every chained event (previous same-user
+    event within 30 min) inherits its predecessor's root, one hop per
+    iteration.  Linear recursion — each event joins exactly one
+    predecessor — so iterations = longest chain and total work is
+    O(events x depth)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    lagged = (
+        ev.withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "chained",
+            F.col("prev_ts").isNotNull() & (us - prev_us <= 1_800_000_000),
+        )
+    )
+    lagged.createOrReplaceTempView("rcte_events")
+    try:  # headroom for long chains; conf name is Spark 4+
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    except Exception:
+        pass
+    return spark.sql(
+        """
+        WITH RECURSIVE root(event_id, root_id) AS (
+          SELECT event_id, event_id FROM rcte_events WHERE NOT chained
+          UNION ALL
+          SELECT c.event_id, r.root_id
+          FROM rcte_events c JOIN root r ON c.prev_id = r.event_id
+          WHERE c.chained
+        )
+        SELECT event_id, root_id FROM root
+        """
+    )
