@@ -113,3 +113,53 @@ def test_lsh_precision_and_exact_dup_recall(spark, texts):
             norm_j = " ".join(texts[j].lower().split())
             if norm_i == norm_j and len(norm_i.split()) >= 3:
                 assert (i, j) in found
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_distwindow_global_rank_matches_vanilla(spark, data):
+    """Property: for ANY value distribution (duplicates, negatives,
+    skewed clusters) and partition count, the distributed global rank
+    equals the single-partition ROW_NUMBER, and NTILE derived from it
+    equals built-in ntile."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.distwindow import (
+        global_rank,
+        ntile_expr,
+    )
+
+    n = data.draw(st.integers(3, 120))
+    npart = data.draw(st.sampled_from([2, 3, 8, 16]))
+    buckets = data.draw(st.integers(2, 7))
+    vals = data.draw(
+        st.lists(
+            st.integers(-50, 50).map(float), min_size=n, max_size=n
+        )
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), "k long, v double")
+    ranked, total = global_rank(df, ["v", "k"], npart=npart)
+    assert total == n
+    got = {
+        (r.k, r.rk, r.q)
+        for r in ranked.select(
+            "k",
+            F.col("_grank").alias("rk"),
+            ntile_expr("_grank", total, buckets).alias("q"),
+        ).collect()
+    }
+    w = W.orderBy("v", "k")
+    want = {
+        (r.k, r.rk, r.q)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.ntile(buckets).over(w).alias("q"),
+        ).collect()
+    }
+    assert got == want
