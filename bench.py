@@ -92,14 +92,23 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qid in HEADLINE:
-        t0 = time.time()
         try:
-            QUERIES[qid](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[qid] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[qid](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 3))
+            # first run keeps the historical single-shot semantics
+            # (includes per-query codegen compile); min-of-2 is the
+            # steady-state signal — the box's ±20-70% session noise
+            # and one-shot JIT cost hit the first run hardest
+            timings[qid] = runs[0]
+            steady[qid] = min(runs)
         except Exception as e:  # one broken query must not void the run
             errors[qid] = str(e).splitlines()[0][:200]
 
@@ -124,6 +133,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "total_steady": round(sum(steady.values()), 3),
                 "canary": "q_agg_group",
                 "canary_sec": canary,
                 "queries_normalized": normalized,
