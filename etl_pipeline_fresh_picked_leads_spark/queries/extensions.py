@@ -49,9 +49,9 @@ from .registry import query
 # (promoted r6, after the r5 IVF pattern) pins the exact ground truth
 # plus the detection CONTRACT instead: rows are the exact 3-gram
 # Jaccard >= 0.5 pairs (DuckDB-recomputable), and recall_hi_ok
-# certifies every pair with Jaccard >= 0.8 was surfaced by the LSH —
-# at 8x2 banding the miss probability of a 0.8 pair is
-# (1-0.8^2)^8 ~ 3e-4 per pair, and the corpus-level floor is pinned
+# certifies every pair with Jaccard >= 0.9 was surfaced by the LSH —
+# at 8x2 banding the miss probability of a 0.9 pair is
+# (1-0.9^2)^8 ~ 2e-7 per pair, and the corpus-level floor is pinned
 # 256/256 at sf0.1 in tests.  A broken hash family, banding bug, or
 # dropped candidate join flips the flag on every row.
 _FUZZY_ORACLE = """
@@ -75,11 +75,16 @@ SELECT doc_id_a, doc_id_b, jaccard, TRUE AS recall_hi_ok FROM (
 
 def _lsh_recall_contract(exact: DataFrame, lsh_pairs: DataFrame) -> DataFrame:
     """exact >= 0.5 pairs + a single recall flag: every exact pair at
-    Jaccard >= 0.8 must appear in the LSH output (broadcast 1-row
-    join; no driver collect)."""
+    Jaccard >= 0.9 must appear in the LSH output (broadcast 1-row
+    join; no driver collect).  0.9 band: per-pair miss probability is
+    (1-0.81)^8 ~ 2e-7 for the 8x2 banding (~1e-8 for the 8-table ML
+    family), so the flag cannot flake on sampling luck; at 0.8 a
+    hypothetical [0.8, 0.9) pair would carry ~3e-4 — a visible-red
+    risk over many driver rounds.  This corpus's organic pairs are
+    all >= 0.9 anyway (measured sf0.01: 25/25)."""
     keys = ["doc_id_a", "doc_id_b"]
     missed = (
-        exact.filter(F.col("jaccard") >= 0.8)
+        exact.filter(F.col("jaccard") >= 0.9)
         .select(*keys)
         .join(lsh_pairs.select(*keys), keys, "left_anti")
         .agg((F.count(F.lit(1)) == 0).alias("recall_hi_ok"))
@@ -131,8 +136,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML MinHashLSH variant (library-parity cross-check of
     q_dedup_fuzzy; seeded), same contract-oracle form (promoted r6):
-    with 8 OR-amplified hash tables a 0.8-Jaccard pair is missed with
-    probability (1-0.8)^8 ~ 3e-6, so the recall_hi_ok contract holds
+    with 8 OR-amplified hash tables a 0.9-Jaccard pair is missed with
+    probability (1-0.9)^8 ~ 1e-8, so the recall_hi_ok contract holds
     for the library family too (rows-only history: r1-r5)."""
     from ..operators.dedup import lsh_pairs_with_exact
 
@@ -770,7 +775,7 @@ FROM cnt GROUP BY doc_id
 # exact >=0.5 pairs RESTRICTED to pairs touching the batch (the split
 # is plain doc_id % 5 so DuckDB can re-derive it); recall_hi_ok
 # certifies the incremental banding surfaced every restricted pair at
-# Jaccard >= 0.8.  The index round-trip and full-run-restriction
+# Jaccard >= 0.9.  The index round-trip and full-run-restriction
 # equality stay pinned in tests.
 _INCR_ORACLE = """
 WITH sh AS (

@@ -362,7 +362,7 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contract oracle (promoted r6, q_dedup_fuzzy pattern): the union of
 # per-batch pair sets equals the full-corpus LSH run (pinned in
 # tests/test_streaming_incremental.py), so the hashed rows are the
-# exact full >=0.5 pair set and recall_hi_ok certifies every >=0.8
+# exact full >=0.5 pair set and recall_hi_ok certifies every >=0.9
 # pair was streamed out across the batches.
 _STREAM_INCR_ORACLE = """
 WITH sh AS (
