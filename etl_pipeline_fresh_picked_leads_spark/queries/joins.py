@@ -523,10 +523,14 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (epoch micros; both engines compute the same bigint arithmetic), each
 # event carries a 10-minute activity window.
 _INTERVAL_ORACLE = """
+WITH b AS (
+  SELECT epoch_us(CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP)) AS base
+  FROM events
+)
 SELECT e.event_id, CAST(c.i AS BIGINT) AS campaign_id
-FROM events e, (SELECT i FROM generate_series(0, 39) t(i)) c
-WHERE epoch_us(e.ts) < 1704067200000000 + c.i * 64800000000 + 21600000000
-  AND 1704067200000000 + c.i * 64800000000 < epoch_us(e.ts) + 600000000
+FROM events e, (SELECT i FROM generate_series(0, 39) t(i)) c, b
+WHERE epoch_us(e.ts) < b.base + c.i * 64800000000 + 21600000000
+  AND b.base + c.i * 64800000000 < epoch_us(e.ts) + 600000000
 """
 
 
@@ -548,7 +552,18 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e_us"
         ),
     )
-    base = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    # campaign schedule anchors at the corpus's first day (scalar
+    # through the driver) so the query stays non-trivial whatever
+    # epoch a regenerated events table lands in
+    base = (
+        read_table(spark, sf_dir, "events")
+        .agg(
+            F.unix_micros(
+                F.date_trunc("day", F.min(F.col("ts").cast("timestamp")))
+            ).alias("b")
+        )
+        .collect()[0]["b"]
+    )
     camp = spark.range(40).select(
         F.col("id").alias("campaign_id"),
         (F.lit(base) + F.col("id") * 64_800_000_000).alias("c_s"),
