@@ -666,13 +666,20 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dim schedule: acctbal bumps +100 effective 1998-01-01 for
 # c_custkey%3=0, so events before/after the cutover see different
 # versions of the same key.
+# The cutover anchors at corpus-min-day + 15 (mid-span for the 30-day
+# events table) so the SAME key genuinely resolves to different
+# versions before/after — a fixed calendar date would put every event
+# on one side whenever the data vintage shifts.
 _STREAM_PIT_ORACLE = """
+WITH cut AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) + 15 AS d FROM events
+)
 SELECT e.event_id, e.user_id,
        c.c_acctbal
          + CASE WHEN c.c_custkey % 3 = 0
-                 AND CAST(e.ts AS DATE) >= DATE '1998-01-01'
+                 AND CAST(e.ts AS DATE) >= (SELECT d FROM cut)
                 THEN 100 ELSE 0 END AS acctbal_asof,
-       CAST(e.ts AS DATE) >= DATE '1998-01-01' AND c.c_custkey % 3 = 0
+       CAST(e.ts AS DATE) >= (SELECT d FROM cut) AND c.c_custkey % 3 = 0
          AS saw_v2
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
@@ -689,6 +696,17 @@ def q_stream_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the stream never shuffles for the enrichment."""
     from ..operators.scd import scd2_apply, scd2_init
 
+    cut = (
+        read_table(spark, sf_dir, "events")
+        .agg(
+            F.date_add(
+                F.date_trunc("day", F.min(F.col("ts").cast("timestamp")))
+                .cast("date"),
+                15,
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
     )
@@ -699,7 +717,7 @@ def q_stream_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "c_custkey",
         ["c_acctbal"],
-        "1998-01-01",
+        cut,
     )
     stream = events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
     ev_date = F.col("ts").cast("date")
@@ -713,8 +731,7 @@ def q_stream_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("c_acctbal").alias("acctbal_asof"),
         (
-            (ev_date >= F.lit("1998-01-01").cast("date"))
-            & (F.col("c_custkey") % 3 == 0)
+            (ev_date >= F.lit(cut)) & (F.col("c_custkey") % 3 == 0)
         ).alias("saw_v2"),
     )
     return run_available_now(joined, spark, "append")
