@@ -45,7 +45,14 @@ def _npart(df: DataFrame, npart: int | None) -> int:
 def _range_pinned(df: DataFrame, keys: list[str], npart: int) -> DataFrame:
     """Range-partition on ``keys`` with the partition id materialized
     as a column and the partitioning PINNED (localCheckpoint): every
-    later pass must see the same pid for the same row."""
+    later pass must see the same pid for the same row.
+
+    Storage lifetime: the checkpointed blocks live until the returned
+    DataFrame is garbage-collected (ContextCleaner releases them with
+    the RDD), so repeated calls in one session hold at most the
+    not-yet-collected tail, not an unbounded leak.  They cannot be
+    unpersisted eagerly — the lineage is truncated, so the data IS
+    the only copy while any derived plan may still run."""
     return (
         df.repartitionByRange(npart, *[F.col(k) for k in keys])
         .withColumn(_PID, F.spark_partition_id())

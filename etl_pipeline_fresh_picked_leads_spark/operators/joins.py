@@ -179,9 +179,19 @@ def interval_overlap_join(
 
     lb = _buckets(left, l_start, l_end)
     rb = _buckets(right, r_start, r_end)
-    joined = lb.join(rb, "_b").filter(
-        (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
-    )
-    return joined.drop("_b").dropDuplicates(
-        [c for c in left.columns + right.columns]
+    # bucket-owner dedup: an overlapping pair covers the bucket of
+    # max(l_start, r_start) on BOTH sides, and exactly one shared
+    # bucket satisfies this equality — so emitting the pair only from
+    # that bucket needs no post-join distinct (which would both cost a
+    # full-output shuffle and silently collapse genuinely duplicate
+    # input rows, diverging from theta-join semantics)
+    owner = F.expr(f"greatest(`{l_start}`, `{r_start}`) div {bucket}")
+    return (
+        lb.join(rb, "_b")
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("_b") == owner)
+        )
+        .drop("_b")
     )

@@ -52,12 +52,19 @@ def _mg_partition(col: str, k: int):
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
-    """Exact keys with frequency > n/k, found via per-partition
-    Misra–Gries candidates + exact verification.  Returns
-    ``(col, freq)`` for every true heavy hitter; bit-identical to the
-    full-groupBy answer (the sketch only prunes, the counts are
-    exact), with per-task memory O(k) and a candidate-only shuffle."""
-    src = df.select(col)
+    """Exact NON-NULL keys with frequency > n/k, found via
+    per-partition Misra–Gries candidates + exact verification.
+    Returns ``(col, freq)`` for every true heavy hitter; bit-identical
+    to the full-groupBy answer over non-null keys (the sketch only
+    prunes, the counts are exact), with per-task memory O(k) and a
+    candidate-only shuffle.
+
+    NULL keys are excluded up front: NULLs reach pandas as NaN, and
+    NaN != NaN would both corrupt the counter dict (every NaN inserts
+    separately) and break the Arrow cast back to the integral schema —
+    and a NULL "heavy hitter" is not a meaningful answer anyway.
+    Callers wanting the null mass should count it separately."""
+    src = df.select(col).filter(F.col(col).isNotNull())
     candidates = (
         src.mapInPandas(_mg_partition(col, k), schema=f"{col} {dict(df.dtypes)[col]}")
         .distinct()

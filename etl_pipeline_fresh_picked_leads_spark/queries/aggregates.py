@@ -551,7 +551,7 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # organic heavy users (if the driver data has them) agree too.
 _HEAVY_HITTERS_ORACLE = """
 WITH corpus AS (
-  SELECT user_id FROM events
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
   UNION ALL
   SELECT CAST(-1 AS BIGINT) AS user_id
   FROM (SELECT row_number() OVER () AS rn FROM events) t

@@ -82,6 +82,10 @@ def _lsh_recall_contract(exact: DataFrame, lsh_pairs: DataFrame) -> DataFrame:
     hypothetical [0.8, 0.9) pair would carry ~3e-4 — a visible-red
     risk over many driver rounds.  This corpus's organic pairs are
     all >= 0.9 anyway (measured sf0.01: 25/25)."""
+    exact = exact.persist()
+    exact.count()  # the flag's anti-join and the output rows both
+    # branch off the expensive gram self-join — without the pin it
+    # runs twice (CLAUDE.md persist-before-branching rule)
     keys = ["doc_id_a", "doc_id_b"]
     missed = (
         exact.filter(F.col("jaccard") >= 0.9)
@@ -154,9 +158,14 @@ def q_dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fails the row-count gate; organic corpus pairs still get computed
 # but are excluded from the hashed surface (they stay pinned by
 # tests/test_extensions.py cluster invariants).
+# The planted base mirrors simhash_signatures' own eligibility filter
+# (length(trim(text)) > 0): a doc_id < 50 with empty/NULL text can
+# never produce a signature, so planting it would leave the oracle
+# expecting a pair Spark cannot emit on regenerated data.
 _SIMHASH_ORACLE = """
 SELECT doc_id AS doc_id_a, doc_id + 200000 AS doc_id_b, TRUE AS found
-FROM documents WHERE doc_id < 50
+FROM documents
+WHERE doc_id < 50 AND length(trim(text)) > 0
 """
 
 
@@ -165,7 +174,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk
     banding, planted-pair contract form (rows-only history: r1-r5)."""
     docs = read_table(spark, sf_dir, "documents")
-    base = docs.filter(F.col("doc_id") < 50)
+    base = docs.filter(
+        (F.col("doc_id") < 50) & (F.length(F.trim(F.col("text"))) > 0)
+    )
     clones = base.withColumn("doc_id", F.col("doc_id") + 200000)
     pairs = simhash_pairs(docs.unionByName(clones), max_hamming=3)
     planted = base.select(
@@ -1735,7 +1746,9 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
         ).alias("h"),
-    )
+    ).persist()
+    fp.count()  # both sides of the self-join must reuse, not recompute
+    # the full-text md5 scan (persist-before-self-join rule)
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

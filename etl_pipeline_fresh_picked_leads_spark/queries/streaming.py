@@ -627,18 +627,42 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = os.path.join(base, f"tmp{i}")
         b.coalesce(1).write.mode("overwrite").parquet(tmp)
         srcf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        os.rename(os.path.join(tmp, srcf), os.path.join(landing, f"b{i}.parquet"))
+        dest = os.path.join(landing, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, srcf), dest)
+        # FileStreamSource orders by modification time: make the
+        # arrival order EXPLICIT (SCD2 application does not commute —
+        # a coarse-mtime filesystem tying the two files could
+        # otherwise apply the 06-01 batch first and close rows with
+        # valid_to < valid_from)
+        os.utime(dest, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
     dim_root = os.path.join(base, "dim")
     TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        eff = batch_df.agg(F.max("eff_date")).collect()[0][0]
         dim = TxTable(spark, dim_root)
-        new_state = scd2_apply(
-            dim.read(), batch_df.drop("eff_date"), "c_custkey",
-            ["c_acctbal"], eff,
+        state = dim.read()
+        applied_thru = state.agg(F.max("valid_from")).collect()[0][0]
+        # a batch may span several effective dates (e.g. two files in
+        # one trigger): apply them in order; refuse out-of-order
+        # arrivals loudly instead of committing corrupt history
+        effs = sorted(
+            r[0] for r in batch_df.select("eff_date").distinct().collect()
         )
-        dim.overwrite(new_state, txn=f"scd2-{batch_id}")
+        for eff in effs:
+            if str(eff) < str(applied_thru):
+                raise RuntimeError(
+                    f"SCD2 batch effective {eff} arrived after "
+                    f"{applied_thru} was applied — refusing to rewrite "
+                    "history out of order"
+                )
+            state = scd2_apply(
+                state,
+                batch_df.filter(F.col("eff_date") == eff).drop("eff_date"),
+                "c_custkey",
+                ["c_acctbal"],
+                eff,
+            )
+        dim.overwrite(state, txn=f"scd2-{batch_id}")
 
     stream = (
         spark.readStream.schema(b1.schema)

@@ -557,11 +557,18 @@ class TxTable:
         rows = pred_df.select("_fp").distinct().collect()
         return sorted(urlparse(r._fp).path for r in rows)
 
-    def update(self, where: Column, set_map: dict[str, Column]) -> int:
-        """``UPDATE <table> SET ... WHERE ...`` as file-granular
-        copy-on-write: only files containing matching rows are
-        rewritten; everything else carries over by reference.  Returns
-        the number of rows updated."""
+    def _rewrite_affected(self, where: Column, op: str, transform) -> int:
+        """File-granular copy-on-write scaffold shared by
+        UPDATE/DELETE: find the files containing ``where`` matches,
+        rewrite them through ``transform(hit_df)``, carry everything
+        else by reference; a no-match predicate commits nothing.
+        Returns the number of matching rows.
+
+        Concurrency: a commit racing in between snapshot and commit
+        raises TxConflictError and is NOT auto-retried — unlike
+        append/overwrite, a rewrite's survivor list derives FROM the
+        snapshot, so a safe retry must redo the affected-file scan
+        against the new base; callers re-invoke."""
         base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
@@ -572,52 +579,44 @@ class TxTable:
             return 0
         hit = self._read_files(affected, base.schema_json)
         n = hit.filter(where).count()
-        updated = hit
-        for col_name, value in set_map.items():
-            updated = updated.withColumn(
-                col_name, F.when(where, value).otherwise(F.col(col_name))
-            )
         survivors = [f for f in base.files if f not in set(affected)]
-        new = self._write_data(updated)
+        new = self._write_data(transform(hit))
         self._commit(
             survivors + new,
-            "update",
+            op,
             base,
             schema_json=base.schema_json,
             stats=self._merged_stats(base, survivors, new),
         )
         return n
 
+    def update(self, where: Column, set_map: dict[str, Column]) -> int:
+        """``UPDATE <table> SET ... WHERE ...`` as file-granular
+        copy-on-write: only files containing matching rows are
+        rewritten; everything else carries over by reference.  Returns
+        the number of rows updated."""
+
+        def transform(hit: DataFrame) -> DataFrame:
+            for col_name, value in set_map.items():
+                hit = hit.withColumn(
+                    col_name, F.when(where, value).otherwise(F.col(col_name))
+                )
+            return hit
+
+        return self._rewrite_affected(where, "update", transform)
+
     def delete(self, where: Column) -> int:
         """``DELETE FROM <table> WHERE ...`` as file-granular
         copy-on-write: only files containing matching rows are
-        rewritten (keeping their NON-matching rows); untouched files
-        carry over by reference — at 100 TB a selective delete
-        rewrites a handful of files, never the table.  Returns the
-        number of rows deleted; a no-match delete commits nothing."""
-        base = self.snapshot()
-        if base is None:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        affected = self._affected_files(
-            self._scan_with_fp(base.files, base.schema_json).filter(where)
-        )
-        if not affected:
-            return 0
-        hit = self._read_files(affected, base.schema_json)
-        n = hit.filter(where).count()
-        # SQL DELETE semantics: a NULL predicate row is NOT deleted —
-        # keep everything that is not definitely-true
-        kept = hit.filter(~where.eqNullSafe(F.lit(True)))
-        survivors = [f for f in base.files if f not in set(affected)]
-        new = self._write_data(kept)
-        self._commit(
-            survivors + new,
+        rewritten (keeping their NON-matching rows) — at 100 TB a
+        selective delete rewrites a handful of files, never the
+        table.  SQL DELETE semantics: a NULL-predicate row is NOT
+        deleted.  Returns the number of rows deleted."""
+        return self._rewrite_affected(
+            where,
             "delete",
-            base,
-            schema_json=base.schema_json,
-            stats=self._merged_stats(base, survivors, new),
+            lambda hit: hit.filter(~where.eqNullSafe(F.lit(True))),
         )
-        return n
 
     def upsert(self, batch: DataFrame, key: str) -> int:
         """MERGE keyed by ``key``: batch rows replace existing rows

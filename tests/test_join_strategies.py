@@ -128,3 +128,22 @@ def test_interval_overlap_join_matches_theta(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_interval_overlap_join_keeps_duplicate_rows(spark):
+    """Theta-join parity on MULTISET semantics: two identical left
+    intervals must yield two output pairs (the bucket-owner dedup
+    removes only cross-bucket copies of the same pair, never
+    genuinely duplicate input rows)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 250), (1, 10, 250)], "lid long, ls long, le long"
+    )  # same values twice, spans 3 buckets at B=100
+    right = spark.createDataFrame([(7, 200, 300)], "rid long, rs long, re long")
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket=100
+    ).collect()
+    assert len(out) == 2 and all((r.lid, r.rid) == (1, 7) for r in out)
