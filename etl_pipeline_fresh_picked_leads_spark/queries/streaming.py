@@ -638,42 +638,16 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_root = os.path.join(base, "dim")
     TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        dim = TxTable(spark, dim_root)
-        state = dim.read()
-        applied_thru = state.agg(F.max("valid_from")).collect()[0][0]
-        # a batch may span several effective dates (e.g. two files in
-        # one trigger): apply them in order; refuse out-of-order
-        # arrivals loudly instead of committing corrupt history
-        effs = sorted(
-            r[0] for r in batch_df.select("eff_date").distinct().collect()
-        )
-        for eff in effs:
-            if str(eff) < str(applied_thru):
-                raise RuntimeError(
-                    f"SCD2 batch effective {eff} arrived after "
-                    f"{applied_thru} was applied — refusing to rewrite "
-                    "history out of order"
-                )
-            state = scd2_apply(
-                state,
-                batch_df.filter(F.col("eff_date") == eff).drop("eff_date"),
-                "c_custkey",
-                ["c_acctbal"],
-                eff,
-            )
-        dim.overwrite(state, txn=f"scd2-{batch_id}")
-
     stream = (
         spark.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", os.path.join(base, "chk"))
-        .trigger(availableNow=True)
-        .start()
+    from ..streaming.sinks import foreach_batch_scd2
+
+    q = foreach_batch_scd2(
+        stream, spark, dim_root, "c_custkey", ["c_acctbal"],
+        checkpoint=os.path.join(base, "chk"),
     )
     if not q.awaitTermination(300):
         q.stop()

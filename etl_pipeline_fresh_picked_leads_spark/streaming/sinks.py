@@ -97,3 +97,61 @@ def foreach_batch_upsert(
         .option("checkpointLocation", target_dir + "_chk")
         .start()
     )
+
+
+def foreach_batch_scd2(
+    stream: DataFrame,
+    spark: SparkSession,
+    dim_root: str,
+    key: str,
+    tracked: list[str],
+    checkpoint: str,
+    eff_col: str = "eff_date",
+):
+    """Streaming SCD2 maintenance: each micro-batch of dimension
+    updates (effective date riding in ``eff_col``) folds into the
+    TxTable-backed SCD2 dimension at ``dim_root`` via
+    operators/scd.scd2_apply, and the FULL new state commits
+    atomically under the batch's txn tag — a replayed batch sees its
+    tag and no-ops, so at-least-once delivery is exactly-once at the
+    table (pinned in tests/test_streaming_multibatch.py).
+
+    SCD2 application does not commute: a batch spanning several
+    effective dates applies them ascending, and a batch whose
+    effective date PRECEDES already-applied history is refused loudly
+    rather than committing valid_to < valid_from rows.  The dimension
+    must already exist (scd2_init + TxTable.create)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd import scd2_apply
+    from ..sources.txtable import TxTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        dim = TxTable(spark, dim_root)
+        state = dim.read()
+        applied_thru = state.agg(F.max("valid_from")).collect()[0][0]
+        effs = sorted(
+            r[0] for r in batch_df.select(eff_col).distinct().collect()
+        )
+        for eff in effs:
+            if str(eff) < str(applied_thru):
+                raise RuntimeError(
+                    f"SCD2 batch effective {eff} arrived after "
+                    f"{applied_thru} was applied — refusing to rewrite "
+                    "history out of order"
+                )
+            state = scd2_apply(
+                state,
+                batch_df.filter(F.col(eff_col) == eff).drop(eff_col),
+                key,
+                tracked,
+                eff,
+            )
+        dim.overwrite(state, txn=f"scd2-{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

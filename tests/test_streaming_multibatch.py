@@ -307,3 +307,73 @@ def test_event_time_timeout_sessions_match_batch(spark, split_events, multi):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_scd2_replay_is_exactly_once_and_order_guarded(spark, tmp_path):
+    """foreach_batch_scd2: (a) re-running the whole stream over the
+    same landing + checkpoint must not re-apply batches (txn tags
+    no-op a replay), and (b) an out-of-order effective date is
+    REFUSED, never committed as corrupt history."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.scd import scd2_init
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        foreach_batch_scd2,
+    )
+
+    base = str(tmp_path)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    dim_root = os.path.join(base, "dim")
+    cust = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, bal double"
+    )
+    TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
+    b1 = cust.filter("k <= 2").select(
+        "k", (F.col("bal") + 5).alias("bal"), F.lit("2024-03-01").alias("eff_date")
+    )
+    for i, b in enumerate((b1,)):
+        tmp = os.path.join(base, f"tmp{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, src), os.path.join(landing, f"b{i}.parquet"))
+
+    def drain():
+        q = foreach_batch_scd2(
+            spark.readStream.schema(b1.schema).parquet(landing),
+            spark, dim_root, "k", ["bal"],
+            checkpoint=os.path.join(base, "chk"),
+        )
+        assert q.awaitTermination(300)
+
+    drain()
+    v1 = TxTable(spark, dim_root).snapshot().version
+    state1 = sorted(
+        (r.k, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in TxTable(spark, dim_root).read().collect()
+    )
+    drain()  # full replay over the same checkpoint: must no-op
+    assert TxTable(spark, dim_root).snapshot().version == v1
+    state2 = sorted(
+        (r.k, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in TxTable(spark, dim_root).read().collect()
+    )
+    assert state2 == state1
+    assert sum(1 for s in state1 if s[3]) == 3  # one current row per key
+
+    # out-of-order batch (eff before the applied 2024-03-01): refused
+    stale = cust.filter("k = 3").select(
+        "k", (F.col("bal") + 9).alias("bal"), F.lit("2024-02-01").alias("eff_date")
+    )
+    tmp = os.path.join(base, "tmpx")
+    stale.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src), os.path.join(landing, "b9.parquet"))
+    q = foreach_batch_scd2(
+        spark.readStream.schema(b1.schema).parquet(landing),
+        spark, dim_root, "k", ["bal"],
+        checkpoint=os.path.join(base, "chk"),
+    )
+    with pytest.raises(Exception, match="out of order"):
+        q.awaitTermination(300)
+        raise RuntimeError("stream should have failed")
+    assert TxTable(spark, dim_root).snapshot().version == v1  # nothing committed
