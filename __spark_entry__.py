@@ -35,7 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every hash-matchable query; rows-only
-    queries (approximate / side-effecting / not SQL-expressible) are
-    deliberately absent per the §2B 'Oracle' column."""
+    """DuckDB oracle SQL for EVERY registered query — as of round 6
+    the registry is 100% oracle-backed: approximate operators hash a
+    contract form (exact DuckDB-recomputable rows + recall/accuracy
+    flag) and side-effecting ones hash their re-read final state."""
     return dict(ORACLE)
