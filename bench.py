@@ -1,9 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+The FINAL stdout line is the driver contract:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": <sf>}
+and MUST stay under ~1.5 KB — the driver captures only the last ~2 KB
+of stdout, and round 6's line outgrew it (BENCH_r06.json parsed:null).
+So the final line carries ONE compact per-query map (steady min-of-2,
+2 dp — the signal CLAUDE.md says to trust) plus scalars; the full
+detail (single-shot, steady, normalized, errors, full precision) goes
+to an EARLIER stdout line and to BENCH_DETAIL.json in the repo.
+tests/test_bench_format.py pins both the parse and the size.
 
 Execution is forced with the noop sink (full computation, no driver
 collect) so timings measure the engine, not result transfer.
@@ -79,6 +86,63 @@ HEADLINE = [
 ]
 
 
+def build_outputs(
+    timings: dict[str, float],
+    steady: dict[str, float],
+    errors: dict[str, str],
+    sf: float,
+) -> tuple[dict, dict]:
+    """(detail_dict, final_dict) — separated so tests can pin the
+    final driver-contract line's size/parseability without running
+    the bench (tests/test_bench_format.py)."""
+    total = round(sum(timings.values()), 3)
+    total_steady = round(sum(steady.values()), 3)
+    # Canary normalization (VERDICT r4 item 6): the box's wall-clock
+    # swings ±20-70% between sessions, so raw seconds from different
+    # runs aren't comparable.  q_agg_group is the unchanged-since-r1
+    # canary; each query divided by the canary from the SAME run gives
+    # a box-speed-independent number that IS comparable across rounds.
+    # VERDICT r6 item 2: normalize the STEADY timings by the STEADY
+    # canary — the single-shot pass carries per-query JIT/codegen cost
+    # (~35%) that made r6's normalized map contradict its steady map.
+    # A broken canary must be VISIBLE, not silently un-normalized
+    # (ADVICE r5): normalized figures are null when the canary errored.
+    canary = steady.get("q_agg_group")
+    normalized = (
+        {qid: round(t / canary, 3) for qid, t in steady.items()}
+        if canary
+        else None
+    )
+    detail = {
+        "queries_single_shot": timings,
+        "queries_steady": steady,
+        "queries_normalized": normalized,
+        "total_single_shot": total,
+        "total_steady": total_steady,
+        "canary": "q_agg_group",
+        "canary_steady_sec": canary,
+        "canary_single_shot_sec": timings.get("q_agg_group"),
+        "errors": errors,
+        "sf": sf,
+    }
+    final = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: round(t, 2) for q, t in steady.items()},
+        "total_steady": total_steady,
+        "canary": "q_agg_group",
+        "canary_sec": canary,
+        "total_normalized": (
+            round(total_steady / canary, 3) if canary else None
+        ),
+        "n_queries": len(steady),
+        "n_errors": len(errors),
+        "sf": sf,
+    }
+    return detail, final
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -112,38 +176,20 @@ def main() -> None:
         except Exception as e:  # one broken query must not void the run
             errors[qid] = str(e).splitlines()[0][:200]
 
-    total = round(sum(timings.values()), 3)
-    # Canary normalization (VERDICT r4 item 6): the box's wall-clock
-    # swings ±20-70% between sessions, so raw seconds from different
-    # runs aren't comparable.  q_agg_group is the unchanged-since-r1
-    # canary; each query divided by the canary from the SAME run gives
-    # a box-speed-independent number that IS comparable across rounds.
-    # A broken canary must be VISIBLE, not silently un-normalized
-    # (ADVICE r5): normalized figures are null when the canary errored.
-    canary = timings.get("q_agg_group")
-    normalized = (
-        {qid: round(t / canary, 3) for qid, t in timings.items()}
-        if canary
-        else None
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_steady": steady,
-                "total_steady": round(sum(steady.values()), 3),
-                "canary": "q_agg_group",
-                "canary_sec": canary,
-                "queries_normalized": normalized,
-                "total_normalized": round(total / canary, 3) if canary else None,
-                "errors": errors,
-                "sf": float(sf),
-            }
-        )
-    )
+    detail, final = build_outputs(timings, steady, errors, float(sf))
+    # Full-precision detail: an early stdout line (scrolls out of the
+    # driver's 2 KB tail harmlessly) + an in-repo artifact.
+    print(json.dumps({"bench_detail": detail}))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    # The driver-contract line: LAST on stdout, compact (< 1.5 KB —
+    # tests/test_bench_format.py enforces).  `queries` is the steady
+    # map at 2 dp; `value` keeps the historical single-shot-total
+    # semantics for cross-round comparability.
+    print(json.dumps(final, separators=(",", ":")))
 
 
 if __name__ == "__main__":

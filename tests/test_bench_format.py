@@ -1,0 +1,73 @@
+"""Guard for the driver-contract bench line (VERDICT r6 items 1/2/6).
+
+BENCH_r06.json recorded ``parsed: null`` because bench.py's single
+headline JSON line outgrew the driver's ~2 KB stdout-tail capture.
+These tests pin the fix without running the bench: the final line must
+stay parseable and < 1.5 KB even at worst-case timing widths, and the
+normalized figures must derive from the steady pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _worst_case():
+    # Every headline query at a 3-digit-seconds timing — wider than any
+    # plausible sf0.1 run — plus a couple of errored queries.
+    timings = {q: 999.999 for q in bench.HEADLINE}
+    steady = {q: 999.999 for q in bench.HEADLINE}
+    errors = {q: "x" * 200 for q in bench.HEADLINE[:2]}
+    return timings, steady, errors
+
+
+def test_final_line_is_compact_and_parseable():
+    timings, steady, errors = _worst_case()
+    _, final = bench.build_outputs(timings, steady, errors, 0.1)
+    line = json.dumps(final, separators=(",", ":"))
+    assert len(line.encode()) < 1500, (
+        f"driver-contract bench line is {len(line.encode())} bytes; the "
+        "driver captures only ~2 KB of stdout tail (r6's line was lost) "
+        "— move any new per-query payload to the detail line/artifact"
+    )
+    parsed = json.loads(line)
+    # Driver contract shape (prompt spec): metric/value/unit/queries/sf.
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed
+    assert parsed["unit"] == "sec"
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    # Errors must not leak their (unbounded) messages into the line.
+    assert "errors" not in parsed and parsed["n_errors"] == 2
+
+
+def test_normalized_uses_steady_pass():
+    # Single-shot is 2x steady (JIT-inflated); normalized figures must
+    # come from steady/steady so they agree with the steady raw ratios.
+    timings = {"q_agg_group": 2.0, "q_other": 8.0}
+    steady = {"q_agg_group": 1.0, "q_other": 2.0}
+    detail, final = bench.build_outputs(timings, steady, {}, 0.1)
+    assert detail["queries_normalized"]["q_other"] == 2.0
+    assert detail["canary_steady_sec"] == 1.0
+    assert final["canary_sec"] == 1.0
+    assert final["total_normalized"] == 3.0
+    # Historical single-shot total is preserved under its old name.
+    assert final["value"] == 10.0
+    assert detail["total_single_shot"] == 10.0
+
+
+def test_canary_failure_stays_visible():
+    timings = {"q_other": 8.0}
+    steady = {"q_other": 2.0}
+    detail, final = bench.build_outputs(
+        timings, steady, {"q_agg_group": "boom"}, 0.1
+    )
+    assert detail["queries_normalized"] is None
+    assert final["total_normalized"] is None
+    assert final["canary_sec"] is None
+    assert final["n_errors"] == 1
