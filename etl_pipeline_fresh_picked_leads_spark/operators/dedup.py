@@ -193,21 +193,32 @@ def lsh_pairs_with_exact(
     threshold: float = 0.5,
     n: int = 3,
     family: str = "banded",
+    pins: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(exact gram-join pairs, LSH pairs) at the same threshold from
     ONE tokenize/shingle pass: the signatures frame is persisted once
     and both pipelines branch off it — the shape the contract-oracle
     queries need (exact rows + LSH recall flag) without paying the
     corpus scan twice.  ``family``: "banded" (engine-default xxhash64
-    banding) or "ml" (Spark ML MinHashLSH parity variant)."""
+    banding) or "ml" (Spark ML MinHashLSH parity variant).
+
+    The persisted frame is appended to ``pins`` (when given) so the
+    caller can unpersist it once the downstream result is materialized
+    (ADVICE r6: the oracle gate runs four LSH-family queries in one
+    session — without release, whole-corpus shingle caches accumulate
+    for the rest of the run)."""
     if family == "ml":
         sh = _with_shingles(docs, n).persist()
         sh.count()
+        if pins is not None:
+            pins.append(sh)
         return _exact_pairs_from_sh(sh, threshold), minhash_lsh_pairs_ml(
             docs, threshold, n, sh=sh
         )
     base = minhash_signatures(docs, n).persist()
     base.count()
+    if pins is not None:
+        pins.append(base)
     sh = base.select("doc_id", F.col("shingles").alias("sh"))
     return _exact_pairs_from_sh(sh, threshold), _lsh_pairs_from_base(
         base, threshold

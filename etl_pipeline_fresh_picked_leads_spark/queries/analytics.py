@@ -681,19 +681,39 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lagged.createOrReplaceTempView("rcte_events")
-    try:  # headroom for long chains; conf name is Spark 4+
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    # Headroom for long chains (conf name is Spark 4+) — but the limit
+    # must not leak to the shared session (ADVICE r6).  The limit is
+    # read at EXECUTION, not analysis, so restoring right after
+    # spark.sql() would re-impose the default on the lazy plan:
+    # materialize eagerly (localCheckpoint) inside the raised window,
+    # then restore in `finally`.
+    conf_key = "spark.sql.cteRecursionLevelLimit"
+    try:
+        prior = spark.conf.get(conf_key, None)
     except Exception:
-        pass
-    return spark.sql(
-        """
-        WITH RECURSIVE root(event_id, root_id) AS (
-          SELECT event_id, event_id FROM rcte_events WHERE NOT chained
-          UNION ALL
-          SELECT c.event_id, r.root_id
-          FROM rcte_events c JOIN root r ON c.prev_id = r.event_id
-          WHERE c.chained
-        )
-        SELECT event_id, root_id FROM root
-        """
-    )
+        prior = None
+    try:
+        try:  # tolerate Sparks without the conf, like the pre-fix code
+            spark.conf.set(conf_key, "10000")
+        except Exception:
+            pass
+        return spark.sql(
+            """
+            WITH RECURSIVE root(event_id, root_id) AS (
+              SELECT event_id, event_id FROM rcte_events WHERE NOT chained
+              UNION ALL
+              SELECT c.event_id, r.root_id
+              FROM rcte_events c JOIN root r ON c.prev_id = r.event_id
+              WHERE c.chained
+            )
+            SELECT event_id, root_id FROM root
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        try:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        except Exception:
+            pass

@@ -73,7 +73,9 @@ SELECT doc_id_a, doc_id_b, jaccard, TRUE AS recall_hi_ok FROM (
 """
 
 
-def _lsh_recall_contract(exact: DataFrame, lsh_pairs: DataFrame) -> DataFrame:
+def _lsh_recall_contract(
+    exact: DataFrame, lsh_pairs: DataFrame, pins: list | None = None
+) -> DataFrame:
     """exact >= 0.5 pairs + a single recall flag: every exact pair at
     Jaccard >= 0.9 must appear in the LSH output (broadcast 1-row
     join; no driver collect).  0.9 band: per-pair miss probability is
@@ -81,7 +83,14 @@ def _lsh_recall_contract(exact: DataFrame, lsh_pairs: DataFrame) -> DataFrame:
     family), so the flag cannot flake on sampling luck; at 0.8 a
     hypothetical [0.8, 0.9) pair would carry ~3e-4 — a visible-red
     risk over many driver rounds.  This corpus's organic pairs are
-    all >= 0.9 anyway (measured sf0.01: 25/25)."""
+    all >= 0.9 anyway (measured sf0.01: 25/25).
+
+    Cache lifetime (ADVICE r6): the contract frame is eagerly
+    localCheckpoint-ed (pair-count-sized, tiny vs the whole-corpus
+    shingle caches) and every upstream pin — the exact-pairs persist
+    here plus whatever the caller collected in ``pins`` — is released
+    before returning, so a multi-query session (the 50-query oracle
+    gate) doesn't accumulate four corpora of cached shingles."""
     exact = exact.persist()
     exact.count()  # the flag's anti-join and the output rows both
     # branch off the expensive gram self-join — without the pin it
@@ -93,7 +102,26 @@ def _lsh_recall_contract(exact: DataFrame, lsh_pairs: DataFrame) -> DataFrame:
         .join(lsh_pairs.select(*keys), keys, "left_anti")
         .agg((F.count(F.lit(1)) == 0).alias("recall_hi_ok"))
     )
-    return exact.crossJoin(F.broadcast(missed))
+    contract = exact.crossJoin(F.broadcast(missed)).localCheckpoint(eager=True)
+    for p in [exact, *(pins or [])]:
+        p.unpersist()
+    return contract
+
+
+def _assert_planted_offset(df: DataFrame, id_col: str, offset: int) -> None:
+    """Planted-clone queries re-id clones at ``id + offset`` assuming
+    organic ids never reach the offset.  On regenerated/larger driver
+    data that assumption could silently break (duplicate ids in the
+    union, oracle divergence) — fail loudly instead (ADVICE r6; the
+    q_txtable_delete assert pattern).  Scalar agg only — never
+    corpus-sized driver traffic."""
+    mx = df.agg(F.max(id_col)).collect()[0][0]
+    if mx is not None and mx >= offset:
+        raise AssertionError(
+            f"planted-clone offset {offset} <= max({id_col}) = {mx}: "
+            "regenerated corpus outgrew the id headroom — raise the "
+            "offset (and its oracle twin) before trusting this contract"
+        )
 
 
 @query("q_dedup_fuzzy", oracle=_FUZZY_ORACLE)
@@ -106,8 +134,9 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_pairs_with_exact
 
     docs = read_table(spark, sf_dir, "documents")
-    exact, lsh = lsh_pairs_with_exact(docs, threshold=0.5)
-    return _lsh_recall_contract(exact, lsh)
+    pins: list = []
+    exact, lsh = lsh_pairs_with_exact(docs, threshold=0.5, pins=pins)
+    return _lsh_recall_contract(exact, lsh, pins)
 
 
 _NGRAM_ORACLE = """
@@ -146,8 +175,9 @@ def q_dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_pairs_with_exact
 
     docs = read_table(spark, sf_dir, "documents")
-    exact, ml = lsh_pairs_with_exact(docs, threshold=0.5, family="ml")
-    return _lsh_recall_contract(exact, ml)
+    pins: list = []
+    exact, ml = lsh_pairs_with_exact(docs, threshold=0.5, family="ml", pins=pins)
+    return _lsh_recall_contract(exact, ml, pins)
 
 
 # The simhash signature family (xxhash64) has no DuckDB twin, so the
@@ -174,6 +204,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk
     banding, planted-pair contract form (rows-only history: r1-r5)."""
     docs = read_table(spark, sf_dir, "documents")
+    _assert_planted_offset(docs, "doc_id", 200000)
     base = docs.filter(
         (F.col("doc_id") < 50) & (F.length(F.trim(F.col("text"))) > 0)
     )
@@ -240,9 +271,9 @@ WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.9
 
 @query("q_dedup_embed", oracle=_EMBED_DUP_ORACLE)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < 50
-    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    _assert_planted_offset(emb, "vec_id", 100000)
+    base = emb.filter(F.col("vec_id") < 50)
     clones = base.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
@@ -1735,6 +1766,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    _assert_planted_offset(docs, "doc_id", 300000)
     mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.lit("mirror").alias("source"),

@@ -215,6 +215,14 @@ class TxTable:
                 txns.add(t)
         return txns
 
+    def has_txn(self, txn: str) -> bool:
+        """True if ``txn`` is already committed — for writers that must
+        decide idempotency BEFORE doing pre-write validation that could
+        reject a replayed batch (e.g. SCD2's order guard, which would
+        otherwise raise on a checkpoint-loss replay whose effective
+        dates are already in applied history)."""
+        return txn in self._committed_txns()
+
     @staticmethod
     def _schema_of(df: DataFrame) -> str:
         return json.dumps(df.schema.jsonValue())

@@ -128,6 +128,13 @@ def foreach_batch_scd2(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         dim = TxTable(spark, dim_root)
+        # Idempotency FIRST (ADVICE r6): a replayed batch (checkpoint
+        # loss, or a re-fire after its commit) whose effective dates
+        # are already folded into history must no-op here — if the
+        # order guard below ran first it would see applied_thru
+        # including this batch's own dates and raise instead.
+        if dim.has_txn(f"scd2-{batch_id}"):
+            return
         state = dim.read()
         applied_thru = state.agg(F.max("valid_from")).collect()[0][0]
         effs = sorted(

@@ -377,3 +377,61 @@ def test_stream_scd2_replay_is_exactly_once_and_order_guarded(spark, tmp_path):
         q.awaitTermination(300)
         raise RuntimeError("stream should have failed")
     assert TxTable(spark, dim_root).snapshot().version == v1  # nothing committed
+
+
+def test_stream_scd2_checkpoint_loss_replay_noops(spark, tmp_path):
+    """ADVICE r6 (medium): a checkpoint-LOSS replay re-delivers a
+    committed batch under the same batch_id.  When that batch spans
+    MULTIPLE effective dates, applied_thru already includes the
+    batch's latest date, so the out-of-order guard would reject its
+    earliest date — the txn-tag idempotency check must run FIRST and
+    no-op the whole batch."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.scd import scd2_init
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        foreach_batch_scd2,
+    )
+
+    base = str(tmp_path)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    dim_root = os.path.join(base, "dim")
+    cust = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, bal double"
+    )
+    TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
+    # ONE batch carrying TWO effective dates: after commit,
+    # applied_thru = 2024-04-01 > the batch's own 2024-03-01.
+    batch = spark.createDataFrame(
+        [(1, 15.0, "2024-03-01"), (2, 25.0, "2024-04-01")],
+        "k long, bal double, eff_date string",
+    )
+    tmp = os.path.join(base, "tmp0")
+    batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src), os.path.join(landing, "b0.parquet"))
+
+    def drain(chk):
+        q = foreach_batch_scd2(
+            spark.readStream.schema(batch.schema).parquet(landing),
+            spark, dim_root, "k", ["bal"],
+            checkpoint=os.path.join(base, chk),
+        )
+        assert q.awaitTermination(300)
+
+    drain("chk")
+    v1 = TxTable(spark, dim_root).snapshot().version
+    state1 = sorted(
+        (r.k, str(r.valid_from), str(r.valid_to), r.is_current, r.bal)
+        for r in TxTable(spark, dim_root).read().collect()
+    )
+    # Checkpoint loss: a FRESH checkpoint restarts batch ids at 0 and
+    # re-delivers the same file — the committed scd2-0 tag must no-op
+    # it (pre-fix: RuntimeError "out of order" from the eff guard).
+    drain("chk_fresh")
+    assert TxTable(spark, dim_root).snapshot().version == v1
+    state2 = sorted(
+        (r.k, str(r.valid_from), str(r.valid_to), r.is_current, r.bal)
+        for r in TxTable(spark, dim_root).read().collect()
+    )
+    assert state2 == state1
