@@ -52,39 +52,40 @@ from . import tpch  # noqa: E402,F401
 # and (c) as much of the r1-last-verified tail as fits.  Union of
 # CORRECTNESS_r01-r04 already covers everything else; canaries stay
 # per ADVICE r2.
-# Round-6 rotation (VERDICT r5 #1): front-load (a) the six r5-late
-# queries that have NEVER had a driver row, (b) every query whose
-# behavior changed this round (distributed ntile/range windows, the
-# densified rolling-WAU sketch, the matview race fix), (c) this
-# round's rows-only -> contract-oracle promotions and new queries,
-# then (d) the r1-last-verified aggregate/window tail, stalest first.
-# tests/test_registry_drift.py now enforces that nothing registered
-# sits outside both this window and the historical CORRECTNESS record.
+# Round-7 rotation (VERDICT r6 #3/#4): with new-query pressure low,
+# the window's job this round is RE-verification of the long tail —
+# (a) the six NEW TPC-H optimizer shapes, (b) every query whose
+# behavior changed this round (LSH cache-lifetime/localCheckpoint,
+# planted-offset asserts, recursive-CTE conf restore, SCD2 replay
+# idempotency), then (c) ALL 12 r1-last-verified and 21 of the 23
+# r2-last-verified queries — none has had a driver row since r1/r2
+# despite six rounds of shared-operator churn (q_sample_hash and
+# q_split_train_eval are the two r2-era entries that didn't fit; rotate
+# them in r8).  Everything displaced has a green driver row r3-r6 AND
+# passes the full local gate each round.
+# tests/test_registry_drift.py enforces that nothing registered sits
+# outside both this window and the historical CORRECTNESS record.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # never driver-verified (registered after the r5 window freeze)
-    "q_agg_mode", "q_graph_triangles", "q_sim_topk_batch",
-    "q_sketch_rolling_wau", "q_time_densify", "q_win_rolling_distinct",
-    # round-6 behavior changes
-    "q_win_ntile", "q_win_range", "q_matview_incremental",
-    # round-6 rows-only -> contract/final-state oracle promotions
-    # (registry is now 100% oracle-backed)
-    "q_sim_ann_ivf", "q_sim_join_ivf", "q_dedup_simhash",
-    "sink_overwrite", "sink_append", "q_stream_ingest",
-    "q_stream_foreachbatch", "q_dedup_fuzzy", "q_dedup_fuzzy_ml",
-    "q_dedup_incremental", "q_stream_dedup_incremental",
-    # round-6 new queries
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q13",
-    "q_tpch_q16", "q_tpch_q21", "q_tpch_q22",
-    "q_txtable_delete", "q_join_bloom", "q_stream_matview",
-    "q_agg_heavyhitters", "q_dedup_cross_source",
-    "q_tpch_q6", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19", "q_tpch_q20",
-    "q_matview_minmax", "q_stream_scd2", "q_stream_pointintime",
-    "q_join_interval", "q_sql_recursive",
-    # r1-last-verified aggregate/window tail (stalest-first)
-    "q_agg_having", "q_agg_distinct", "q_agg_multi_distinct",
+    # round-7 new queries: the remaining TPC-H optimizer shapes
+    "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q15",
+    # round-7 behavior changes (ADVICE r6 fixes)
+    "q_dedup_fuzzy", "q_dedup_fuzzy_ml", "q_dedup_simhash",
+    "q_dedup_cross_source", "q_sql_recursive", "q_stream_scd2",
+    # r1-last-verified tail, complete (12)
+    "q_dedup_exact", "q_dedup_keyed", "q_agg_rollup", "q_agg_cube",
+    "q_agg_gsets", "q_agg_percentile", "q_agg_stats", "q_pivot",
+    "q_win_rank", "q_win_lag_lead", "q_win_running", "q_win_firstlast",
+    # r2-last-verified tail (21 of 23)
+    "q_agg_collect", "q_sort_multi", "q_limit", "q_topk_global",
+    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+    "q_dedup_ngram", "q_dedup_content_hash", "q_dedup_embed",
+    "q_sim_topk", "q_sim_join", "q_sim_topk_vectorized", "q_embed_norm",
+    "q_text_stats", "q_text_tokens", "q_text_quality",
+    "q_text_fingerprint", "q_text_token_counts", "q_multimodal",
 ]
 
 

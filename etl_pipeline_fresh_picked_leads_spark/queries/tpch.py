@@ -610,3 +610,326 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE v.sq * t.ns > 2 * t.tq)
         """
     )
+
+
+# Round-7 additions (VERDICT r6 item 4): the remaining optimizer
+# shapes — correlated-MIN-subquery decorrelation over a derived table
+# (Q2), two-fact multi-nation join ordering (Q7/Q8/Q9), scalar-
+# subquery HAVING (Q11), and max-of-agg view (Q15).  The testdata has
+# no partsupp table, so lineitem plays the part-supplier relation
+# (supplycost := MIN(l_extendedprice / l_quantity) per (part, supp) —
+# deterministic, and bit-identical across engines since both divide
+# the same stored doubles).
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+FROM part, ps, eu
+WHERE p_partkey = ps.l_partkey AND eu.s_suppkey = ps.l_suppkey
+  AND p_type = 'STANDARD'
+  AND ps.supplycost = (
+    SELECT MIN(ps2.supplycost)
+    FROM ps ps2, eu eu2
+    WHERE ps2.l_partkey = p_partkey AND eu2.s_suppkey = ps2.l_suppkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+@query("q_tpch_q2", oracle=_Q2_ORACLE)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier, adapted: lineitem plays
+    partsupp, supplycost = min unit price offered): correlated MIN
+    subquery over a DERIVED relation that itself joins the
+    region-filtered supplier dimension — Catalyst must decorrelate it
+    into a per-part aggregate joined back (one pass over the
+    part-supplier relation, not one subquery per candidate row).
+    (p_partkey, s_name) is unique per output row, so the top-100
+    order is total."""
+    _views(spark, sf_dir, "tpch2", ("part", "supplier", "nation", "region", "lineitem"))
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS supplycost
+          FROM tpch2_lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM tpch2_supplier, tpch2_nation, tpch2_region
+          WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+        FROM tpch2_part, ps, eu
+        WHERE p_partkey = ps.l_partkey AND eu.s_suppkey = ps.l_suppkey
+          AND p_type = 'STANDARD'
+          AND ps.supplycost = (
+            SELECT MIN(ps2.supplycost)
+            FROM ps ps2, eu eu2
+            WHERE ps2.l_partkey = p_partkey AND eu2.s_suppkey = ps2.l_suppkey)
+        ORDER BY s_acctbal DESC, p_partkey, s_name
+        LIMIT 100
+        """
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume', 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q_tpch_q7", oracle=_Q7_ORACLE)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the nation dimension joins TWICE
+    under different roles (supplier side n1, customer side n2) with a
+    disjunctive cross-role pair predicate, over the two-fact
+    lineitem ⨝ orders spine — the join-order-pressure shape the
+    verdict called out.  Both nation sides broadcast; only the
+    fact-fact join shuffles."""
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       round({dsum_sql("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END", 4)}
+             / {dsum_sql('volume', 4)}, 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("q_tpch_q8", oracle=_Q8_ORACLE)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): EIGHT-table join — part +
+    supplier + both facts + customer + nation-in-two-roles + region —
+    then a conditional-over-total share per year (the CASE
+    market-share shape).  Every dimension chain collapses to
+    broadcasts; numerator and denominator are sibling DECIMAL sums in
+    ONE aggregation pass, divided and rounded identically on both
+    engines."""
+    _views(
+        spark, sf_dir, "tpch8",
+        ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    )
+    return spark.sql(
+        f"""
+        SELECT o_year,
+               round({dsum_sql("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END", 4)}
+                     / {dsum_sql('volume', 4)}, 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM tpch8_part, tpch8_supplier, tpch8_lineitem, tpch8_orders,
+               tpch8_customer, tpch8_nation n1, tpch8_nation n2, tpch8_region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1997-01-01'
+            AND p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+        """
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {dsum_sql('amount', 4)} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.5 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("q_tpch_q9", oracle=_Q9_ORACLE)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted: supplycost :=
+    0.5 * p_retailprice): both facts join part AND supplier AND nation
+    with a substring part filter — the classic join-order stress where
+    the part filter must prune lineitem before the orders join.  The
+    amount expression keeps one multiplication order on both engines
+    (left-assoc 0.5 * retail * qty) so the doubles entering the
+    DECIMAL accumulator are bit-identical."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", 4).alias("sum_profit"))
+    )
+
+
+_Q11_ORACLE = f"""
+WITH natsupp AS (
+  SELECT s_suppkey FROM supplier, nation
+  WHERE s_nationkey = n_nationkey AND n_name = 'NATION_9'
+)
+SELECT l_partkey AS ps_partkey,
+       {dsum_sql('l_extendedprice * l_quantity', 2)} AS value
+FROM lineitem JOIN natsupp ON l_suppkey = s_suppkey
+GROUP BY l_partkey
+HAVING {dsum_sql('l_extendedprice * l_quantity', 2)} > (
+  SELECT {dsum_sql('l_extendedprice * l_quantity', 2)} * 0.001
+  FROM lineitem JOIN natsupp ON l_suppkey = s_suppkey)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+@query("q_tpch_q11", oracle=_Q11_ORACLE)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock, adapted: per-part inventory value
+    := SUM(l_extendedprice * l_quantity) over one nation's
+    suppliers): GROUP BY ... HAVING against an UNCORRELATED scalar
+    subquery that re-aggregates the same relation — the global-share
+    shape.  The scalar side becomes a broadcast 1-row join; both the
+    per-part and global sums accumulate in DECIMAL so the 0.1%%
+    threshold comparison is bit-identical across engines."""
+    _views(spark, sf_dir, "tpch11", ("supplier", "nation", "lineitem"))
+    return spark.sql(
+        f"""
+        WITH natsupp AS (
+          SELECT s_suppkey FROM tpch11_supplier, tpch11_nation
+          WHERE s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        )
+        SELECT l_partkey AS ps_partkey,
+               {dsum_sql('l_extendedprice * l_quantity', 2)} AS value
+        FROM tpch11_lineitem JOIN natsupp ON l_suppkey = s_suppkey
+        GROUP BY l_partkey
+        HAVING {dsum_sql('l_extendedprice * l_quantity', 2)} > (
+          SELECT {dsum_sql('l_extendedprice * l_quantity', 2)} * 0.001
+          FROM tpch11_lineitem JOIN natsupp ON l_suppkey = s_suppkey)
+        ORDER BY value DESC, ps_partkey
+        """
+    )
+
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("q_tpch_q15", oracle=_Q15_ORACLE)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a view (CTE) over a quarter's
+    per-supplier revenue, re-consumed TWICE — once as the join input
+    and once under MAX in an uncorrelated scalar subquery (max-of-agg
+    view).  The MAX compares DECIMAL-exact doubles, so the equality
+    predicate selects the same supplier(s) on both engines."""
+    _views(spark, sf_dir, "tpch15", ("supplier", "lineitem"))
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+                   AS total_revenue
+          FROM tpch15_lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM tpch15_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )

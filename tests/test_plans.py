@@ -475,3 +475,26 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     which is what a bare theta overlap predicate degenerates to."""
     plan = formatted_plan(QUERIES["q_join_interval"](spark, SF_SMALL))
     assert "NestedLoop" not in plan, plan
+
+
+def test_tpch_r7_shapes_no_cartesian_broadcast_dims(spark):
+    """Round-7 TPC-H additions: none may degenerate to a cartesian /
+    nested-loop product (an 8-table join with one missed equi-conjunct
+    silently does); dimension chains broadcast; aggregates combine
+    map-side.  Q2's correlated MIN over the derived part-supplier
+    relation must fully decorrelate (no per-row subquery in the
+    physical plan); Q11/Q15 keep their UNCORRELATED scalar subqueries
+    (a broadcast 1-row reuse, legitimate at any scale)."""
+    for qid in ("q_tpch_q2", "q_tpch_q7", "q_tpch_q8",
+                "q_tpch_q9", "q_tpch_q11", "q_tpch_q15"):
+        plan = formatted_plan(QUERIES[qid](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, (qid, plan)
+        assert "NestedLoop" not in plan, (qid, plan)
+    q2 = formatted_plan(QUERIES["q_tpch_q2"](spark, SF_SMALL))
+    assert "Subquery" not in q2, q2  # decorrelated, like Q17
+    for qid in ("q_tpch_q7", "q_tpch_q8", "q_tpch_q9"):
+        df = QUERIES[qid](spark, SF_SMALL)
+        assert has_broadcast_join(df), formatted_plan(df)
+        assert "partial_sum" in formatted_plan(df), qid
+    q11 = formatted_plan(QUERIES["q_tpch_q11"](spark, SF_SMALL))
+    assert "partial_sum" in q11, q11
