@@ -236,6 +236,91 @@ def dedup_clusters(
     )
 
 
+def closure(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """(id, root) transitive closure with AUTOMATIC backend selection
+    (VERDICT r6 item 8): users shouldn't have to know which closure
+    algorithm survives their graph shape at 100 TB.
+
+    - **Forest shape** (every child has exactly one parent, no
+      cycles): Spark 4's recursive CTE walks parent pointers from the
+      roots — iterations = tree depth, total work O(rows x depth),
+      the q_sql_recursive shape.  ``root`` = the pointer-chase
+      terminus (the actual forest root, independent of id order).
+    - **Multi-parent or cyclic** (where UNION ALL recursion would
+      re-derive a row per path — exponential on high-fanout DAGs —
+      or never terminate on cycles; Spark 4.1 has no UNION-distinct
+      recursion): large-star/small-star components over the
+      undirected graph.  ``root`` = the component minimum, the
+      canonical representative when "the" root is not unique.
+
+    Selection: a 1-row max-in-degree probe picks the CTE only for
+    in-degree <= 1; a coverage check after the CTE (cycle nodes are
+    unreachable from any root seed) falls back to star if the walk
+    missed vertices.  Both probes are scalar aggregates — no
+    corpus-sized driver traffic."""
+    ch, pa = F.col(child_col), F.col(parent_col)
+    multi_parent = (
+        edges.groupBy(ch.alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0][0]
+    )
+    star = lambda: connected_components_star(  # noqa: E731
+        vertices, edges, id_col=id_col, src_col=child_col,
+        dst_col=parent_col,
+    ).withColumnRenamed("component", "root")
+    if multi_parent is not None and multi_parent > 1:
+        return star()
+    spark = vertices.sparkSession
+    vertices.select(F.col(id_col).alias("id")).createOrReplaceTempView(
+        "closure_verts"
+    )
+    edges.select(ch.alias("child"), pa.alias("parent")).createOrReplaceTempView(
+        "closure_edges"
+    )
+    conf_key = "spark.sql.cteRecursionLevelLimit"
+    try:
+        prior = spark.conf.get(conf_key, None)
+    except Exception:
+        prior = None
+    try:
+        try:  # long-chain headroom; restored below (no session leak)
+            spark.conf.set(conf_key, "10000")
+        except Exception:
+            pass
+        walked = spark.sql(
+            f"""
+            WITH RECURSIVE r(id, root) AS (
+              SELECT v.id, v.id FROM closure_verts v
+              LEFT ANTI JOIN closure_edges e ON v.id = e.child
+              UNION ALL
+              SELECT e.child, r.root
+              FROM closure_edges e JOIN r ON e.parent = r.id
+            )
+            SELECT id, root FROM r
+            """
+        ).localCheckpoint(eager=True)  # materialize inside the window
+    finally:
+        try:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        except Exception:
+            pass
+    # Cycle guard: a cycle has no root seed, so its vertices never
+    # appear in the walk — coverage shortfall means "not a forest".
+    if walked.count() != vertices.count():
+        return star()
+    return walked.select(F.col("id").alias(id_col), "root")
+
+
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Per-vertex triangle census over an undirected pair graph:
     degree, wedge count (d choose 2) and triangle membership, plus the

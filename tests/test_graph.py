@@ -104,3 +104,84 @@ def test_dedup_clusters_unchanged_by_star_parity(spark):
     for r in via_default:
         assert star_map[r.doc_id] == r.cluster_id
         assert r.is_canonical == (r.doc_id == r.cluster_id)
+
+
+# --- closure(): auto backend selection (VERDICT r6 item 8) ------------------
+
+
+def _closure_map(res):
+    return {r[0]: r[1] for r in res.collect()}
+
+
+def test_closure_forest_walks_pointer_root_not_component_min(spark):
+    """Forest shape (in-degree <= 1, acyclic) must route to the
+    recursive CTE and return the POINTER-CHASE root — distinguishable
+    from the star backend because this chain's root (7) is NOT the
+    component minimum (1)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    verts = spark.createDataFrame([(1,), (3,), (7,), (10,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 7), (3, 1)], "child long, parent long"
+    )  # chain 3 -> 1 -> 7; 10 isolated
+    got = _closure_map(closure(verts, edges))
+    assert got == {1: 7, 3: 7, 7: 7, 10: 10}
+
+
+def test_closure_multiparent_routes_to_components(spark):
+    """A child with two parents (multiplicity probe > 1): UNION ALL
+    recursion would re-derive one row per path, so closure must fall
+    to the star backend — root = component minimum."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    verts = spark.createDataFrame([(1,), (2,), (3,), (5,)], "id long")
+    edges = spark.createDataFrame(
+        [(5, 2), (5, 3), (2, 1), (3, 1)], "child long, parent long"
+    )  # diamond: 5 has parents 2 and 3
+    got = _closure_map(closure(verts, edges))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1}
+
+
+def test_closure_cycle_coverage_fallback(spark):
+    """A cycle passes the in-degree probe (every node one parent) but
+    has no root seed, so the CTE walk misses it — the coverage check
+    must detect the shortfall and fall back to components instead of
+    returning a partial (or empty) result."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    verts = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "child long, parent long"
+    )  # 1 <-> 2 cycle, 3 points in; 9 isolated
+    got = _closure_map(closure(verts, edges))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_closure_backends_agree_on_min_rooted_forest(spark):
+    """When each tree's root IS its minimum id (the append-log /
+    sessionization case), the two backends must produce identical
+    results — the cross-backend equivalence contract."""
+    import random as _r
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    rng = _r.Random(7)
+    # two trees rooted at their min ids (0 and 100), random attachment
+    rows, ids = [], [[0], [100]]
+    for t, base in ((0, 0), (1, 100)):
+        for i in range(1, 40):
+            child = base + i
+            parent = rng.choice(ids[t])
+            rows.append((child, parent))
+            ids[t].append(child)
+    verts = spark.createDataFrame([(v,) for v in ids[0] + ids[1]], "id long")
+    edges = spark.createDataFrame(rows, "child long, parent long")
+    via_auto = _closure_map(closure(verts, edges))
+    via_star = {
+        r[0]: r[1]
+        for r in connected_components_star(
+            verts, edges, src_col="child", dst_col="parent"
+        ).collect()
+    }
+    assert via_auto == via_star
+    assert set(via_auto.values()) == {0, 100}
