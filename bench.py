@@ -129,6 +129,12 @@ def build_outputs(
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # `queries` switched semantics in r7 (single-shot -> steady);
+        # the marker keeps cross-round per-query comparisons honest —
+        # r1-r6 lines carried JIT-inflated single-shot timings, so an
+        # unmarked r7 map would read as a spurious ~35% speedup, and
+        # sum(queries) intentionally no longer equals `value`.
+        "queries_kind": "steady_min_of_2",
         "queries": {q: round(t, 2) for q, t in steady.items()},
         "total_steady": total_steady,
         "canary": "q_agg_group",

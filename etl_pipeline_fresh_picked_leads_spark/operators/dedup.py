@@ -248,7 +248,10 @@ def verify_jaccard(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.35, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.35,
+    n: int = 3,
+    pins: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold, output-sensitive: explode
     shingles -> equi-join on shingle -> count shared per pair ->
@@ -260,6 +263,8 @@ def ngram_jaccard_pairs(
     as exact ground truth for the LSH variant."""
     sh = _with_shingles(docs, n).persist()
     sh.count()  # both branches below must reuse, not recompute
+    if pins is not None:  # caller releases once downstream materialized
+        pins.append(sh)
     return _exact_pairs_from_sh(sh, threshold)
 
 
@@ -305,7 +310,10 @@ def _exact_pairs_from_sh(sh: DataFrame, threshold: float) -> DataFrame:
 
 
 def decontaminate(
-    train: DataFrame, eval_docs: DataFrame, n: int = 3
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    pins: list | None = None,
 ) -> DataFrame:
     """Eval-set contamination report: for each train doc sharing at
     least one word n-gram with ANY eval doc, the count and fraction of
@@ -332,6 +340,8 @@ def decontaminate(
     ev_grams = ev_sh.select(F.explode("sh").alias("g")).distinct()
     tr_sh = _with_shingles(train, n).persist()
     tr_sh.count()
+    if pins is not None:  # caller releases once downstream materialized
+        pins.extend([ev_sh, tr_sh])
     ex = tr_sh.select(
         "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
     )
@@ -516,6 +526,7 @@ def incremental_lsh_pairs(
     n: int = 3,
     update_index: bool = True,
     txn: str | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against (itself ∪ the indexed
     corpus), without touching the corpus text: the daily-increment
@@ -542,6 +553,8 @@ def incremental_lsh_pairs(
     spark = new_docs.sparkSession
     new_base = minhash_signatures(new_docs, n).persist()
     new_base.count()
+    if pins is not None:  # caller releases once downstream materialized
+        pins.append(new_base)
     new_ids = new_base.select("doc_id")
 
     if TxTable.is_table(index_root):

@@ -259,61 +259,64 @@ def closure(
       undirected graph.  ``root`` = the component minimum, the
       canonical representative when "the" root is not unique.
 
-    Selection: a 1-row max-in-degree probe picks the CTE only for
-    in-degree <= 1; a coverage check after the CTE (cycle nodes are
-    unreachable from any root seed) falls back to star if the walk
-    missed vertices.  Both probes are scalar aggregates — no
-    corpus-sized driver traffic."""
+    Selection: edges are NORMALIZED first — duplicate rows collapse
+    (a doubled edge is still one parent) and self-loops drop (the
+    standard root-points-to-itself encoding marks a root, it isn't a
+    second parent) — then a 1-row max-in-degree probe picks the CTE
+    only for in-degree <= 1, and a coverage check after the CTE
+    (cycle nodes are unreachable from any root seed) falls back to
+    star if the walk missed vertices.  All probes are scalar
+    aggregates — no corpus-sized driver traffic."""
+    import uuid
+
+    from ..session import raised_conf
+
     ch, pa = F.col(child_col), F.col(parent_col)
+    e_norm = (
+        edges.select(ch.alias("child"), pa.alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .distinct()
+    )
     multi_parent = (
-        edges.groupBy(ch.alias("c"))
+        e_norm.groupBy("child")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n").alias("mx"))
         .collect()[0][0]
     )
     star = lambda: connected_components_star(  # noqa: E731
-        vertices, edges, id_col=id_col, src_col=child_col,
-        dst_col=parent_col,
+        vertices, e_norm, id_col=id_col, src_col="child", dst_col="parent"
     ).withColumnRenamed("component", "root")
     if multi_parent is not None and multi_parent > 1:
         return star()
     spark = vertices.sparkSession
-    vertices.select(F.col(id_col).alias("id")).createOrReplaceTempView(
-        "closure_verts"
-    )
-    edges.select(ch.alias("child"), pa.alias("parent")).createOrReplaceTempView(
-        "closure_edges"
-    )
-    conf_key = "spark.sql.cteRecursionLevelLimit"
+    # Per-call unique view names: a fixed name would clobber the
+    # caller's views and race concurrent closure() calls in one
+    # session (two walks resolving each other's edge sets).
+    tag = uuid.uuid4().hex[:12]
+    vview, eview = f"closure_verts_{tag}", f"closure_edges_{tag}"
+    vertices.select(F.col(id_col).alias("id")).createOrReplaceTempView(vview)
+    e_norm.createOrReplaceTempView(eview)
     try:
-        prior = spark.conf.get(conf_key, None)
-    except Exception:
-        prior = None
-    try:
-        try:  # long-chain headroom; restored below (no session leak)
-            spark.conf.set(conf_key, "10000")
-        except Exception:
-            pass
-        walked = spark.sql(
-            f"""
-            WITH RECURSIVE r(id, root) AS (
-              SELECT v.id, v.id FROM closure_verts v
-              LEFT ANTI JOIN closure_edges e ON v.id = e.child
-              UNION ALL
-              SELECT e.child, r.root
-              FROM closure_edges e JOIN r ON e.parent = r.id
-            )
-            SELECT id, root FROM r
-            """
-        ).localCheckpoint(eager=True)  # materialize inside the window
+        # long-chain headroom; restored by the context (no session leak)
+        with raised_conf(spark, "spark.sql.cteRecursionLevelLimit", "10000"):
+            walked = spark.sql(
+                f"""
+                WITH RECURSIVE r(id, root) AS (
+                  SELECT v.id, v.id FROM {vview} v
+                  LEFT ANTI JOIN {eview} e ON v.id = e.child
+                  UNION ALL
+                  SELECT e.child, r.root
+                  FROM {eview} e JOIN r ON e.parent = r.id
+                )
+                SELECT id, root FROM r
+                """
+            ).localCheckpoint(eager=True)  # materialize inside the window
     finally:
-        try:
-            if prior is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prior)
-        except Exception:
-            pass
+        for v in (vview, eview):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
     # Cycle guard: a cycle has no root seed, so its vertices never
     # appear in the walk — coverage shortfall means "not a forest".
     if walked.count() != vertices.count():

@@ -680,23 +680,14 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_ts").isNotNull() & (us - prev_us <= 1_800_000_000),
         )
     )
+    from ..session import raised_conf
+
     lagged.createOrReplaceTempView("rcte_events")
     # Headroom for long chains (conf name is Spark 4+) — but the limit
     # must not leak to the shared session (ADVICE r6).  The limit is
-    # read at EXECUTION, not analysis, so restoring right after
-    # spark.sql() would re-impose the default on the lazy plan:
-    # materialize eagerly (localCheckpoint) inside the raised window,
-    # then restore in `finally`.
-    conf_key = "spark.sql.cteRecursionLevelLimit"
-    try:
-        prior = spark.conf.get(conf_key, None)
-    except Exception:
-        prior = None
-    try:
-        try:  # tolerate Sparks without the conf, like the pre-fix code
-            spark.conf.set(conf_key, "10000")
-        except Exception:
-            pass
+    # read at EXECUTION, not analysis, so the result materializes
+    # eagerly (localCheckpoint) inside the raised-conf window.
+    with raised_conf(spark, "spark.sql.cteRecursionLevelLimit", "10000"):
         return spark.sql(
             """
             WITH RECURSIVE root(event_id, root_id) AS (
@@ -709,11 +700,3 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_id, root_id FROM root
             """
         ).localCheckpoint(eager=True)
-    finally:
-        try:
-            if prior is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prior)
-        except Exception:
-            pass

@@ -108,6 +108,18 @@ def _lsh_recall_contract(
     return contract
 
 
+def _release_after(df: DataFrame, pins: list) -> DataFrame:
+    """Eagerly materialize ``df`` (localCheckpoint — result-sized,
+    small) and release the whole-corpus caches collected in ``pins``
+    — the companion to the operators' ``pins`` parameter, so a
+    multi-query session (the 50-query oracle gate) never accumulates
+    dead shingle/signature caches (ADVICE r6)."""
+    out = df.localCheckpoint(eager=True)
+    for p in pins:
+        p.unpersist()
+    return out
+
+
 def _assert_planted_offset(df: DataFrame, id_col: str, offset: int) -> None:
     """Planted-clone queries re-id clones at ``id + offset`` assuming
     organic ids never reach the offset.  On regenerated/larger driver
@@ -162,7 +174,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs word-3-gram Jaccard >= 0.35 — ground truth for
     the LSH variant, SQL-oracle-checked."""
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.35)
+    pins: list = []
+    return _release_after(
+        ngram_jaccard_pairs(docs, threshold=0.35, pins=pins), pins
+    )
 
 
 @query("q_dedup_fuzzy_ml", oracle=_FUZZY_ORACLE)
@@ -867,11 +882,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuild the index each call so the query is a pure function of
     # the inputs (create = overwrite semantics)
     TxTable.create(spark, root, minhash_signatures(old))
-    inc = incremental_lsh_pairs(new, root, threshold=0.5, update_index=False)
-    exact = ngram_jaccard_pairs(docs, threshold=0.5).filter(
+    pins: list = []
+    inc = incremental_lsh_pairs(
+        new, root, threshold=0.5, update_index=False, pins=pins
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.5, pins=pins).filter(
         (F.col("doc_id_a") % 5 == 0) | (F.col("doc_id_b") % 5 == 0)
     )
-    return _lsh_recall_contract(exact, inc)
+    return _lsh_recall_contract(exact, inc, pins)
 
 
 # Int8 quantization: oracle reproduces the identical stats pass and
@@ -1081,7 +1099,13 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.35))
+    pins: list = []
+    # components localCheckpoint internally, so the clusters frame no
+    # longer references the shingle cache once dedup_clusters returns
+    out = dedup_clusters(
+        docs, ngram_jaccard_pairs(docs, threshold=0.35, pins=pins)
+    )
+    return _release_after(out, pins)
 
 
 @query("q_dedup_cluster_star", oracle=_CLUSTER_ORACLE)
@@ -1094,9 +1118,13 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    return dedup_clusters(
-        docs, ngram_jaccard_pairs(docs, threshold=0.35), algorithm="star"
+    pins: list = []
+    out = dedup_clusters(
+        docs,
+        ngram_jaccard_pairs(docs, threshold=0.35, pins=pins),
+        algorithm="star",
     )
+    return _release_after(out, pins)
 
 
 # Hash-boundary parity (see _SAMPLE_ORACLE note): u < 0.5 <=> prefix
@@ -1256,8 +1284,12 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     is_eval = _hash01(F.col("doc_id")) < 0.1
-    return decontaminate(
-        docs.filter(~is_eval), docs.filter(is_eval), n=3
+    pins: list = []
+    return _release_after(
+        decontaminate(
+            docs.filter(~is_eval), docs.filter(is_eval), n=3, pins=pins
+        ),
+        pins,
     )
 
 

@@ -9,6 +9,7 @@ makes the Pandas-UDF path (similarity / multimodal operators) fast.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +39,35 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - conf not recognized
             pass
     return spark
+
+
+@contextmanager
+def raised_conf(spark: SparkSession, key: str, value: str):
+    """Temporarily set a session conf, restoring (or unsetting) the
+    prior value on exit — session-global conf leaks from query
+    functions were ADVICE r6's complaint.  Tolerates Sparks that don't
+    recognize ``key`` (the set is best-effort, the restore always
+    runs).  NOTE: lazily-built DataFrames read confs at EXECUTION
+    time, so materialize (collect / localCheckpoint(eager=True))
+    INSIDE the with-block or the raised value never applies."""
+    try:
+        prior = spark.conf.get(key, None)
+    except Exception:
+        prior = None
+    try:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+        yield
+    finally:
+        try:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+        except Exception:
+            pass
 
 
 def build_session(

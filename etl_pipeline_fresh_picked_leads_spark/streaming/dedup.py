@@ -52,8 +52,9 @@ def stream_incremental_lsh(
     schema = spark.read.parquet(landing_dir).schema
 
     def handle(batch_df, batch_id: int) -> None:
+        pins: list = []
         pairs = incremental_lsh_pairs(
-            batch_df, index_root, threshold, update_index=False
+            batch_df, index_root, threshold, update_index=False, pins=pins
         )
         if not TxTable.is_table(pairs_root):
             # empty-create + txn-append (not create-with-data): create
@@ -63,6 +64,8 @@ def stream_incremental_lsh(
         # signatures append AFTER pairs: a crash between the two replays
         # the batch, and both writes are idempotent under their txn tags
         minhash_index_append(batch_df, index_root, txn=f"sig-{batch_id}")
+        for p in pins:  # batch done — drop its signature cache
+            p.unpersist()
 
     return (
         spark.readStream.schema(schema)

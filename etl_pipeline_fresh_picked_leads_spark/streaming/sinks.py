@@ -116,11 +116,25 @@ def foreach_batch_scd2(
     tag and no-ops, so at-least-once delivery is exactly-once at the
     table (pinned in tests/test_streaming_multibatch.py).
 
+    The tag is CONTENT-derived (batch_id + row count + order-
+    insensitive row hash), not batch_id alone: after a checkpoint
+    LOSS, a restart re-reads the landing dir as a fresh batch 0, and
+    if new files landed meanwhile that "batch 0" carries MORE data
+    than the committed one — a batch-id tag would no-op it and
+    silently drop the new rows.  With the content tag a divergent
+    bundle proceeds: already-applied rows re-fold as no-ops
+    (scd2_apply only versions on tracked-value CHANGE), new rows
+    apply, and only a genuinely out-of-order effective date is
+    refused loudly (below).
+
     SCD2 application does not commute: a batch spanning several
     effective dates applies them ascending, and a batch whose
     effective date PRECEDES already-applied history is refused loudly
-    rather than committing valid_to < valid_from rows.  The dimension
-    must already exist (scd2_init + TxTable.create)."""
+    rather than committing valid_to < valid_from rows.  (This also
+    means a divergent checkpoint-loss bundle that mixes a committed
+    MULTI-date batch with new data fails loudly instead of guessing —
+    applied_thru sits past the bundle's earliest date.)  The
+    dimension must already exist (scd2_init + TxTable.create)."""
     from pyspark.sql import functions as F
 
     from ..operators.scd import scd2_apply
@@ -128,12 +142,20 @@ def foreach_batch_scd2(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         dim = TxTable(spark, dim_root)
-        # Idempotency FIRST (ADVICE r6): a replayed batch (checkpoint
-        # loss, or a re-fire after its commit) whose effective dates
-        # are already folded into history must no-op here — if the
-        # order guard below ran first it would see applied_thru
-        # including this batch's own dates and raise instead.
-        if dim.has_txn(f"scd2-{batch_id}"):
+        # Idempotency FIRST (ADVICE r6), on batch CONTENT: if the
+        # order guard below ran first, a replayed batch would see
+        # applied_thru including its own dates and raise.  The
+        # order-insensitive xxhash64 sum is partition-layout-proof;
+        # DECIMAL accumulation because a LONG sum of 64-bit hashes
+        # overflows under ANSI.
+        fp = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*batch_df.columns).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        tag = f"scd2-{batch_id}-{fp['n']}-{fp['h'] or 0}"
+        if dim.has_txn(tag):
             return
         state = dim.read()
         applied_thru = state.agg(F.max("valid_from")).collect()[0][0]
@@ -154,7 +176,7 @@ def foreach_batch_scd2(
                 tracked,
                 eff,
             )
-        dim.overwrite(state, txn=f"scd2-{batch_id}")
+        dim.overwrite(state, txn=tag)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -371,15 +371,32 @@ def test_decontaminate_hand_checked(spark):
 
 def test_decontaminate_eval_side_broadcasts(spark):
     """The 100 TB contract: the eval gram set broadcasts; the train
-    side must never shuffle against it (no SortMergeJoin)."""
+    side must never shuffle against it (no SortMergeJoin).  Pinned on
+    the OPERATOR (lazy plan): the registered query eagerly
+    checkpoints to release its shingle caches (r7), which hides the
+    join from the query-level plan."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        decontaminate,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import (
+        _hash01,
+    )
     from etl_pipeline_fresh_picked_leads_spark.plans import formatted_plan
     from etl_pipeline_fresh_picked_leads_spark.queries import QUERIES
+    from etl_pipeline_fresh_picked_leads_spark.sources.readers import (
+        read_table,
+    )
 
-    df = QUERIES["q_text_decontaminate"](spark, SF_MEDIUM)
+    docs = read_table(spark, SF_MEDIUM, "documents")
+    is_eval = _hash01(F.col("doc_id")) < 0.1
+    df = decontaminate(docs.filter(~is_eval), docs.filter(is_eval), n=3)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
-    assert df.count() > 0, "corpus near-dups should span the hash split"
+    # the registered (checkpointing) query still produces the rows
+    assert QUERIES["q_text_decontaminate"](spark, SF_MEDIUM).count() > 0, (
+        "corpus near-dups should span the hash split"
+    )
 
 
 def test_pack_chunks_invariants(docs):

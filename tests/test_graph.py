@@ -185,3 +185,33 @@ def test_closure_backends_agree_on_min_rooted_forest(spark):
     }
     assert via_auto == via_star
     assert set(via_auto.values()) == {0, 100}
+
+
+def test_closure_self_loop_roots_and_duplicate_edges_stay_on_cte(spark):
+    """The two common forest ENCODINGS must not fool the backend
+    selector (r7 review finding): a root that points to itself is a
+    root marker, not a cycle/second parent; a duplicated edge row is
+    still one parent.  Both must route to the CTE and return the
+    pointer-chase root (7), distinguishable from the star backend's
+    component minimum (1)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    verts = spark.createDataFrame([(1,), (3,), (7,)], "id long")
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 7), (3, 1), (3, 1)], "child long, parent long"
+    )  # self-loop root 7; duplicated edge (3, 1)
+    got = _closure_map(closure(verts, edges))
+    assert got == {1: 7, 3: 7, 7: 7}
+
+
+def test_closure_drops_its_temp_views_and_respects_existing(spark):
+    """closure() must not leave temp views behind or clobber the
+    caller's views (unique per-call names)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "child long, parent long")
+    assert _closure_map(closure(verts, edges)) == {1: 2, 2: 2}
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert after == before

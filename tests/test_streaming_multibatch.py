@@ -426,8 +426,9 @@ def test_stream_scd2_checkpoint_loss_replay_noops(spark, tmp_path):
         for r in TxTable(spark, dim_root).read().collect()
     )
     # Checkpoint loss: a FRESH checkpoint restarts batch ids at 0 and
-    # re-delivers the same file — the committed scd2-0 tag must no-op
-    # it (pre-fix: RuntimeError "out of order" from the eff guard).
+    # re-delivers the same file — the committed content tag (same
+    # bytes -> same tag) must no-op it (pre-fix: RuntimeError "out of
+    # order" from the eff guard).
     drain("chk_fresh")
     assert TxTable(spark, dim_root).snapshot().version == v1
     state2 = sorted(
@@ -435,3 +436,104 @@ def test_stream_scd2_checkpoint_loss_replay_noops(spark, tmp_path):
         for r in TxTable(spark, dim_root).read().collect()
     )
     assert state2 == state1
+
+
+def test_stream_scd2_checkpoint_loss_with_new_file_applies_it(spark, tmp_path):
+    """r7 review finding: after checkpoint loss, the restart bundles
+    ALREADY-COMMITTED files AND newly-landed files into one fresh
+    batch 0.  A batch-id-keyed tag would see 'scd2-0 committed' and
+    silently drop the new rows; the content-derived tag must let the
+    bundle proceed — old rows re-fold as no-ops, new rows apply."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.scd import scd2_init
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        foreach_batch_scd2,
+    )
+
+    base = str(tmp_path)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    dim_root = os.path.join(base, "dim")
+    cust = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, bal double"
+    )
+    TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
+    schema = "k long, bal double, eff_date string"
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        tmp = os.path.join(base, "tmp_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, src), os.path.join(landing, name))
+
+    def drain(chk):
+        q = foreach_batch_scd2(
+            spark.readStream.schema(schema).parquet(landing),
+            spark, dim_root, "k", ["bal"],
+            checkpoint=os.path.join(base, chk),
+        )
+        assert q.awaitTermination(300)
+
+    land("b0.parquet", [(1, 15.0, "2024-03-01")])
+    drain("chk")
+    v1 = TxTable(spark, dim_root).snapshot().version
+    # checkpoint lost; a new same-effective-date update lands before
+    # the restart — the fresh batch 0 now carries BOTH files
+    land("b1.parquet", [(2, 25.0, "2024-03-01")])
+    drain("chk_fresh")
+    dim = TxTable(spark, dim_root)
+    assert dim.snapshot().version > v1  # the divergent bundle committed
+    cur = {
+        r.k: (r.bal, str(r.valid_from))
+        for r in dim.read().filter("is_current").collect()
+    }
+    # new row applied; replayed row did NOT re-version (no value change)
+    assert cur == {1: (15.0, "2024-03-01"), 2: (25.0, "2024-03-01")}
+    assert dim.read().count() == 4  # 2 keys x (initial + one update)
+
+
+def test_stream_scd2_divergent_multidate_bundle_fails_loud(spark, tmp_path):
+    """When the replayed bundle mixes a committed MULTI-date batch with
+    new data, applied_thru sits past the bundle's earliest date — the
+    sink must refuse loudly (order guard), never silently guess."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.scd import scd2_init
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        foreach_batch_scd2,
+    )
+
+    base = str(tmp_path)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    dim_root = os.path.join(base, "dim")
+    cust = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, bal double")
+    TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
+    schema = "k long, bal double, eff_date string"
+    b0 = spark.createDataFrame(
+        [(1, 15.0, "2024-03-01"), (2, 25.0, "2024-04-01")], schema
+    )
+    tmp = os.path.join(base, "t0")
+    b0.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src), os.path.join(landing, "b0.parquet"))
+
+    def drain(chk):
+        q = foreach_batch_scd2(
+            spark.readStream.schema(schema).parquet(landing),
+            spark, dim_root, "k", ["bal"],
+            checkpoint=os.path.join(base, chk),
+        )
+        assert q.awaitTermination(300)
+
+    drain("chk")
+    v1 = TxTable(spark, dim_root).snapshot().version
+    b1 = spark.createDataFrame([(1, 30.0, "2024-05-01")], schema)
+    tmp = os.path.join(base, "t1")
+    b1.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src), os.path.join(landing, "b1.parquet"))
+    with pytest.raises(Exception, match="out of order"):
+        drain("chk_fresh")
+        raise RuntimeError("stream should have failed")
+    assert TxTable(spark, dim_root).snapshot().version == v1
