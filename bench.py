@@ -83,6 +83,10 @@ HEADLINE = [
     "q_tpch_q17",
     "q_tpch_q18",
     "q_join_bloom",
+    # r7 additions: correlated-MIN decorrelation over a derived
+    # relation (Q2) and the 8-table market-share join (Q8)
+    "q_tpch_q2",
+    "q_tpch_q8",
 ]
 
 
