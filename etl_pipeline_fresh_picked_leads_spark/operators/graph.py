@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.fingerprint import df_fingerprint
+
 
 def connected_components(
     vertices: DataFrame,
@@ -170,15 +172,10 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        probe = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: a long sum of 64-bit hashes
-            # overflows (ANSI error)
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        if probe_prev == (probe.n, probe.h):
+        probe = df_fingerprint(e, ["u", "v"])
+        if probe_prev == probe:
             break
-        probe_prev = (probe.n, probe.h)
+        probe_prev = probe
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
@@ -272,10 +269,21 @@ def closure(
     from ..session import raised_conf
 
     ch, pa = F.col(child_col), F.col(parent_col)
+    verts = vertices.select(F.col(id_col).alias("id"))
+    # Restrict edges to the declared vertex set (r7 review): an edge
+    # referencing an unknown id would otherwise smuggle non-vertices
+    # into the walk and defeat the count-based cycle guard (walked
+    # rows could equal |vertices| while cycle vertices are missing).
+    # Eager localCheckpoint like every other edge set in this module:
+    # the temp view is re-scanned per CTE iteration otherwise.
     e_norm = (
         edges.select(ch.alias("child"), pa.alias("parent"))
         .filter(F.col("child") != F.col("parent"))
         .distinct()
+        .join(verts.withColumnRenamed("id", "child"), "child", "left_semi")
+        .join(verts.withColumnRenamed("id", "parent"), "parent", "left_semi")
+        .select("child", "parent")
+        .localCheckpoint(eager=True)
     )
     multi_parent = (
         e_norm.groupBy("child")
@@ -294,7 +302,7 @@ def closure(
     # session (two walks resolving each other's edge sets).
     tag = uuid.uuid4().hex[:12]
     vview, eview = f"closure_verts_{tag}", f"closure_edges_{tag}"
-    vertices.select(F.col(id_col).alias("id")).createOrReplaceTempView(vview)
+    verts.createOrReplaceTempView(vview)
     e_norm.createOrReplaceTempView(eview)
     try:
         # long-chain headroom; restored by the context (no session leak)

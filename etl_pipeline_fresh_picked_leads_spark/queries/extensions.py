@@ -102,10 +102,13 @@ def _lsh_recall_contract(
         .join(lsh_pairs.select(*keys), keys, "left_anti")
         .agg((F.count(F.lit(1)) == 0).alias("recall_hi_ok"))
     )
-    contract = exact.crossJoin(F.broadcast(missed)).localCheckpoint(eager=True)
-    for p in [exact, *(pins or [])]:
-        p.unpersist()
-    return contract
+    try:
+        return exact.crossJoin(F.broadcast(missed)).localCheckpoint(
+            eager=True
+        )
+    finally:  # a failed materialization must not leak the pins either
+        for p in [exact, *(pins or [])]:
+            p.unpersist()
 
 
 def _release_after(df: DataFrame, pins: list) -> DataFrame:
@@ -113,11 +116,14 @@ def _release_after(df: DataFrame, pins: list) -> DataFrame:
     small) and release the whole-corpus caches collected in ``pins``
     — the companion to the operators' ``pins`` parameter, so a
     multi-query session (the 50-query oracle gate) never accumulates
-    dead shingle/signature caches (ADVICE r6)."""
-    out = df.localCheckpoint(eager=True)
-    for p in pins:
-        p.unpersist()
-    return out
+    dead shingle/signature caches (ADVICE r6).  Release runs in
+    ``finally``: a failed materialization must not leak the pins
+    either (r7 review)."""
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        for p in pins:
+            p.unpersist()
 
 
 def _assert_planted_offset(df: DataFrame, id_col: str, offset: int) -> None:

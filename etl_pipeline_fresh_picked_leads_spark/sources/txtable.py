@@ -223,6 +223,13 @@ class TxTable:
         dates are already in applied history)."""
         return txn in self._committed_txns()
 
+    def committed_txns(self) -> set[str]:
+        """All committed transaction tags — for writers whose
+        idempotency unit is FINER than a whole commit (the SCD2 sink
+        encodes per-effective-date slice fingerprints into its tags
+        and skips already-committed slices on replay)."""
+        return self._committed_txns()
+
     @staticmethod
     def _schema_of(df: DataFrame) -> str:
         return json.dumps(df.schema.jsonValue())

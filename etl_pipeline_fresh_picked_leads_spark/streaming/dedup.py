@@ -53,19 +53,24 @@ def stream_incremental_lsh(
 
     def handle(batch_df, batch_id: int) -> None:
         pins: list = []
-        pairs = incremental_lsh_pairs(
-            batch_df, index_root, threshold, update_index=False, pins=pins
-        )
-        if not TxTable.is_table(pairs_root):
-            # empty-create + txn-append (not create-with-data): create
-            # records no txn tag, so batch 0 would double on replay
-            TxTable.create(spark, pairs_root, pairs.limit(0))
-        TxTable(spark, pairs_root).append(pairs, txn=f"pairs-{batch_id}")
-        # signatures append AFTER pairs: a crash between the two replays
-        # the batch, and both writes are idempotent under their txn tags
-        minhash_index_append(batch_df, index_root, txn=f"sig-{batch_id}")
-        for p in pins:  # batch done — drop its signature cache
-            p.unpersist()
+        try:
+            pairs = incremental_lsh_pairs(
+                batch_df, index_root, threshold, update_index=False,
+                pins=pins,
+            )
+            if not TxTable.is_table(pairs_root):
+                # empty-create + txn-append (not create-with-data):
+                # create records no txn tag, so batch 0 would double
+                # on replay
+                TxTable.create(spark, pairs_root, pairs.limit(0))
+            TxTable(spark, pairs_root).append(pairs, txn=f"pairs-{batch_id}")
+            # signatures append AFTER pairs: a crash between the two
+            # replays the batch, and both writes are idempotent under
+            # their txn tags
+            minhash_index_append(batch_df, index_root, txn=f"sig-{batch_id}")
+        finally:  # a failed batch must not leak its signature cache
+            for p in pins:
+                p.unpersist()
 
     return (
         spark.readStream.schema(schema)

@@ -116,53 +116,60 @@ def foreach_batch_scd2(
     tag and no-ops, so at-least-once delivery is exactly-once at the
     table (pinned in tests/test_streaming_multibatch.py).
 
-    The tag is CONTENT-derived (batch_id + row count + order-
-    insensitive row hash), not batch_id alone: after a checkpoint
-    LOSS, a restart re-reads the landing dir as a fresh batch 0, and
-    if new files landed meanwhile that "batch 0" carries MORE data
-    than the committed one — a batch-id tag would no-op it and
-    silently drop the new rows.  With the content tag a divergent
-    bundle proceeds: already-applied rows re-fold as no-ops
-    (scd2_apply only versions on tracked-value CHANGE), new rows
-    apply, and only a genuinely out-of-order effective date is
-    refused loudly (below).
+    Idempotency is per EFFECTIVE-DATE SLICE, not per batch id: the
+    txn tag encodes a content fingerprint of every slice it applied
+    (``scd2|b<id>|<eff>=<n>:<hash>|...``), and on each batch the sink
+    skips slices whose fingerprint is already committed.  Why batch_id
+    alone is not enough (r7 reviews): after a checkpoint LOSS, a
+    restart re-reads the whole landing dir as a fresh batch 0 — the
+    bundle may span SEVERAL committed batches (a batch-id tag would
+    re-apply or crash-loop on the order guard) and/or carry newly
+    landed files (a batch-id tag would no-op and silently drop them).
+    With slice tags: fully-committed bundles no-op, partially-new
+    bundles apply exactly the new slices, and each commit records the
+    slices it folded so the replay algebra closes.
 
-    SCD2 application does not commute: a batch spanning several
-    effective dates applies them ascending, and a batch whose
-    effective date PRECEDES already-applied history is refused loudly
-    rather than committing valid_to < valid_from rows.  (This also
-    means a divergent checkpoint-loss bundle that mixes a committed
-    MULTI-date batch with new data fails loudly instead of guessing —
-    applied_thru sits past the bundle's earliest date.)  The
-    dimension must already exist (scd2_init + TxTable.create)."""
+    SCD2 application does not commute: uncommitted slices apply
+    ascending, and an UNCOMMITTED slice whose effective date PRECEDES
+    already-applied history is refused loudly rather than committing
+    valid_to < valid_from rows.  The dimension must already exist
+    (scd2_init + TxTable.create)."""
     from pyspark.sql import functions as F
 
+    from ..functions.fingerprint import fingerprint_cols
     from ..operators.scd import scd2_apply
     from ..sources.txtable import TxTable
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         dim = TxTable(spark, dim_root)
-        # Idempotency FIRST (ADVICE r6), on batch CONTENT: if the
-        # order guard below ran first, a replayed batch would see
-        # applied_thru including its own dates and raise.  The
-        # order-insensitive xxhash64 sum is partition-layout-proof;
-        # DECIMAL accumulation because a LONG sum of 64-bit hashes
-        # overflows under ANSI.
-        fp = batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(*batch_df.columns).cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        tag = f"scd2-{batch_id}-{fp['n']}-{fp['h'] or 0}"
-        if dim.has_txn(tag):
+        # Slice inventory in ONE pass: per-eff row count + order-
+        # insensitive content hash (partition-layout-proof).
+        data_cols = [c for c in batch_df.columns if c != eff_col]
+        per_eff = (
+            batch_df.groupBy(eff_col).agg(*fingerprint_cols(data_cols))
+        ).collect()
+        slices = {
+            r[eff_col]: f"{r[eff_col]}={r['fp_n']}:{r['fp_h'] or 0}"
+            for r in per_eff
+        }
+        committed = {
+            s
+            for t in dim.committed_txns()
+            if t.startswith("scd2|")
+            for s in t.split("|")[2:]
+        }
+        # Idempotency decides BEFORE the order guard (ADVICE r6): a
+        # replayed slice would otherwise see applied_thru including
+        # its own date and raise.
+        todo = sorted(
+            (eff for eff in slices if slices[eff] not in committed),
+            key=str,
+        )
+        if not todo:
             return
         state = dim.read()
         applied_thru = state.agg(F.max("valid_from")).collect()[0][0]
-        effs = sorted(
-            r[0] for r in batch_df.select(eff_col).distinct().collect()
-        )
-        for eff in effs:
+        for eff in todo:
             if str(eff) < str(applied_thru):
                 raise RuntimeError(
                     f"SCD2 batch effective {eff} arrived after "
@@ -176,6 +183,9 @@ def foreach_batch_scd2(
                 tracked,
                 eff,
             )
+        tag = "|".join(
+            ["scd2", f"b{batch_id}"] + [slices[eff] for eff in todo]
+        )
         dim.overwrite(state, txn=tag)
 
     return (

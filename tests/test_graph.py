@@ -215,3 +215,27 @@ def test_closure_drops_its_temp_views_and_respects_existing(spark):
     assert _closure_map(closure(verts, edges)) == {1: 2, 2: 2}
     after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
     assert after == before
+
+
+def test_closure_ignores_orphan_edges_and_catches_masked_cycle(spark):
+    """r7 review: edges referencing ids outside the vertex set must be
+    ignored, not walked — an orphan edge could otherwise add rows that
+    make walked-count equal vertex-count while a cycle's vertices are
+    silently missing."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    # orphan child 2 (not a vertex): must not trigger star fallback or
+    # appear in the output
+    verts = spark.createDataFrame([(1,), (7,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 7), (2, 7)], "child long, parent long"
+    )
+    assert _closure_map(closure(verts, edges)) == {1: 7, 7: 7}
+    # masked cycle: 3<->4 cycle plus two orphan edges that would have
+    # made the naive row-count check coincide (4 rows for 4 vertices)
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame(
+        [(3, 4), (4, 3), (5, 1), (6, 1)], "child long, parent long"
+    )
+    got = _closure_map(closure(verts, edges))
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3}  # star fallback, component min

@@ -59,11 +59,21 @@ def test_whole_stage_codegen_on_hot_path(spark):
 
 def test_no_python_udf_in_relational_queries(spark):
     # Python only where declared (UDF/extension queries); relational
-    # surface must stay JVM-side
+    # surface must stay JVM-side.  The ngram pipeline is pinned at the
+    # OPERATOR: its registered query eagerly checkpoints to release
+    # shingle caches (r7), which hides the pipeline from the
+    # query-level plan.
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
     for qid in ["q_agg_group", "q_join_inner", "q_win_running", "q_pivot",
-                "q_text_stats", "q_dedup_ngram"]:
+                "q_text_stats"]:
         plan = formatted_plan(QUERIES[qid](spark, SF_SMALL))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, qid
+    docs = read_table(spark, SF_SMALL, "documents")
+    plan = formatted_plan(ngram_jaccard_pairs(docs, threshold=0.35))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_partial_aggregation_before_shuffle(spark):
@@ -252,8 +262,20 @@ def test_cluster_star_bounded_lineage(spark):
     """Star CC localCheckpoints per round, so the final plan's
     exchange count is bounded by the LAST round's shape (label join +
     group) — NOT proportional to the number of rounds.  A lineage
-    leak would blow this bound on any multi-round input."""
-    df = QUERIES["q_dedup_cluster_star"](spark, SF_SMALL)
+    leak would blow this bound on any multi-round input.  Pinned on
+    the OPERATOR composition (r7: the registered query checkpoints to
+    release shingle caches, hiding the lineage from its plan)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    df = dedup_clusters(
+        docs, ngram_jaccard_pairs(docs, threshold=0.35), algorithm="star"
+    )
     plan = formatted_plan(df)
     assert n_exchanges(df) <= 6, plan
     assert "Python" not in plan and "Arrow" not in plan

@@ -493,10 +493,12 @@ def test_stream_scd2_checkpoint_loss_with_new_file_applies_it(spark, tmp_path):
     assert dim.read().count() == 4  # 2 keys x (initial + one update)
 
 
-def test_stream_scd2_divergent_multidate_bundle_fails_loud(spark, tmp_path):
+def test_stream_scd2_divergent_multidate_bundle_applies_new_slice(spark, tmp_path):
     """When the replayed bundle mixes a committed MULTI-date batch with
-    new data, applied_thru sits past the bundle's earliest date — the
-    sink must refuse loudly (order guard), never silently guess."""
+    new data, the committed slices are skipped via their tags and ONLY
+    the new slice applies — no order-guard crash, no re-application
+    (the per-slice-tag design; a whole-batch content tag would raise
+    here because applied_thru sits past the bundle's earliest date)."""
     from etl_pipeline_fresh_picked_leads_spark.operators.scd import scd2_init
     from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
     from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
@@ -533,7 +535,71 @@ def test_stream_scd2_divergent_multidate_bundle_fails_loud(spark, tmp_path):
     b1.coalesce(1).write.mode("overwrite").parquet(tmp)
     src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
     os.rename(os.path.join(tmp, src), os.path.join(landing, "b1.parquet"))
-    with pytest.raises(Exception, match="out of order"):
-        drain("chk_fresh")
-        raise RuntimeError("stream should have failed")
-    assert TxTable(spark, dim_root).snapshot().version == v1
+    drain("chk_fresh")
+    dim = TxTable(spark, dim_root)
+    assert dim.snapshot().version > v1  # the new slice committed
+    cur = {
+        r.k: (r.bal, str(r.valid_from))
+        for r in dim.read().filter("is_current").collect()
+    }
+    assert cur == {1: (30.0, "2024-05-01"), 2: (25.0, "2024-04-01")}
+    v2 = dim.snapshot().version
+    drain("chk_fresh2")  # full replay again: everything committed now
+    assert TxTable(spark, dim_root).snapshot().version == v2
+
+
+def test_stream_scd2_multibatch_history_checkpoint_loss_noops(spark, tmp_path):
+    """r7 second review: committed history spanning SEVERAL batches
+    with ascending effective dates, checkpoint lost, NO new files.
+    The fresh restart bundles all files into one batch 0 — every slice
+    fingerprint is already committed, so the sink must no-op (a
+    whole-batch content tag would mismatch and crash-loop on the order
+    guard forever)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.scd import scd2_init
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        foreach_batch_scd2,
+    )
+
+    base = str(tmp_path)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    dim_root = os.path.join(base, "dim")
+    cust = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, bal double")
+    TxTable.create(spark, dim_root, scd2_init(cust, "2024-01-01"))
+    schema = "k long, bal double, eff_date string"
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        tmp = os.path.join(base, "tmp_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, src), os.path.join(landing, name))
+
+    def drain(chk):
+        q = foreach_batch_scd2(
+            spark.readStream.schema(schema).parquet(landing),
+            spark, dim_root, "k", ["bal"],
+            checkpoint=os.path.join(base, chk),
+        )
+        assert q.awaitTermination(300)
+
+    # two separate committed batches on ONE checkpoint (ascending effs)
+    land("b0.parquet", [(1, 15.0, "2024-03-01")])
+    drain("chk")
+    land("b1.parquet", [(2, 25.0, "2024-04-01")])
+    drain("chk")
+    dim = TxTable(spark, dim_root)
+    v = dim.snapshot().version
+    state = sorted(
+        (r.k, r.bal, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in dim.read().collect()
+    )
+    # checkpoint loss, no new data: replay must no-op, not crash-loop
+    drain("chk_fresh")
+    assert TxTable(spark, dim_root).snapshot().version == v
+    state2 = sorted(
+        (r.k, r.bal, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in TxTable(spark, dim_root).read().collect()
+    )
+    assert state2 == state

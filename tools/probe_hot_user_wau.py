@@ -96,24 +96,29 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
-    # Correctness under skew: independent recompute (hot variant).
+    # Correctness under skew, via a STRUCTURALLY DIFFERENT method (r7
+    # review: recomputing with the same expand-contribution shape
+    # would be blind to a bug in that shape): a day spine range-joined
+    # against the distinct activity pairs — trailing-window semantics
+    # expressed as a non-equi join, no explode anywhere.
     d = variants[f"{mult}x_hot"]
     got = {
         (str(r.day), r.wau_7d) for r in qfn(spark, d).collect()
     }
     ev2 = spark.read.parquet(os.path.join(d, "events.parquet"))
     act = ev2.select("user_id", F.to_date("ts").alias("day")).distinct()
-    hi = act.agg(F.max("day")).collect()[0][0]
+    lo, hi = act.agg(F.min("day"), F.max("day")).collect()[0]
+    spine = spark.sql(
+        f"SELECT explode(sequence(DATE '{lo}', DATE '{hi}')) AS obs_day"
+    )
     exp = {
-        (str(r.day), r.n)
-        for r in act.select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-            ).alias("obs"),
+        (str(r.obs_day), r.n)
+        for r in spine.join(
+            act,
+            (F.col("day") <= F.col("obs_day"))
+            & (F.col("day") >= F.date_sub(F.col("obs_day"), 6)),
         )
-        .filter(F.col("obs") <= F.lit(hi))
-        .groupBy(F.col("obs").alias("day"))
+        .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
