@@ -372,12 +372,16 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy (BLAS matvec per batch) formulation of exact top-k
     — same oracle as q_sim_topk; the winning shape for high-dim
-    embeddings."""
+    embeddings.  The operator raises on a missing query vector (right
+    for an API); the CONTRACT must instead degrade symmetrically with
+    its oracle (empty result) if regenerated data lacks vec 0 —
+    r7 robustness sweep's one finding."""
     from ..operators.similarity import cosine_topk_vectorized
 
-    return cosine_topk_vectorized(
-        read_table(spark, sf_dir, "embeddings"), 0, k=10
-    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    if emb.filter(F.col("vec_id") == 0).isEmpty():
+        return spark.createDataFrame([], "vec_id long, cosine double")
+    return cosine_topk_vectorized(emb, 0, k=10)
 
 
 _ANN_IVF_ORACLE = """
