@@ -245,37 +245,34 @@ def closure(
     algorithm survives their graph shape at 100 TB.
 
     - **Forest shape** (every child has exactly one parent, no
-      cycles): Spark 4's recursive CTE walks parent pointers from the
-      roots — iterations = tree depth, total work O(rows x depth),
-      the q_sql_recursive shape.  ``root`` = the pointer-chase
-      terminus (the actual forest root, independent of id order).
-    - **Multi-parent or cyclic** (where UNION ALL recursion would
-      re-derive a row per path — exponential on high-fanout DAGs —
-      or never terminate on cycles; Spark 4.1 has no UNION-distinct
-      recursion): large-star/small-star components over the
+      cycles): POINTER DOUBLING — each round composes the
+      parent-pointer table with itself (next = next∘next), so a
+      depth-D forest resolves in ceil(log2 D) self-joins and ``root``
+      is the true pointer-chase terminus (the actual forest root,
+      independent of id order).  This replaces the recursive-CTE walk
+      the helper first shipped with: the CTE's iteration count equals
+      the DEPTH, and measured 213 s on a 2000-deep chain vs ~6 s for
+      doubling (PLANS.md round-7) — the CTE remains the right tool
+      when depth is known-small (q_sql_recursive's 30-minute session
+      chains), never for closure over unknown shapes.
+    - **Multi-parent or cyclic** (where path-enumerating recursion
+      re-derives a row per path — exponential on high-fanout DAGs —
+      or never terminates): large-star/small-star components over the
       undirected graph.  ``root`` = the component minimum, the
       canonical representative when "the" root is not unique.
 
     Selection: edges are NORMALIZED first — duplicate rows collapse
-    (a doubled edge is still one parent) and self-loops drop (the
+    (a doubled edge is still one parent), self-loops drop (the
     standard root-points-to-itself encoding marks a root, it isn't a
-    second parent) — then a 1-row max-in-degree probe picks the CTE
-    only for in-degree <= 1, and a coverage check after the CTE
-    (cycle nodes are unreachable from any root seed) falls back to
-    star if the walk missed vertices.  All probes are scalar
-    aggregates — no corpus-sized driver traffic."""
-    import uuid
-
-    from ..session import raised_conf
-
+    second parent), and edges referencing ids outside the vertex set
+    are ignored — then a 1-row max-in-degree probe routes multi-parent
+    graphs to star, and the doubling loop detects cycles two ways
+    (no fixpoint within 64 rounds, or a "root" that still has an
+    outgoing parent edge — a 2^k-cycle converges to self-pointers)
+    and falls back to star.  All probes are scalar aggregates — no
+    corpus-sized driver traffic."""
     ch, pa = F.col(child_col), F.col(parent_col)
     verts = vertices.select(F.col(id_col).alias("id"))
-    # Restrict edges to the declared vertex set (r7 review): an edge
-    # referencing an unknown id would otherwise smuggle non-vertices
-    # into the walk and defeat the count-based cycle guard (walked
-    # rows could equal |vertices| while cycle vertices are missing).
-    # Eager localCheckpoint like every other edge set in this module:
-    # the temp view is re-scanned per CTE iteration otherwise.
     e_norm = (
         edges.select(ch.alias("child"), pa.alias("parent"))
         .filter(F.col("child") != F.col("parent"))
@@ -296,40 +293,95 @@ def closure(
     ).withColumnRenamed("component", "root")
     if multi_parent is not None and multi_parent > 1:
         return star()
-    spark = vertices.sparkSession
-    # Per-call unique view names: a fixed name would clobber the
-    # caller's views and race concurrent closure() calls in one
-    # session (two walks resolving each other's edge sets).
-    tag = uuid.uuid4().hex[:12]
-    vview, eview = f"closure_verts_{tag}", f"closure_edges_{tag}"
-    verts.createOrReplaceTempView(vview)
-    e_norm.createOrReplaceTempView(eview)
-    try:
-        # long-chain headroom; restored by the context (no session leak)
-        with raised_conf(spark, "spark.sql.cteRecursionLevelLimit", "10000"):
-            walked = spark.sql(
-                f"""
-                WITH RECURSIVE r(id, root) AS (
-                  SELECT v.id, v.id FROM {vview} v
-                  LEFT ANTI JOIN {eview} e ON v.id = e.child
-                  UNION ALL
-                  SELECT e.child, r.root
-                  FROM {eview} e JOIN r ON e.parent = r.id
-                )
-                SELECT id, root FROM r
-                """
-            ).localCheckpoint(eager=True)  # materialize inside the window
-    finally:
-        for v in (vview, eview):
-            try:
-                spark.catalog.dropTempView(v)
-            except Exception:
-                pass
-    # Cycle guard: a cycle has no root seed, so its vertices never
-    # appear in the walk — coverage shortfall means "not a forest".
-    if walked.count() != vertices.count():
+    walked = _pointer_double(verts, e_norm)
+    if walked is None:  # cycle detected — not a forest
         return star()
     return walked.select(F.col("id").alias(id_col), "root")
+
+
+def _pointer_double(
+    verts: DataFrame, e_norm: DataFrame, max_rounds: int = 64
+) -> DataFrame | None:
+    """Forest root resolution by pointer doubling: next(v) starts as
+    parent(v) (roots point at themselves), then next = next∘next per
+    round — after k rounds next(v) = parent^(2^k)(v), so a depth-D
+    forest is at fixpoint in ceil(log2 D) rounds.  localCheckpoint per
+    round for the same lineage reason as the other iterative loops in
+    this module; convergence by the shared order-insensitive
+    fingerprint probe.
+
+    Returns None when the graph is NOT a forest: no fixpoint within
+    ``max_rounds`` (a cycle whose length isn't a power of two keeps
+    permuting), or a fixpoint whose "roots" still have outgoing parent
+    edges (a 2^k-length cycle converges to next(v) = v).  64 rounds
+    bounds resolvable depth at 2^64 — effectively unbounded.
+
+    Each round SPILLS to parquet instead of localCheckpoint-ing:
+    iterated SELF-joins of a checkpointed frame go superexponential in
+    driver/scheduling time past ~17 rounds (measured 0.2 s -> 250 s/
+    round by round 24; reliable checkpoint() shows the identical
+    cliff, while joins against a STATIC table stay flat — so it's the
+    self-join plan, not RDD lineage).  A fresh parquet relation per
+    round is flat at ~0.35 s/round indefinitely, and on a real
+    cluster the spill is the standard durable iteration checkpoint
+    anyway.  The final result is localCheckpoint-ed (single op, no
+    loop) so the spill directory can be deleted before returning."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = verts.sparkSession
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "fpl_spark_scratch",
+        "pointer_double",
+        uuid.uuid4().hex[:12],
+    )
+
+    def spill(df: DataFrame, name: str) -> DataFrame:
+        p = os.path.join(scratch, name)
+        df.write.parquet(p)
+        return spark.read.parquet(p)
+
+    try:
+        nxt = spill(
+            verts.join(e_norm, verts.id == e_norm.child, "left").select(
+                verts.id, F.coalesce("parent", verts.id).alias("nxt")
+            ),
+            "init",
+        )
+        prev = df_fingerprint(nxt, ["id", "nxt"])
+        for r in range(max_rounds):
+            a, b = nxt.alias("a"), nxt.alias("b")
+            nxt = spill(
+                a.join(b, F.col("a.nxt") == F.col("b.id")).select(
+                    F.col("a.id").alias("id"), F.col("b.nxt").alias("nxt")
+                ),
+                f"r{r}",
+            )
+            fp = df_fingerprint(nxt, ["id", "nxt"])
+            if fp == prev:
+                break
+            prev = fp
+        else:
+            return None  # no fixpoint: cyclic
+        # A genuine root has no parent edge; a 2^k-cycle's
+        # self-pointing fixpoint fails this (every cycle node has an
+        # outgoing edge).
+        fake_roots = (
+            nxt.select(F.col("nxt").alias("child"))
+            .distinct()
+            .join(e_norm.select("child").distinct(), "child", "left_semi")
+            .count()
+        )
+        if fake_roots:
+            return None
+        return nxt.select("id", F.col("nxt").alias("root")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def triangle_stats(pairs: DataFrame) -> DataFrame:

@@ -239,3 +239,27 @@ def test_closure_ignores_orphan_edges_and_catches_masked_cycle(spark):
     )
     got = _closure_map(closure(verts, edges))
     assert got == {1: 1, 2: 2, 3: 3, 4: 3}  # star fallback, component min
+
+
+def test_closure_deep_chain_uses_log_rounds(spark):
+    """A 2000-deep chain must resolve through pointer doubling
+    (ceil(log2 2000) = 11 composition rounds), returning true pointer
+    roots — the recursive-CTE formulation needed one iteration per
+    DEPTH level (measured 213s vs ~9s here; PLANS.md round-7)."""
+    import time
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    n = 2000
+    verts = spark.range(n).select(F.col("id"))
+    edges = spark.range(1, n).select(
+        F.col("id").alias("child"), (F.col("id") - 1).alias("parent")
+    )
+    t0 = time.time()
+    res = closure(verts, edges)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("root").alias("k"),
+        F.max("root").alias("mx"),
+    ).collect()[0]
+    assert (agg.n, agg.k, agg.mx) == (n, 1, 0)  # all chase to root 0
+    assert time.time() - t0 < 120, "doubling must stay in log-depth rounds"
