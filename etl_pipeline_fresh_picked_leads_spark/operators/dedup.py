@@ -94,6 +94,56 @@ def _with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return toked.select("doc_id", sh.alias("sh"))
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    pins: list | None = None,
+) -> DataFrame:
+    """``decontaminate`` for when the eval gram set is too large to
+    broadcast exactly (a 100M-gram eval suite is GBs as a broadcast
+    set; the Bloom bitmap is 128 KB at the default m_bits): the
+    exploded train grams are pruned AT THE SCAN by a Bloom filter
+    shipped as a plan literal (joins.bloom_build/bloom_prune — no
+    false negatives, so nothing contaminated is lost), and only the
+    surviving sliver (true hits + the FP fraction) reaches the exact
+    verify join.  The train side still never shuffles in full; the
+    exact join's input shrinks from every-train-gram to
+    contaminated-instances + FPs.  Output is IDENTICAL to
+    ``decontaminate`` — the exact semi-join removes Bloom false
+    positives (pinned in tests)."""
+    from .joins import bloom_build, bloom_prune
+
+    ev_sh = _with_shingles(eval_docs, n).persist()
+    ev_sh.count()
+    ev_grams = ev_sh.select(F.explode("sh").alias("g")).distinct().persist()
+    ev_grams.count()  # reused: bloom build + exact verify join
+    tr_sh = _with_shingles(train, n).persist()
+    tr_sh.count()
+    if pins is not None:
+        pins.extend([ev_sh, ev_grams, tr_sh])
+    words = bloom_build(ev_grams, "g", m_bits, k)
+    ex = tr_sh.select(
+        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    )
+    survivors = bloom_prune(ex, "g", words, m_bits, k)
+    return (
+        survivors.join(ev_grams, "g", "left_semi")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> array<long> of N_HASHES min-hashes over hashed word
     n-gram shingles.  hash family = xxhash64(shingle_hash, seed),

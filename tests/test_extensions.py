@@ -887,3 +887,64 @@ def test_heavy_hitters_matches_full_groupby(spark):
         .collect()
     }
     assert got == want and (10**6, 6000) in got
+
+
+def test_decontaminate_bloom_matches_exact_and_prunes_at_scan(spark, docs):
+    """decontaminate_bloom must (a) equal the exact broadcast variant
+    bit-for-bit (the Bloom has no false negatives and the exact
+    semi-join removes its false positives), and (b) apply the bitmap
+    membership filter to the exploded train grams BELOW the verify
+    join, so at 100 TB only the contaminated sliver + FP fraction
+    reaches the join."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import _hash01
+    from etl_pipeline_fresh_picked_leads_spark.plans import formatted_plan
+
+    is_eval = _hash01(F.col("doc_id")) < 0.1
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    exact = {
+        (r.doc_id, r.n_grams, r.n_contaminated, r.contamination)
+        for r in decontaminate(train, ev, n=3).collect()
+    }
+    bloomed_df = decontaminate_bloom(train, ev, n=3)
+    bloomed = {
+        (r.doc_id, r.n_grams, r.n_contaminated, r.contamination)
+        for r in bloomed_df.collect()
+    }
+    assert bloomed == exact and len(exact) > 0
+    # the bitmap membership test (shiftright over the literal words)
+    # must sit in the plan — the scan-side prune is the point
+    assert "shiftright" in formatted_plan(bloomed_df)
+
+
+def test_decontaminate_bloom_prune_rate(spark, docs):
+    """On a corpus where only a fraction of train grams are
+    contaminated, the Bloom must discard the bulk of the exploded
+    grams before the join (FP rate at the default sizing is <<1%,
+    so survivors ~= true contaminated instances)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        _with_shingles,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.operators.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.operators.sampling import _hash01
+
+    is_eval = _hash01(F.col("doc_id")) < 0.1
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    ev_grams = (
+        _with_shingles(ev, 3).select(F.explode("sh").alias("g")).distinct()
+    )
+    words = bloom_build(ev_grams, "g")
+    ex = _with_shingles(train, 3).select(F.explode("sh").alias("g"))
+    total = ex.count()
+    survivors = bloom_prune(ex, "g", words).count()
+    true_hits = ex.join(ev_grams, "g", "left_semi").count()
+    assert survivors >= true_hits  # no false negatives
+    # FP overhead bounded: survivors are within 5% of the true hits
+    # OR the corpus is so contaminated the prune is moot (not this one)
+    assert survivors <= true_hits + max(10, int(0.05 * total))
