@@ -116,14 +116,17 @@ def decontaminate_bloom(
     positives (pinned in tests)."""
     from .joins import bloom_build, bloom_prune
 
-    ev_sh = _with_shingles(eval_docs, n).persist()
-    ev_sh.count()
-    ev_grams = ev_sh.select(F.explode("sh").alias("g")).distinct().persist()
+    ev_grams = (
+        _with_shingles(eval_docs, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .persist()
+    )
     ev_grams.count()  # reused: bloom build + exact verify join
     tr_sh = _with_shingles(train, n).persist()
     tr_sh.count()
     if pins is not None:
-        pins.extend([ev_sh, ev_grams, tr_sh])
+        pins.extend([ev_grams, tr_sh])
     words = bloom_build(ev_grams, "g", m_bits, k)
     ex = tr_sh.select(
         "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")

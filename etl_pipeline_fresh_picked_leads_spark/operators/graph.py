@@ -352,7 +352,14 @@ def _pointer_double(
             "init",
         )
         prev = df_fingerprint(nxt, ["id", "nxt"])
-        for r in range(max_rounds):
+        n = prev[0]  # |V|, free: the fingerprint already counted it
+        # Depth <= |V|, so a forest is at fixpoint within
+        # ceil(log2 |V|) rounds (+1 to OBSERVE the fixpoint via an
+        # unchanged fingerprint) — burning all 64 rounds to detect an
+        # odd cycle would be ~60 wasted full-table self-joins.
+        bound = min(max_rounds, max(1, (max(int(n), 2) - 1).bit_length()) + 1)
+        prev_dir = os.path.join(scratch, "init")
+        for r in range(bound):
             a, b = nxt.alias("a"), nxt.alias("b")
             nxt = spill(
                 a.join(b, F.col("a.nxt") == F.col("b.id")).select(
@@ -360,12 +367,17 @@ def _pointer_double(
                 ),
                 f"r{r}",
             )
+            # only the latest spill is ever re-read: drop the previous
+            # round's copy so transient scratch stays at ~2 table
+            # copies, not rounds x table size
+            shutil.rmtree(prev_dir, ignore_errors=True)
+            prev_dir = os.path.join(scratch, f"r{r}")
             fp = df_fingerprint(nxt, ["id", "nxt"])
             if fp == prev:
                 break
             prev = fp
         else:
-            return None  # no fixpoint: cyclic
+            return None  # no fixpoint within the depth bound: cyclic
         # A genuine root has no parent edge; a 2^k-cycle's
         # self-pointing fixpoint fails this (every cycle node has an
         # outgoing edge).

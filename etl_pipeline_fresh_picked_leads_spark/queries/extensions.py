@@ -379,9 +379,10 @@ def q_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_vectorized
 
     emb = read_table(spark, sf_dir, "embeddings")
-    if emb.filter(F.col("vec_id") == 0).isEmpty():
+    try:  # one scan: the operator's own collect doubles as the probe
+        return cosine_topk_vectorized(emb, 0, k=10)
+    except ValueError:  # "query vec 0 not found"
         return spark.createDataFrame([], "vec_id long, cosine double")
-    return cosine_topk_vectorized(emb, 0, k=10)
 
 
 _ANN_IVF_ORACLE = """
