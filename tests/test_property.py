@@ -163,3 +163,79 @@ def test_distwindow_global_rank_matches_vanilla(spark, data):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_closure_matches_python_reference_on_random_graphs(spark, data):
+    """closure() vs a driver-side reference on arbitrary in-degree<=1
+    graphs (forests, cycles, rho-shapes, self-loop roots, duplicate
+    edges): forests must return exact pointer-chase roots; any graph
+    containing a cycle must return component-minimum labels (star
+    semantics) — never crash, hang, or drop vertices."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    n = data.draw(st.integers(2, 24))
+    ids = list(range(n))
+    # each vertex gets 0 or 1 parent (possibly itself = root marker)
+    parent_of = {
+        v: data.draw(
+            st.one_of(st.none(), st.sampled_from(ids)), label=f"parent_{v}"
+        )
+        for v in ids
+    }
+    edges = [(v, p) for v, p in parent_of.items() if p is not None]
+    # duplicate some edges (must not trip the multiplicity probe)
+    if edges:
+        edges += [edges[0]] * data.draw(st.integers(0, 2))
+
+    # ---- python reference ----
+    def walk(v, limit):
+        seen = []
+        while limit and parent_of.get(v) is not None and parent_of[v] != v:
+            if v in seen:
+                return None  # cycle
+            seen.append(v)
+            v = parent_of[v]
+            limit -= 1
+        return v if limit else None
+
+    roots = {v: walk(v, n + 1) for v in ids}
+    has_cycle = any(r is None for r in roots.values())
+    if has_cycle:
+        # undirected component minima
+        import itertools
+
+        comp = {v: v for v in ids}
+
+        def find(v):
+            while comp[v] != v:
+                comp[v] = comp[comp[v]]
+                v = comp[v]
+            return v
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                comp[max(ra, rb)] = min(ra, rb)
+        # path-compress to the true minimum per component
+        for v in ids:
+            find(v)
+        mins = {}
+        for v in ids:
+            r = find(v)
+            mins[r] = min(mins.get(r, v), v)
+        expected = {v: mins[find(v)] for v in ids}
+    else:
+        expected = roots
+
+    verts = spark.createDataFrame([(v,) for v in ids], "id long")
+    e = spark.createDataFrame(
+        edges or [(None, None)], "child long, parent long"
+    ).dropna()
+    got = {r["id"]: r["root"] for r in closure(verts, e).collect()}
+    assert got == expected, (edges, has_cycle)
