@@ -80,6 +80,8 @@ class TxSnapshot:
     schema_json: str | None = None  # table schema; None on pre-schema logs
     stats: dict | None = None  # per-file {rows, min:{col}, max:{col}}
     txn: str | None = None  # idempotency tag of the commit, if any
+    dropped: tuple[str, ...] = ()  # ever-dropped column names (see
+    # drop_column: re-adding one would resurrect pre-drop values)
 
 
 def _manifest_name(version: int) -> str:
@@ -161,6 +163,7 @@ class TxTable:
             m.get("schema"),
             m.get("stats"),
             m.get("txn"),
+            tuple(m.get("dropped") or ()),
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -301,8 +304,11 @@ class TxTable:
         txn: str | None = None,
         schema_json: str | None = None,
         stats: dict | None = None,
+        dropped: list[str] | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
+        if dropped is None:  # dropped-name history rides every commit
+            dropped = list(base.dropped) if base else []
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -314,6 +320,7 @@ class TxTable:
                     "txn": txn,
                     "schema": schema_json,
                     "stats": stats,
+                    "dropped": dropped,
                 },
                 f,
                 default=str,  # date/timestamp min-max serialize as ISO
@@ -429,6 +436,13 @@ class TxTable:
             schema = self.spark.read.parquet(*base.files).schema
         if name in schema.fieldNames():
             return base.version
+        if name in base.dropped:
+            raise ValueError(
+                f"column {name!r} was previously dropped from {self.root}: "
+                "without column-mapping ids, re-adding it would RESURRECT "
+                "pre-drop values from old data files instead of reading "
+                "NULL — use a fresh column name"
+            )
         schema = schema.add(name, dtype)
         return self._commit(
             list(base.files),
@@ -436,6 +450,49 @@ class TxTable:
             base,
             schema_json=json.dumps(schema.jsonValue()),
             stats=self._merged_stats(base, list(base.files), []),
+        )
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` as a METADATA-ONLY commit: the
+        new manifest keeps the same file list under a schema without
+        the column — scans under the manifest schema simply never
+        select it (parquet ignores extra file columns), old snapshots
+        still time-travel with it, and post-drop writers append
+        without it.  No rewrite at any table size.
+
+        The dropped name is recorded forever in the manifest and
+        ``add_column`` refuses to re-introduce it: old files still
+        hold the physical values, so a re-add would silently resurrect
+        them where NULLs are expected (the hazard Delta/Iceberg solve
+        with column-mapping ids; refusing loudly is the honest
+        alternative at this log format's complexity budget)."""
+        from pyspark.sql.types import StructType
+
+        base = self.snapshot()
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        if base.schema_json is not None:
+            schema = StructType.fromJson(json.loads(base.schema_json))
+        else:  # pre-schema log: adopt the files' current schema
+            schema = self.spark.read.parquet(*base.files).schema
+        if name not in schema.fieldNames():
+            raise KeyError(f"column {name!r} does not exist in {self.root}")
+        remaining = StructType([f for f in schema.fields if f.name != name])
+        if not remaining.fields:
+            raise ValueError("cannot drop the last remaining column")
+        stats = self._merged_stats(base, list(base.files), [])
+        if stats:  # drop the column's now-dead skipping bounds
+            for per_file in stats.values():
+                for side in ("min", "max"):
+                    if isinstance(per_file.get(side), dict):
+                        per_file[side].pop(name, None)
+        return self._commit(
+            list(base.files),
+            "drop_column",
+            base,
+            schema_json=json.dumps(remaining.jsonValue()),
+            stats=stats,
+            dropped=[*base.dropped, name],
         )
 
     def read_since(self, version: int, until: int | None = None) -> DataFrame:

@@ -573,3 +573,69 @@ def test_delete_file_granular_and_null_predicate(spark, tmp_path):
     v = t.snapshot().version
     assert t.delete(F.col("v") > 999.0) == 0
     assert t.snapshot().version == v
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    """DROP COLUMN: same file list (no rewrite), reads lose the
+    column, pre-drop snapshots still time-travel with it, post-drop
+    appends write without it, and copy-on-write rewrites physically
+    shed it from the files they touch."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _mkdf(spark, [(1, "a"), (2, "b")]).coalesce(1)
+    )
+    before = t.snapshot()
+    v = t.drop_column("v")
+    after = t.snapshot()
+    assert after.files == before.files  # metadata-only
+    assert after.op == "drop_column" and v == before.version + 1
+    assert t.read().columns == ["k"]
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    # pre-drop snapshot still reads the column (time travel)
+    old = t.read(version=before.version)
+    assert old.columns == ["k", "v"]
+    assert {r.k: r.v for r in old.collect()} == {1: "a", 2: "b"}
+    # post-drop writers append without the column
+    t.append(spark.createDataFrame([(3,)], "k int").coalesce(1))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    # a rewrite (delete) of an old file writes it back WITHOUT v
+    t.delete(F.col("k") == 1)
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+    assert t.read().columns == ["k"]
+
+
+def test_drop_column_guards(spark, tmp_path):
+    """Dropping a missing column fails loudly; re-adding a dropped
+    name is refused (old files would resurrect pre-drop values); the
+    last column cannot be dropped; the dropped-history survives
+    unrelated commits; a FRESH name still adds fine."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _mkdf(spark, [(1, "a")]).coalesce(1)
+    )
+    with pytest.raises(KeyError):
+        t.drop_column("nope")
+    t.drop_column("v")
+    t.append(spark.createDataFrame([(2,)], "k int").coalesce(1))
+    with pytest.raises(ValueError, match="(?i)resurrect"):
+        t.add_column("v", "string")  # history survives the append
+    with pytest.raises(ValueError, match="last remaining"):
+        t.drop_column("k")
+    t.add_column("v2", "string")
+    assert t.read().columns == ["k", "v2"]
+
+
+def test_drop_column_prunes_skipping_stats(spark, tmp_path):
+    """The dropped column's min/max bounds leave the manifest (dead
+    skipping metadata); the surviving column's bounds remain usable."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double")
+    t = TxTable(spark, root, stats_cols=["k", "x"])
+    t.overwrite(df.coalesce(1))
+    assert any("x" in s["min"] for s in t.snapshot().stats.values())
+    t.stats_cols = ["k"]  # writer config follows the schema change
+    t.drop_column("x")
+    stats = t.snapshot().stats
+    assert stats and all("x" not in s["min"] for s in stats.values())
+    assert all("k" in s["min"] for s in stats.values())
+    assert t.files_in_range("k", lo=1, hi=2)  # skipping still works
