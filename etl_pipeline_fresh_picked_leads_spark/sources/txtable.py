@@ -495,6 +495,62 @@ class TxTable:
             dropped=[*base.dropped, name],
         )
 
+    def history(self) -> list[dict]:
+        """Commit log, newest first: version / op / txn / file count /
+        row count (when stats exist) per manifest — the DESCRIBE
+        HISTORY observability surface.  Reads manifests only; never
+        touches data files."""
+        out = []
+        for v in reversed(self._versions()):
+            snap = self.snapshot(v)
+            rows = (
+                sum(s.get("rows", 0) for s in snap.stats.values())
+                if snap.stats
+                else None
+            )
+            out.append(
+                {
+                    "version": snap.version,
+                    "op": snap.op,
+                    "txn": snap.txn,
+                    "n_files": len(snap.files),
+                    "n_rows": rows,
+                }
+            )
+        return out
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF: re-commit an old snapshot's
+        file list (+ schema + stats) as the NEW head — the bad-write
+        undo.  Metadata-only and non-destructive: the rolled-back
+        commits stay in the log for audit/time-travel until vacuumed,
+        exactly the Delta RESTORE contract.  Fails if the target's
+        files were already vacuumed away.  Restoring the current head
+        is a no-op.  Dropped-column history is carried from the HEAD,
+        not the target: a restore to a pre-drop version resurfaces the
+        column (its files are intact), but the name stays fenced
+        against add_column re-introduction ambiguity."""
+        base = self.snapshot()
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        if version == base.version:
+            return base.version
+        target = self.snapshot(version)  # raises if vacuumed/missing
+        missing = [f for f in target.files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.root} to v{version}: "
+                f"{len(missing)} data file(s) were vacuumed, e.g. "
+                f"{missing[0]}"
+            )
+        return self._commit(
+            list(target.files),
+            "restore",
+            base,
+            schema_json=target.schema_json,
+            stats=target.stats,
+        )
+
     def read_since(self, version: int, until: int | None = None) -> DataFrame:
         """Rows in files ADDED after ``version`` — incremental
         consumption without reprocessing the table (the append-only

@@ -639,3 +639,42 @@ def test_drop_column_prunes_skipping_stats(spark, tmp_path):
     assert stats and all("x" not in s["min"] for s in stats.values())
     assert all("k" in s["min"] for s in stats.values())
     assert t.files_in_range("k", lo=1, hi=2)  # skipping still works
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE re-commits an old file list as the new head without
+    touching data; rolled-back commits stay time-travelable; restore
+    of the current head no-ops; vacuumed targets fail loudly."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]).coalesce(1))
+    v1 = t.snapshot().version
+    t.append(_mkdf(spark, [(2, "b")]).coalesce(1))
+    t.overwrite(_mkdf(spark, [(9, "z")]).coalesce(1))  # the bad write
+    v3 = t.snapshot().version
+    v4 = t.restore(v1)
+    assert v4 == v3 + 1 and t.snapshot().op == "restore"
+    assert [(r.k, r.v) for r in t.read().collect()] == [(1, "a")]
+    assert t.snapshot().files == t.snapshot(v1).files  # by reference
+    # the bad write remains auditable
+    assert [(r.k, r.v) for r in t.read(version=v3).collect()] == [(9, "z")]
+    assert t.restore(v4) == v4  # restoring the head no-ops
+    # history surfaces the whole story, newest first
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["restore", "overwrite", "append", "overwrite"]
+    # vacuum away the rolled-back commits, then restoring to a
+    # vacuumed version must fail loudly
+    t.vacuum(retain=1)
+    with pytest.raises(FileNotFoundError):
+        t.restore(v3)
+
+
+def test_history_reports_rows_and_txns(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double")
+    t = TxTable(spark, root, stats_cols=["k"])
+    t.overwrite(df.coalesce(1))
+    t.append(df.coalesce(1), txn="batch-0")
+    h = t.history()
+    assert [x["version"] for x in h] == [2, 1]
+    assert h[0]["txn"] == "batch-0" and h[0]["n_rows"] == 4
+    assert h[1]["txn"] is None and h[1]["n_rows"] == 2
