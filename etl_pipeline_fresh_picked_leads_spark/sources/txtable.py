@@ -529,7 +529,15 @@ class TxTable:
         is a no-op.  Dropped-column history is carried from the HEAD,
         not the target: a restore to a pre-drop version resurfaces the
         column (its files are intact), but the name stays fenced
-        against add_column re-introduction ambiguity."""
+        against add_column re-introduction ambiguity.
+
+        Change-feed interaction: ``read_since`` keeps its add-only
+        contract across a restore — files the restore brings back that
+        a consumer's pinned version predates are (re-)delivered
+        (over-approximation, consumers dedup), and rows the rollback
+        REMOVED are never retracted (an add-only feed cannot express
+        deletion; a consumer needing retraction must diff
+        snapshots)."""
         base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")

@@ -678,3 +678,25 @@ def test_history_reports_rows_and_txns(spark, tmp_path):
     assert [x["version"] for x in h] == [2, 1]
     assert h[0]["txn"] == "batch-0" and h[0]["n_rows"] == 4
     assert h[1]["txn"] is None and h[1]["n_rows"] == 2
+
+
+def test_read_since_across_restore_keeps_addonly_contract(spark, tmp_path):
+    """Change feed over a rollback: re-surfaced files the consumer's
+    pin predates are delivered (over-approximation), rows the rollback
+    removed are never retracted — the documented add-only contract."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]).coalesce(1))
+    v1 = t.snapshot().version
+    t.append(_mkdf(spark, [(2, "b")]).coalesce(1))
+    v2 = t.snapshot().version
+    t.overwrite(_mkdf(spark, [(9, "z")]).coalesce(1))
+    v3 = t.snapshot().version
+    t.restore(v2)
+    v4 = t.snapshot().version
+    # consumer pinned at v1 (has row 1): the restore re-exposes the
+    # v2 append it never saw -> delivered
+    assert sorted(r.k for r in t.read_since(v1, until=v4).collect()) == [2]
+    # consumer pinned at v3 (consumed row 9): rollback redelivers the
+    # restored files (over-approximation) and cannot retract row 9
+    got = sorted(r.k for r in t.read_since(v3, until=v4).collect())
+    assert got == [1, 2]
