@@ -267,15 +267,19 @@ class TxTable:
         df = self.spark.read.parquet(*files).withColumn(
             "_fp", F.col("_metadata.file_path")
         )
+        # A stats column no longer present in the data (dropped via
+        # drop_column by another writer instance) must not crash the
+        # write — collect bounds for the columns that exist.
+        cols = [c for c in self.stats_cols if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("_rows")]
-        for c in self.stats_cols:
+        for c in cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
         out = {}
         for r in df.groupBy("_fp").agg(*aggs).collect():
             out[urlparse(r._fp).path] = {
                 "rows": r._rows,
-                "min": {c: r[f"_min_{c}"] for c in self.stats_cols},
-                "max": {c: r[f"_max_{c}"] for c in self.stats_cols},
+                "min": {c: r[f"_min_{c}"] for c in cols},
+                "max": {c: r[f"_max_{c}"] for c in cols},
             }
         return out
 
@@ -416,6 +420,23 @@ class TxTable:
                     return base.version if base else 0
                 self._check_columns(df, base, "append")
 
+    def _head(self) -> TxSnapshot:
+        base = self.snapshot()
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return base
+
+    def _current_schema(self, base: TxSnapshot):
+        """The snapshot's governing schema; pre-schema-era manifests
+        adopt the files' current schema (shared by every schema-
+        evolution/restore path so the pre-schema handling can't
+        drift between them)."""
+        from pyspark.sql.types import StructType
+
+        if base.schema_json is not None:
+            return StructType.fromJson(json.loads(base.schema_json))
+        return self.spark.read.parquet(*base.files).schema
+
     def add_column(self, name: str, dtype: str) -> int:
         """``ALTER TABLE ADD COLUMN`` as a METADATA-ONLY commit
         (reference R12, big_uery_handler.py:171-181 — there a BigQuery
@@ -425,15 +446,8 @@ class TxTable:
         ``maintenance.add_column``, which rewrites a raw parquet dir
         O(table) — on a 100 TB table only the metadata form is
         viable.  Idempotent: adding an existing column is a no-op."""
-        from pyspark.sql.types import StructType
-
-        base = self.snapshot()
-        if base is None:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        if base.schema_json is not None:
-            schema = StructType.fromJson(json.loads(base.schema_json))
-        else:  # pre-schema log: adopt the files' current schema
-            schema = self.spark.read.parquet(*base.files).schema
+        base = self._head()
+        schema = self._current_schema(base)
         if name in schema.fieldNames():
             return base.version
         if name in base.dropped:
@@ -468,18 +482,18 @@ class TxTable:
         alternative at this log format's complexity budget)."""
         from pyspark.sql.types import StructType
 
-        base = self.snapshot()
-        if base is None:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        if base.schema_json is not None:
-            schema = StructType.fromJson(json.loads(base.schema_json))
-        else:  # pre-schema log: adopt the files' current schema
-            schema = self.spark.read.parquet(*base.files).schema
+        base = self._head()
+        schema = self._current_schema(base)
         if name not in schema.fieldNames():
             raise KeyError(f"column {name!r} does not exist in {self.root}")
         remaining = StructType([f for f in schema.fields if f.name != name])
         if not remaining.fields:
             raise ValueError("cannot drop the last remaining column")
+        if self.stats_cols and name in self.stats_cols:
+            # this writer must stop collecting bounds for the dropped
+            # column or its next write crashes on the missing field
+            # (_stats_for also self-heals for OTHER instances)
+            self.stats_cols = [c for c in self.stats_cols if c != name]
         stats = self._merged_stats(base, list(base.files), [])
         if stats:  # drop the column's now-dead skipping bounds
             for per_file in stats.values():
@@ -501,19 +515,25 @@ class TxTable:
         HISTORY observability surface.  Reads manifests only; never
         touches data files."""
         out = []
-        for v in reversed(self._versions()):
-            snap = self.snapshot(v)
+        for v in reversed(self._versions()):  # ONE log listing, then
+            # manifests loaded directly — snapshot(v) per version would
+            # re-list the log dir each time (quadratic on long logs)
+            with open(os.path.join(self.log_dir, _manifest_name(v))) as f:
+                m = json.load(f)
+            stats, files = m.get("stats"), m["files"]
             rows = (
-                sum(s.get("rows", 0) for s in snap.stats.values())
-                if snap.stats
+                sum(s.get("rows", 0) for s in stats.values())
+                # partial stats (a stats-less writer appended) would
+                # sum to a confidently WRONG count — report unknown
+                if stats and len(stats) == len(files)
                 else None
             )
             out.append(
                 {
-                    "version": snap.version,
-                    "op": snap.op,
-                    "txn": snap.txn,
-                    "n_files": len(snap.files),
+                    "version": m["version"],
+                    "op": m["op"],
+                    "txn": m.get("txn"),
+                    "n_files": len(files),
                     "n_rows": rows,
                 }
             )
@@ -538,9 +558,7 @@ class TxTable:
         REMOVED are never retracted (an add-only feed cannot express
         deletion; a consumer needing retraction must diff
         snapshots)."""
-        base = self.snapshot()
-        if base is None:
-            raise FileNotFoundError(f"no committed version under {self.root}")
+        base = self._head()
         if version == base.version:
             return base.version
         target = self.snapshot(version)  # raises if vacuumed/missing
@@ -551,11 +569,19 @@ class TxTable:
                 f"{len(missing)} data file(s) were vacuumed, e.g. "
                 f"{missing[0]}"
             )
+        # A pre-schema-era target must not revert the table to
+        # footer-order schema governance (the hazard _read_files
+        # documents): adopt the target files' schema into the manifest.
+        schema_json = target.schema_json
+        if schema_json is None:
+            schema_json = json.dumps(
+                self._current_schema(target).jsonValue()
+            )
         return self._commit(
             list(target.files),
             "restore",
             base,
-            schema_json=target.schema_json,
+            schema_json=schema_json,
             stats=target.stats,
         )
 

@@ -633,8 +633,8 @@ def test_drop_column_prunes_skipping_stats(spark, tmp_path):
     t = TxTable(spark, root, stats_cols=["k", "x"])
     t.overwrite(df.coalesce(1))
     assert any("x" in s["min"] for s in t.snapshot().stats.values())
-    t.stats_cols = ["k"]  # writer config follows the schema change
-    t.drop_column("x")
+    t.drop_column("x")  # self-strips x from this writer's stats_cols
+    assert t.stats_cols == ["k"]
     stats = t.snapshot().stats
     assert stats and all("x" not in s["min"] for s in stats.values())
     assert all("k" in s["min"] for s in stats.values())
@@ -700,3 +700,32 @@ def test_read_since_across_restore_keeps_addonly_contract(spark, tmp_path):
     # restored files (over-approximation) and cannot retract row 9
     got = sorted(r.k for r in t.read_since(v3, until=v4).collect())
     assert got == [1, 2]
+
+
+def test_drop_column_cross_instance_stats_writer_self_heals(spark, tmp_path):
+    """A SECOND writer instance still configured with the dropped
+    column in stats_cols must not crash its next write — _stats_for
+    collects bounds only for columns that exist in the data."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0)], "k int, x double")
+    TxTable(spark, root, stats_cols=["k", "x"]).overwrite(df.coalesce(1))
+    TxTable(spark, root).drop_column("x")
+    stale_writer = TxTable(spark, root, stats_cols=["k", "x"])  # old config
+    stale_writer.append(
+        spark.createDataFrame([(2,)], "k int").coalesce(1)
+    )
+    stats = stale_writer.snapshot().stats
+    assert all("x" not in s["min"] for s in stats.values() if s.get("min"))
+    assert sorted(r.k for r in stale_writer.read().collect()) == [1, 2]
+
+
+def test_history_reports_unknown_rows_on_partial_stats(spark, tmp_path):
+    """A stats-less writer's append leaves the manifest with bounds
+    for only SOME files; history must report n_rows=None, never a
+    confidently wrong partial sum."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double")
+    TxTable(spark, root, stats_cols=["k"]).overwrite(df.coalesce(1))
+    TxTable(spark, root).append(df.coalesce(1))  # stats-less writer
+    h = TxTable(spark, root).history()
+    assert h[0]["n_rows"] is None and h[1]["n_rows"] == 2
