@@ -10,6 +10,8 @@ import string
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -239,3 +241,127 @@ def test_closure_matches_python_reference_on_random_graphs(spark, data):
     ).dropna()
     got = {r["id"]: r["root"] for r in closure(verts, e).collect()}
     assert got == expected, (edges, has_cycle)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factory):
+    """Randomized op sequences (append / overwrite / upsert / delete /
+    add_column / drop_column / restore) against an in-memory reference
+    model: after every op the table's visible rows equal the model,
+    and time travel to any earlier version replays the model's history
+    — the whole-format linearizability check no single-op test gives."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+
+    root = str(tmp_path_factory.mktemp("txprop") / "t")
+    cols = ["k", "v"]  # k: key, v: payload; extra columns may be added
+    extra: list[str] = []
+    dropped: set[str] = set()
+    model: dict[int, dict] = {}
+    history: list[dict] = []
+
+    def df_of(rows):
+        schema = ", ".join(
+            ["k int", "v int"] + [f"{c} int" for c in extra]
+        )
+        return spark.createDataFrame(
+            [tuple(r[c] for c in cols + extra) for r in rows], schema
+        ).coalesce(1)
+
+    def fresh_rows(n):
+        return [
+            {
+                "k": data.draw(st.integers(0, 9), label="k"),
+                "v": data.draw(st.integers(0, 99), label="v"),
+                **{c: None for c in extra},
+            }
+            for _ in range(n)
+        ]
+
+    t = TxTable.create(spark, root, df_of(fresh_rows(2)))
+    # rebuild model from what create committed
+    first = [
+        {**{c: r[c] for c in cols + extra}}
+        for r in t.read().collect()
+    ]
+    model = {i: r for i, r in enumerate(first)}
+    next_id = len(model)
+    history.append({c: dict(model) for c in ["rows"]}["rows"])
+
+    n_ops = data.draw(st.integers(2, 6), label="n_ops")
+    for _ in range(n_ops):
+        choices = ["append", "overwrite", "delete", "add_column"]
+        if extra:
+            choices.append("drop_column")
+        if len(history) >= 2:
+            choices.append("restore")
+        op = data.draw(st.sampled_from(choices), label="op")
+        if op == "append":
+            rows = fresh_rows(data.draw(st.integers(1, 3), label="n"))
+            t.append(df_of(rows))
+            for r in rows:
+                model[next_id] = r
+                next_id += 1
+        elif op == "overwrite":
+            rows = fresh_rows(data.draw(st.integers(1, 2), label="n"))
+            t.overwrite(df_of(rows))
+            model = {}
+            for r in rows:
+                model[next_id] = r
+                next_id += 1
+        elif op == "delete":
+            key = data.draw(st.integers(0, 9), label="delk")
+            t.delete(F.col("k") == key)
+            model = {i: r for i, r in model.items() if r["k"] != key}
+        elif op == "add_column":
+            name = data.draw(
+                st.sampled_from(["c1", "c2", "c3"]), label="col"
+            )
+            if name in extra:
+                continue
+            if name in dropped:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError):
+                    t.add_column(name, "integer")
+                continue
+            t.add_column(name, "integer")
+            extra.append(name)
+            for r in model.values():
+                r[name] = None
+        elif op == "drop_column":
+            name = extra.pop(data.draw(st.integers(0, len(extra) - 1), label="di"))
+            t.drop_column(name)
+            dropped.add(name)
+            for r in model.values():
+                r.pop(name, None)
+        elif op == "restore":
+            v = data.draw(st.integers(1, len(history)), label="rv")
+            t.restore(v)
+            # model becomes the historical state, PROJECTED to the
+            # current schema (restore keeps the target's schema)
+            snap_cols = set(cols) | set(
+                c for c in ["c1", "c2", "c3"] if any(
+                    c in r for r in history[v - 1].values()
+                )
+            ) if history[v - 1] else set(cols)
+            model = {i: dict(r) for i, r in history[v - 1].items()}
+            extra[:] = [c for c in ["c1", "c2", "c3"] if c in snap_cols]
+        history.append({i: dict(r) for i, r in model.items()})
+
+        got = sorted(
+            tuple(row[c] for c in cols + extra)
+            for row in (
+                {f: r[f] for f in t.read().columns}
+                for r in t.read().collect()
+            )
+        )
+        want = sorted(
+            tuple(r.get(c) for c in cols + extra) for r in model.values()
+        )
+        assert got == want, (op, extra, got, want)
+        assert t.read().columns == cols + extra
