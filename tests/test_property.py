@@ -294,7 +294,7 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
 
     n_ops = data.draw(st.integers(2, 6), label="n_ops")
     for _ in range(n_ops):
-        choices = ["append", "overwrite", "delete", "add_column"]
+        choices = ["append", "overwrite", "delete", "add_column", "upsert"]
         if extra:
             choices.append("drop_column")
         if len(history) >= 2:
@@ -310,6 +310,17 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
             rows = fresh_rows(data.draw(st.integers(1, 2), label="n"))
             t.overwrite(df_of(rows))
             model = {}
+            for r in rows:
+                model[next_id] = r
+                next_id += 1
+        elif op == "upsert":
+            rows = fresh_rows(data.draw(st.integers(1, 2), label="n"))
+            # upsert batches must be key-unique (documented contract)
+            uniq = {r["k"]: r for r in rows}
+            rows = list(uniq.values())
+            t.upsert(df_of(rows), "k")
+            keys = {r["k"] for r in rows}
+            model = {i: r for i, r in model.items() if r["k"] not in keys}
             for r in rows:
                 model[next_id] = r
                 next_id += 1
