@@ -59,10 +59,12 @@ from . import tpch  # noqa: E402,F401
 # planted-offset asserts, recursive-CTE conf restore, SCD2 replay
 # idempotency), then (c) ALL 12 r1-last-verified and 21 of the 23
 # r2-last-verified queries — none has had a driver row since r1/r2
-# despite six rounds of shared-operator churn (q_sample_hash and
-# q_split_train_eval are the two r2-era entries that didn't fit; rotate
-# them in r8).  Everything displaced has a green driver row r3-r6 AND
-# passes the full local gate each round.
+# despite six rounds of shared-operator churn.  q_dedup_simhash and
+# q_dedup_cross_source (r6-green; this round only added planted-offset
+# asserts that are no-ops on in-range data, re-verified by the local
+# gate) ceded their slots so the ENTIRE r1/r2 tail rotates this round.
+# Everything displaced has a green driver row r3-r6 AND passes the
+# full local gate each round.
 # tests/test_registry_drift.py enforces that nothing registered sits
 # outside both this window and the historical CORRECTNESS record.
 _DRIVER_WINDOW = [
@@ -73,13 +75,14 @@ _DRIVER_WINDOW = [
     "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
     "q_tpch_q11", "q_tpch_q15",
     # round-7 behavior changes (ADVICE r6 fixes)
-    "q_dedup_fuzzy", "q_dedup_fuzzy_ml", "q_dedup_simhash",
-    "q_dedup_cross_source", "q_sql_recursive", "q_stream_scd2",
+    "q_dedup_fuzzy", "q_dedup_fuzzy_ml",
+    "q_sql_recursive", "q_stream_scd2",
     # r1-last-verified tail, complete (12)
     "q_dedup_exact", "q_dedup_keyed", "q_agg_rollup", "q_agg_cube",
     "q_agg_gsets", "q_agg_percentile", "q_agg_stats", "q_pivot",
     "q_win_rank", "q_win_lag_lead", "q_win_running", "q_win_firstlast",
-    # r2-last-verified tail (21 of 23)
+    # r2-last-verified tail, complete (23)
+    "q_sample_hash", "q_split_train_eval",
     "q_agg_collect", "q_sort_multi", "q_limit", "q_topk_global",
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
     "q_dedup_ngram", "q_dedup_content_hash", "q_dedup_embed",
