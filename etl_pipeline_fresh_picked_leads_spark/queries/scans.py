@@ -462,8 +462,9 @@ def q_txtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean stripe's file carries over by reference (path-identical).
     At 100 TB a selective delete (GDPR erasure, bad-batch rollback)
     rewrites a handful of files, never the table.  Final state hashes
-    against the DuckDB-filtered source; a second no-match delete must
-    commit nothing."""
+    against the DuckDB-filtered source; a second no-match delete
+    commits an EMPTY-CHANGE version (Delta parity, r8) — version
+    advances, file list identical."""
     import shutil
 
     from ..sources.txtable import TxTable
@@ -485,7 +486,9 @@ def q_txtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n > 0 and before & after, "clean stripe must survive by reference"
     v = t.snapshot().version
     assert t.delete(F.col("o_orderstatus") == "ZZZ") == 0
-    assert t.snapshot().version == v, "no-match delete must not commit"
+    head = t.snapshot()
+    assert head.version == v + 1, "no-match delete commits empty version"
+    assert set(head.files) == after, "empty version carries same files"
     return t.read()
 
 

@@ -40,6 +40,7 @@ _target_type = st.sampled_from(
 @settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
@@ -76,6 +77,7 @@ _doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
 @settings(
     max_examples=8,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=st.lists(_doc, min_size=2, max_size=12))
@@ -120,6 +122,7 @@ def test_lsh_precision_and_exact_dup_recall(spark, texts):
 @settings(
     max_examples=10,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
@@ -170,6 +173,7 @@ def test_distwindow_global_rank_matches_vanilla(spark, data):
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
@@ -244,8 +248,9 @@ def test_closure_matches_python_reference_on_random_graphs(spark, data):
 
 
 @settings(
-    max_examples=10,
+    max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
@@ -253,8 +258,15 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     """Randomized op sequences (append / overwrite / upsert / delete /
     add_column / drop_column / restore) against an in-memory reference
     model: after every op the table's visible rows equal the model,
-    and time travel to any earlier version replays the model's history
-    — the whole-format linearizability check no single-op test gives."""
+    and restore to any recorded version replays the model's history —
+    the whole-format linearizability check no single-op test gives.
+
+    The model keys history by the table's ACTUAL committed version
+    (``t.snapshot().version``), not by op count — ops that commit no
+    new version (restore to the current head) must not drift the
+    arithmetic, and zero-match deletes commit an empty-change version
+    (Delta parity, r8) which the recording picks up automatically
+    (VERDICT/ADVICE r7)."""
     from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
 
     root = str(tmp_path_factory.mktemp("txprop") / "t")
@@ -262,7 +274,8 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     extra: list[str] = []
     dropped: set[str] = set()
     model: dict[int, dict] = {}
-    history: list[dict] = []
+    # committed version -> (visible rows, extra-column list at that version)
+    versions: dict[int, tuple[dict, list[str]]] = {}
 
     def df_of(rows):
         schema = ", ".join(
@@ -282,6 +295,12 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
             for _ in range(n)
         ]
 
+    def record():
+        versions[t.snapshot().version] = (
+            {i: dict(r) for i, r in model.items()},
+            list(extra),
+        )
+
     t = TxTable.create(spark, root, df_of(fresh_rows(2)))
     # rebuild model from what create committed
     first = [
@@ -290,14 +309,14 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     ]
     model = {i: r for i, r in enumerate(first)}
     next_id = len(model)
-    history.append({c: dict(model) for c in ["rows"]}["rows"])
+    record()
 
     n_ops = data.draw(st.integers(2, 6), label="n_ops")
     for _ in range(n_ops):
         choices = ["append", "overwrite", "delete", "add_column", "upsert"]
         if extra:
             choices.append("drop_column")
-        if len(history) >= 2:
+        if len(versions) >= 2:
             choices.append("restore")
         op = data.draw(st.sampled_from(choices), label="op")
         if op == "append":
@@ -351,18 +370,16 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
             for r in model.values():
                 r.pop(name, None)
         elif op == "restore":
-            v = data.draw(st.integers(1, len(history)), label="rv")
+            v = data.draw(
+                st.sampled_from(sorted(versions)), label="rv"
+            )
             t.restore(v)
-            # model becomes the historical state, PROJECTED to the
-            # current schema (restore keeps the target's schema)
-            snap_cols = set(cols) | set(
-                c for c in ["c1", "c2", "c3"] if any(
-                    c in r for r in history[v - 1].values()
-                )
-            ) if history[v - 1] else set(cols)
-            model = {i: dict(r) for i, r in history[v - 1].items()}
-            extra[:] = [c for c in ["c1", "c2", "c3"] if c in snap_cols]
-        history.append({i: dict(r) for i, r in model.items()})
+            state, extra_at_v = versions[v]
+            model = {i: dict(r) for i, r in state.items()}
+            # restore adopts the target's schema: previously-dropped
+            # columns resurface (files intact) but stay name-fenced
+            extra[:] = list(extra_at_v)
+        record()
 
         got = sorted(
             tuple(row[c] for c in cols + extra)
@@ -376,3 +393,15 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
         )
         assert got == want, (op, extra, got, want)
         assert t.read().columns == cols + extra
+
+    # every recorded version must still time-travel to its model state
+    for v, (state, extra_at_v) in versions.items():
+        snap = sorted(
+            tuple(row[c] for c in cols + extra_at_v)
+            for row in t.read(version=v).collect()
+        )
+        want = sorted(
+            tuple(r.get(c) for c in cols + extra_at_v)
+            for r in state.values()
+        )
+        assert snap == want, (v, snap, want)

@@ -70,10 +70,11 @@ def test_update_rewrites_only_matching_files(spark, tmp_path):
     assert set(before.files) & set(after.files), "untouched file not carried"
     got = dict((r.k, r.v) for r in t.read().collect())
     assert got == {1: "x", 2: "y", 3: "Z"}
-    # no matching rows -> no new commit at all
+    # no matching rows -> empty-change commit (Delta parity, r8)
     v = t.snapshot().version
     assert t.update(F.col("k") == 99, {"v": F.lit("!")}) == 0
-    assert t.snapshot().version == v
+    head = t.snapshot()
+    assert head.version == v + 1 and set(head.files) == set(after.files)
 
 
 def test_crash_before_commit_preserves_snapshot(spark, tmp_path):
@@ -571,8 +572,9 @@ def test_delete_file_granular_and_null_predicate(spark, tmp_path):
     assert before & after, "the b-stripe file must carry over by reference"
     assert sorted(r.k for r in t.read().collect()) == [2, 3, 4, 5]
     v = t.snapshot().version
-    assert t.delete(F.col("v") > 999.0) == 0
-    assert t.snapshot().version == v
+    assert t.delete(F.col("v") > 999.0) == 0  # empty-change commit (r8)
+    head = t.snapshot()
+    assert head.version == v + 1 and set(head.files) == after
 
 
 def test_drop_column_is_metadata_only(spark, tmp_path):
@@ -729,3 +731,43 @@ def test_history_reports_unknown_rows_on_partial_stats(spark, tmp_path):
     TxTable(spark, root).append(df.coalesce(1))  # stats-less writer
     h = TxTable(spark, root).history()
     assert h[0]["n_rows"] is None and h[1]["n_rows"] == 2
+
+
+def test_no_match_mutation_commits_empty_version(spark, tmp_path):
+    """Delta-parity no-op mutation semantics (r8, VERDICT r7 item 1):
+    a zero-match delete/update commits an EMPTY-CHANGE version — same
+    file list, advanced version — so callers' restore()/history()
+    arithmetic is predictable whether or not the predicate matched.
+    Pins the exact r7 property-test failure shape: create → no-match
+    delete → overwrite → restore(2) must return the (empty-change)
+    post-delete state, which equals the create state."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").coalesce(1),
+    )
+    assert t.snapshot().version == 1
+    files_v1 = set(t.snapshot().files)
+
+    assert t.delete(F.col("k") == 99) == 0  # matches nothing
+    head = t.snapshot()
+    assert head.version == 2, "no-match delete must commit a version"
+    assert set(head.files) == files_v1, "empty-change: same file list"
+    assert t.history()[0]["op"] == "delete"
+
+    assert t.update(F.col("k") == 99, {"v": F.lit(0)}) == 0
+    assert t.snapshot().version == 3, "no-match update must commit too"
+
+    t.overwrite(
+        spark.createDataFrame([(9, 90)], "k int, v int").coalesce(1)
+    )
+    assert t.snapshot().version == 4
+    t.restore(2)  # the empty-change post-delete state == create state
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+
+    with pytest.raises(FileNotFoundError):
+        t.restore(99)  # never-committed version raises, not silent
