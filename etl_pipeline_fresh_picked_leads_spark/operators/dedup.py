@@ -132,7 +132,7 @@ def decontaminate_bloom(
         "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
     )
     survivors = bloom_prune(ex, "g", words, m_bits, k)
-    return (
+    out = (
         survivors.join(ev_grams, "g", "left_semi")
         .groupBy("doc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
@@ -145,6 +145,17 @@ def decontaminate_bloom(
             ),
         )
     )
+    if pins is not None:
+        return out  # caller owns the cache lifetime
+    # Direct caller with no pins list: materialize (result-sized) and
+    # release the two whole-corpus caches here — leaking them for the
+    # session is the exact hazard the pins protocol exists for
+    # (ADVICE r7).
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        ev_grams.unpersist()
+        tr_sh.unpersist()
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -57,7 +57,7 @@ from . import tpch  # noqa: E402,F401
 # (a) the six NEW TPC-H optimizer shapes, (b) every query whose
 # behavior changed this round (LSH cache-lifetime/localCheckpoint,
 # planted-offset asserts, recursive-CTE conf restore, SCD2 replay
-# idempotency), then (c) ALL 12 r1-last-verified and 21 of the 23
+# idempotency), then (c) ALL 12 r1-last-verified and all 23
 # r2-last-verified queries — none has had a driver row since r1/r2
 # despite six rounds of shared-operator churn.  q_dedup_simhash and
 # q_dedup_cross_source (r6-green; this round only added planted-offset

@@ -152,6 +152,11 @@ def foreach_batch_scd2(
             r[eff_col]: f"{r[eff_col]}={r['fp_n']}:{r['fp_h'] or 0}"
             for r in per_eff
         }
+        for s in slices.values():
+            # the txn tag joins slice strings on '|'; an eff value
+            # containing the separator would silently fragment the
+            # committed-slice set on re-parse (ADVICE r7) — fail loud
+            assert "|" not in s, f"slice string contains separator: {s!r}"
         committed = {
             s
             for t in dim.committed_txns()

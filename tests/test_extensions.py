@@ -909,7 +909,10 @@ def test_decontaminate_bloom_matches_exact_and_prunes_at_scan(spark, docs):
         (r.doc_id, r.n_grams, r.n_contaminated, r.contamination)
         for r in decontaminate(train, ev, n=3).collect()
     }
-    bloomed_df = decontaminate_bloom(train, ev, n=3)
+    # pins=[] keeps the lazy plan inspectable (pins=None would
+    # localCheckpoint + auto-release, hiding the Bloom from the plan)
+    pins: list = []
+    bloomed_df = decontaminate_bloom(train, ev, n=3, pins=pins)
     bloomed = {
         (r.doc_id, r.n_grams, r.n_contaminated, r.contamination)
         for r in bloomed_df.collect()
@@ -918,6 +921,19 @@ def test_decontaminate_bloom_matches_exact_and_prunes_at_scan(spark, docs):
     # the bitmap membership test (shiftright over the literal words)
     # must sit in the plan — the scan-side prune is the point
     assert "shiftright" in formatted_plan(bloomed_df)
+    for p in pins:
+        p.unpersist()
+    # pins=None (direct caller) must NOT leak whole-corpus caches
+    # (ADVICE r7): result still matches; the only persistent-RDD
+    # growth allowed is the result-sized localCheckpoint itself
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    auto = {
+        (r.doc_id, r.n_grams, r.n_contaminated, r.contamination)
+        for r in decontaminate_bloom(train, ev, n=3).collect()
+    }
+    assert auto == exact
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after - n_before <= 1, "pins=None leaked internal caches"
 
 
 def test_decontaminate_bloom_prune_rate(spark, docs):
