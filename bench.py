@@ -140,6 +140,11 @@ def build_outputs(
         # sum(queries) intentionally no longer equals `value`.
         "queries_kind": "steady_min_of_2",
         "queries": {q: round(t, 2) for q, t in steady.items()},
+        # `value` IS the single-shot total; the explicit alias keeps
+        # cross-round comparisons unambiguous now that cache-lifetime
+        # changes can move steady and single-shot independently
+        # (VERDICT r7 item 7).
+        "total_single_shot": total,
         "total_steady": total_steady,
         "canary": "q_agg_group",
         "canary_sec": canary,

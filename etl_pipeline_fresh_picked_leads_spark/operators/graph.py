@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 
 from ..functions.fingerprint import df_fingerprint
 
+# Which backend the most recent closure() call used ("doubling" or
+# "star") — observability for tests and oracle queries pinning the
+# automatic selection (VERDICT r7 item 6); scalar-only, never data.
+LAST_BACKEND: str | None = None
+
 
 def connected_components(
     vertices: DataFrame,
@@ -291,11 +296,15 @@ def closure(
     star = lambda: connected_components_star(  # noqa: E731
         vertices, e_norm, id_col=id_col, src_col="child", dst_col="parent"
     ).withColumnRenamed("component", "root")
+    global LAST_BACKEND
     if multi_parent is not None and multi_parent > 1:
+        LAST_BACKEND = "star"
         return star()
     walked = _pointer_double(verts, e_norm)
     if walked is None:  # cycle detected — not a forest
+        LAST_BACKEND = "star"
         return star()
+    LAST_BACKEND = "doubling"
     return walked.select(F.col("id").alias(id_col), "root")
 
 

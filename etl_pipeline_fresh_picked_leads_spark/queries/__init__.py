@@ -52,43 +52,49 @@ from . import tpch  # noqa: E402,F401
 # and (c) as much of the r1-last-verified tail as fits.  Union of
 # CORRECTNESS_r01-r04 already covers everything else; canaries stay
 # per ADVICE r2.
-# Round-7 rotation (VERDICT r6 #3/#4): with new-query pressure low,
-# the window's job this round is RE-verification of the long tail —
-# (a) the six NEW TPC-H optimizer shapes, (b) every query whose
-# behavior changed this round (LSH cache-lifetime/localCheckpoint,
-# planted-offset asserts, recursive-CTE conf restore, SCD2 replay
-# idempotency), then (c) ALL 12 r1-last-verified and all 23
-# r2-last-verified queries — none has had a driver row since r1/r2
-# despite six rounds of shared-operator churn.  q_dedup_simhash and
-# q_dedup_cross_source (r6-green; this round only added planted-offset
-# asserts that are no-ops on in-range data, re-verified by the local
-# gate) ceded their slots so the ENTIRE r1/r2 tail rotates this round.
-# Everything displaced has a green driver row r3-r6 AND passes the
-# full local gate each round.
+# Round-7 rotation (VERDICT r6 #3/#4) re-verified the six new TPC-H
+# shapes, the four ADVICE-r6 behavior changes, and the ENTIRE r1/r2
+# stale tail (12 + 23) — after it no query's newest driver row
+# predates r3.
+# Round-8 rotation (VERDICT r7 #3/#5/#6): (a) the four NEW r8 queries
+# — the TxTable restore/history/rename trio pinning the column-mapping
+# + empty-commit semantics, and q_graph_closure pinning closure()'s
+# automatic backend selection; (b) the five TxTable-backed queries
+# whose read/write paths the r8 column-mapping refactor touched
+# (every committed read now routes through the colmap projection);
+# (c) the ENTIRE 29-query r3-last-verified cohort (filters B-tier,
+# ingest, text r3 tail — q_txtable_changefeed and
+# q_text_decontaminate land here AND had r8 behavior changes); then
+# (d) the seven J-tier streaming queries from the r4 cohort.  The
+# remaining r4 tail (dedup-cluster graph ops, C-tier joins, binary
+# scans) rotates in r9.
 # tests/test_registry_drift.py enforces that nothing registered sits
 # outside both this window and the historical CORRECTNESS record.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # round-7 new queries: the remaining TPC-H optimizer shapes
-    "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_tpch_q11", "q_tpch_q15",
-    # round-7 behavior changes (ADVICE r6 fixes)
-    "q_dedup_fuzzy", "q_dedup_fuzzy_ml",
-    "q_sql_recursive", "q_stream_scd2",
-    # r1-last-verified tail, complete (12)
-    "q_dedup_exact", "q_dedup_keyed", "q_agg_rollup", "q_agg_cube",
-    "q_agg_gsets", "q_agg_percentile", "q_agg_stats", "q_pivot",
-    "q_win_rank", "q_win_lag_lead", "q_win_running", "q_win_firstlast",
-    # r2-last-verified tail, complete (23)
-    "q_sample_hash", "q_split_train_eval",
-    "q_agg_collect", "q_sort_multi", "q_limit", "q_topk_global",
-    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-    "q_dedup_ngram", "q_dedup_content_hash", "q_dedup_embed",
-    "q_sim_topk", "q_sim_join", "q_sim_topk_vectorized", "q_embed_norm",
-    "q_text_stats", "q_text_tokens", "q_text_quality",
-    "q_text_fingerprint", "q_text_token_counts", "q_multimodal",
+    # round-8 new queries
+    "q_txtable_restore", "q_txtable_history", "q_txtable_rename",
+    "q_graph_closure",
+    # round-8 behavior changes: TxTable column-mapping read/write paths
+    "q_txtable_timetravel", "q_txtable_zorder", "q_matview_incremental",
+    "q_scd2_merge", "q_stream_scd2",
+    # r3-last-verified tail, complete (29)
+    "q_dq_report", "q_filter_between", "q_filter_cmp", "q_filter_in",
+    "q_filter_like", "q_filter_null", "q_funnel_steps",
+    "q_ingest_reconcile", "q_ingest_stamp", "q_map_json_struct",
+    "q_pack_chunks", "q_project", "q_quality_filter",
+    "q_retention_cohorts", "q_sample_stratified", "q_scan_csv_infer",
+    "q_scan_json_infer", "q_scan_orc", "q_sessionize_batch",
+    "q_sql_interface", "q_str_fuzzy", "q_text_chunk",
+    "q_text_decontaminate", "q_text_pii_redact", "q_text_repetition",
+    "q_text_tfidf", "q_try_cast", "q_txtable_changefeed",
+    "q_udf_cogroup",
+    # r4 J-tier streaming cohort (7 of 36; rest in r9)
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark", "q_stream_dedup", "q_stream_static_join",
+    "q_stream_stream_join",
 ]
 
 

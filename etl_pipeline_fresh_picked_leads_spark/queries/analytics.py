@@ -700,3 +700,78 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_id, root_id FROM root
             """
         ).localCheckpoint(eager=True)
+
+
+# Planted graph shapes with closed-form (non-recursive) roots: the
+# FOREST part chains each customer to its predecessor key within a
+# modulo bucket (pointer-chase terminus = the bucket minimum, exactly
+# MIN() OVER the bucket partition); the CYCLE part rings the nation
+# keys (closure's star fallback canonicalizes to the component
+# minimum = the global MIN).  Both derivable without recursion, so
+# the oracle pins the two backends' RESULTS while the in-query
+# asserts pin the SELECTION.
+_GRAPH_CLOSURE_ORACLE = """
+SELECT 'forest' AS part,
+       CAST(c_custkey AS BIGINT) AS id,
+       CAST(MIN(c_custkey) OVER (PARTITION BY c_custkey % 389) AS BIGINT)
+         AS root
+FROM customer
+UNION ALL
+SELECT 'cycle',
+       CAST(n_nationkey AS BIGINT),
+       CAST((SELECT MIN(n_nationkey) FROM nation) AS BIGINT)
+FROM nation
+"""
+
+
+@query("q_graph_closure", oracle=_GRAPH_CLOSURE_ORACLE)
+def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure with AUTOMATIC backend selection
+    (operators/graph.py closure, VERDICT r7 item 6): one call on a
+    planted FOREST (per-bucket predecessor chains over customer —
+    depth grows linearly with SF, resolved in ceil(log2 depth)
+    pointer-doubling rounds with parquet-spilled iterations), one on
+    a planted CYCLE (nation keys in a ring — the doubling probe
+    detects no-fixpoint within its log2|V| bound and falls back to
+    large-star/small-star components).  The asserts pin which backend
+    each shape selected; the oracle pins both results in closed form.
+    At 100 TB the selection is the point: a recursive walk is
+    O(depth) full-table joins and never terminates on cycles, while
+    doubling is O(log depth) and star O(log^2 n)."""
+    from pyspark.sql.window import Window
+
+    from ..operators import graph
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    bucket_w = Window.partitionBy(F.col("id") % 389).orderBy("id")
+    forest_edges = (
+        cust.withColumn("parent", F.lag("id").over(bucket_w))
+        .filter(F.col("parent").isNotNull())
+        .select(F.col("id").alias("child"), "parent")
+    )
+    forest = graph.closure(cust, forest_edges)
+    assert graph.LAST_BACKEND == "doubling", graph.LAST_BACKEND
+
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("id")
+    )
+    # ring: each key points at the next, the max wraps to the min —
+    # a 25-row dim, so the global window is partition-count-sized
+    ring_w = Window.orderBy("id")
+    all_w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cycle_edges = nation.select(
+        F.col("id").alias("child"),
+        F.coalesce(F.lead("id").over(ring_w), F.min("id").over(all_w)).alias(
+            "parent"
+        ),
+    )
+    cycle = graph.closure(nation, cycle_edges)
+    assert graph.LAST_BACKEND == "star", graph.LAST_BACKEND
+
+    return forest.select(F.lit("forest").alias("part"), "id", "root").unionAll(
+        cycle.select(F.lit("cycle").alias("part"), "id", "root")
+    )

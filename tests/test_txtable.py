@@ -607,10 +607,10 @@ def test_drop_column_is_metadata_only(spark, tmp_path):
 
 
 def test_drop_column_guards(spark, tmp_path):
-    """Dropping a missing column fails loudly; re-adding a dropped
-    name is refused (old files would resurrect pre-drop values); the
-    last column cannot be dropped; the dropped-history survives
-    unrelated commits; a FRESH name still adds fine."""
+    """Dropping a missing column fails loudly; the last column cannot
+    be dropped; re-adding a dropped name is SAFE (r8 column-mapping
+    ids): the re-added column reads NULL from pre-drop files instead
+    of resurrecting their values, even across unrelated commits."""
     root = str(tmp_path / "t")
     t = TxTable.create(
         spark, root, _mkdf(spark, [(1, "a")]).coalesce(1)
@@ -619,12 +619,19 @@ def test_drop_column_guards(spark, tmp_path):
         t.drop_column("nope")
     t.drop_column("v")
     t.append(spark.createDataFrame([(2,)], "k int").coalesce(1))
-    with pytest.raises(ValueError, match="(?i)resurrect"):
-        t.add_column("v", "string")  # history survives the append
     with pytest.raises(ValueError, match="last remaining"):
         t.drop_column("k")
     t.add_column("v2", "string")
     assert t.read().columns == ["k", "v2"]
+    # safe re-add after drop: fresh field id + physical name, so the
+    # k=1 file's old 'v' value must NOT resurface
+    t.add_column("v", "string")
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: None, 2: None}, got
+    snap = t.snapshot()
+    assert snap.colmap is not None  # mapping materialized by the re-add
+    phys = {c["name"]: c["phys"] for c in snap.colmap}
+    assert phys["v"] != "v" and "v" in snap.retired
 
 
 def test_drop_column_prunes_skipping_stats(spark, tmp_path):
@@ -771,3 +778,113 @@ def test_no_match_mutation_commits_empty_version(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         t.restore(99)  # never-committed version raises, not silent
+
+
+def test_rename_column_metadata_only_with_stats_and_time_travel(
+    spark, tmp_path
+):
+    """RENAME COLUMN (r8): metadata-only (same file list), values
+    survive under the new name, per-file skipping stats re-key so
+    files_in_range prunes on the NEW name, appends after the rename
+    land under the ORIGINAL physical name, and time travel shows each
+    version's own column name (Delta column-mapping behavior)."""
+    root = str(tmp_path / "t")
+    t = TxTable(spark, root, stats_cols=["x"])
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3, 30.0)], "k int, x double").coalesce(1)
+    )
+    files_before = set(t.snapshot().files)
+
+    with pytest.raises(KeyError):
+        t.rename_column("nope", "y")
+    with pytest.raises(ValueError, match="target exists"):
+        t.rename_column("x", "k")
+
+    t.rename_column("x", "y")
+    assert t.stats_cols == ["y"]  # writer config self-renames
+    snap = t.snapshot()
+    assert set(snap.files) == files_before, "rename must not rewrite data"
+    assert t.read().columns == ["k", "y"]
+    assert {(r.k, r.y) for r in t.read().collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+        (3, 30.0),
+    }
+    # stats re-keyed to the new logical name -> skipping still prunes
+    assert all("y" in s["min"] for s in snap.stats.values())
+    pruned = t.files_in_range("y", lo=25.0)
+    assert len(pruned) == 1 and len(files_before) == 2
+    assert {(r.k, r.y) for r in t.read_range("y", lo=25.0).collect()} == {
+        (3, 30.0)
+    }
+    # time travel shows the pre-rename name and values
+    old = t.read(version=2)
+    assert old.columns == ["k", "x"]
+    assert {(r.k, r.x) for r in old.collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+        (3, 30.0),
+    }
+    # appends speak the new logical name; the file keeps the original
+    # physical column so every data file of the table stays uniform
+    t.append(
+        spark.createDataFrame([(4, 40.0)], "k int, y double").coalesce(1)
+    )
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, 4}
+    new_file = sorted(set(t.snapshot().files) - files_before)
+    raw = spark.read.parquet(*new_file)
+    assert raw.columns == ["k", "x"], "files speak physical names"
+    # new-file stats landed under the logical name
+    assert t.snapshot().stats[new_file[0]]["min"]["y"] == 40.0
+
+
+def test_rename_column_then_mutations_and_restore(spark, tmp_path):
+    """Copy-on-write mutations keyed on a renamed column stay
+    file-granular; restore across the rename reverts the name AND a
+    later re-add of the dropped original name still reads NULL."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ).coalesce(1),
+    )
+    t.append(
+        spark.createDataFrame([(3, "c")], "k int, v string").coalesce(1)
+    )
+    t.rename_column("v", "w")  # v3
+    before = set(t.snapshot().files)
+    assert t.update(F.col("w") == "c", {"w": F.lit("C")}) == 1
+    after = set(t.snapshot().files)
+    assert before & after, "untouched stripe must carry by reference"
+    assert t.delete(F.col("w") == "a") == 1
+    t.upsert(
+        spark.createDataFrame([(2, "B"), (9, "z")], "k int, w string")
+        .coalesce(1),
+        "k",
+    )
+    assert {(r.k, r.w) for r in t.read().collect()} == {
+        (2, "B"),
+        (3, "C"),
+        (9, "z"),
+    }
+    # compact under the mapping keeps contents
+    t.compact(target_bytes=1 << 30, small_frac=1.0)
+    assert {(r.k, r.w) for r in t.read().collect()} == {
+        (2, "B"),
+        (3, "C"),
+        (9, "z"),
+    }
+    # restore to the pre-rename version: old name, old rows
+    t.restore(2)
+    assert t.read().columns == ["k", "v"]
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
