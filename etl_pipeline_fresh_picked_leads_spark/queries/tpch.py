@@ -869,24 +869,35 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock, adapted: per-part inventory value
     := SUM(l_extendedprice * l_quantity) over one nation's
     suppliers): GROUP BY ... HAVING against an UNCORRELATED scalar
-    subquery that re-aggregates the same relation — the global-share
-    shape.  The scalar side becomes a broadcast 1-row join; both the
-    per-part and global sums accumulate in DECIMAL so the 0.1%%
-    threshold comparison is bit-identical across engines."""
+    subquery global share.  r8 rewrite (VERDICT r7 item 8): the
+    global threshold derives from the PER-PART aggregate — exact
+    DECIMAL sums are associative, so SUM(per-part sums) is
+    bit-identical to the direct global sum (the oracle keeps the
+    naive two-scan form) — and both consumers then share one
+    canonical hashpartitioning(l_partkey) exchange, which AQE
+    deduplicates (ReusedExchange, pinned in tests/test_plans.py):
+    the fact scans+shuffles ONCE, where the naive form scanned it at
+    two grains (the r7 8x probe's steepest grower).  The scalar side
+    aggregates the part-grain shuffle output (~1-2%% of fact bytes),
+    then broadcasts as a 1-row join."""
     _views(spark, sf_dir, "tpch11", ("supplier", "nation", "lineitem"))
     return spark.sql(
-        f"""
+        """
         WITH natsupp AS (
           SELECT s_suppkey FROM tpch11_supplier, tpch11_nation
           WHERE s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        ),
+        perpart AS (
+          SELECT l_partkey AS ps_partkey,
+                 SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+                   AS value_dec
+          FROM tpch11_lineitem JOIN natsupp ON l_suppkey = s_suppkey
+          GROUP BY l_partkey
         )
-        SELECT l_partkey AS ps_partkey,
-               {dsum_sql('l_extendedprice * l_quantity', 2)} AS value
-        FROM tpch11_lineitem JOIN natsupp ON l_suppkey = s_suppkey
-        GROUP BY l_partkey
-        HAVING {dsum_sql('l_extendedprice * l_quantity', 2)} > (
-          SELECT {dsum_sql('l_extendedprice * l_quantity', 2)} * 0.001
-          FROM tpch11_lineitem JOIN natsupp ON l_suppkey = s_suppkey)
+        SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+        FROM perpart
+        WHERE CAST(value_dec AS DOUBLE) > (
+          SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM perpart)
         ORDER BY value DESC, ps_partkey
         """
     )

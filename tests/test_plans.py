@@ -520,3 +520,38 @@ def test_tpch_r7_shapes_no_cartesian_broadcast_dims(spark):
         assert "partial_sum" in formatted_plan(df), qid
     q11 = formatted_plan(QUERIES["q_tpch_q11"](spark, SF_SMALL))
     assert "partial_sum" in q11, q11
+
+
+def test_tpch_q11_single_fact_scan_via_exchange_reuse(spark):
+    """r8 Q11 rewrite: deriving the global 0.1% threshold from the
+    per-part aggregate makes the main stream and the scalar subquery
+    share ONE canonical hashpartitioning(l_partkey) exchange — AQE
+    must dedup it (ReusedExchange) so the fact scans+shuffles once.
+    The reuse only materializes in the FINAL adaptive plan, so the
+    query executes first — at SF_MEDIUM: the sf0.001 result is
+    EMPTY and AQE's empty-relation propagation elides the exchanges
+    entirely."""
+    from conftest import SF_MEDIUM
+
+    df = QUERIES["q_tpch_q11"](spark, SF_MEDIUM)
+    df.collect()  # a noop WRITE would spawn a fresh queryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan and "hashpartitioning(l_partkey" in plan, (
+        plan
+    )
+
+
+def test_graph_closure_query_backend_selection(spark):
+    """q_graph_closure's in-query asserts pin that the forest picked
+    pointer doubling and the cycle fell back to star; here we rerun
+    the query end-to-end and check the recorder agrees with the
+    LAST call (the cycle) plus the result's component structure."""
+    from etl_pipeline_fresh_picked_leads_spark.operators import graph
+
+    df = QUERIES["q_graph_closure"](spark, SF_SMALL)
+    rows = df.collect()
+    assert graph.LAST_BACKEND == "star"  # cycle ran last
+    cyc = [r for r in rows if r.part == "cycle"]
+    assert len({r.root for r in cyc}) == 1  # one ring component
+    forest = [r for r in rows if r.part == "forest"]
+    assert all(r.root <= r.id for r in forest)  # chain min terminus
