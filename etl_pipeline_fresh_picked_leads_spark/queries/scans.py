@@ -682,3 +682,50 @@ def q_txtable_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert t.read(version=1).columns == ["c_custkey", "c_name", "c_acctbal"]
     assert t.read().columns == ["c_custkey", "c_name", "account_balance"]
     return t.read()
+
+
+@query(
+    "q_txtable_vacuum",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def q_txtable_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM: land customer in two commits, DELETE a slice (the
+    copy-on-write rewrite strands the pre-delete files), then
+    ``vacuum(retain=1, min_age_seconds=0)`` — stranded data files AND
+    pre-horizon manifests must be GC'd (asserted: the vacuum removed
+    files, time travel past the horizon now raises, and nothing the
+    head references was touched), while the head read stays exact.
+    At 100 TB vacuum cost is ∝ stranded bytes, never ∝ table size
+    (referenced files are carried by name, not copied);
+    min_age_seconds=0 is safe here because the query owns the only
+    writer — production keeps the Delta-style retention window
+    against in-flight concurrent commits.  Parity note: the
+    reference's post-load file GC is R19 (big_uery_handler.py:84-89,
+    os.remove in finally); vacuum is its at-rest analogue with
+    crash-orphan handling."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "vacuum_customer")
+    shutil.rmtree(root, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t = TxTable.create(spark, root, c.filter(F.col("c_custkey") % 2 == 0))
+    t.append(c.filter(F.col("c_custkey") % 2 != 0))  # v2
+    assert t.delete(F.col("c_custkey") % 7 == 0) > 0  # v3 rewrites
+    head_files = set(t.snapshot().files)
+    removed = t.vacuum(retain=1, min_age_seconds=0)
+    assert removed, "delete-stranded files must be GC'd"
+    assert not head_files & set(removed), "head files must survive"
+    assert all(os.path.exists(f) for f in head_files)
+    try:
+        t.read(version=2)
+        raise AssertionError("pre-horizon time travel must fail")
+    except FileNotFoundError:
+        pass
+    return t.read()
