@@ -300,6 +300,18 @@ def closure(
     if multi_parent is not None and multi_parent > 1:
         LAST_BACKEND = "star"
         return star()
+    # A forest has >=1 root per tree (a vertex with NO parent edge);
+    # a graph where EVERY vertex has a parent is all-cycles — route
+    # straight to star instead of burning the doubling loop's full
+    # log2|V| no-fixpoint bound to find out (measured ~6 wasted
+    # spill rounds on a planted ring).  One left_anti scalar count.
+    if multi_parent is not None:
+        n_roots = verts.join(
+            e_norm.select("child"), verts.id == F.col("child"), "left_anti"
+        ).count()
+        if n_roots == 0:
+            LAST_BACKEND = "star"
+            return star()
     walked = _pointer_double(verts, e_norm)
     if walked is None:  # cycle detected — not a forest
         LAST_BACKEND = "star"
