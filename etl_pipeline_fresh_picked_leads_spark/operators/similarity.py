@@ -539,6 +539,7 @@ def ivf_self_join(
     nlist: int | None = None,
     replicas: int = 4,
     two_level: int | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Approximate cosine threshold self-join, IVF-pruned: candidates
     are pairs sharing at least one of their ``replicas`` nearest
@@ -565,6 +566,8 @@ def ivf_self_join(
     )
     assignments = assignments.persist()
     assignments.count()  # materialize before self-join (dedup.py:116 trap)
+    if pins is not None:  # caller releases once downstream materialized
+        pins.append(assignments)
     right = assignments.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("rvec_id"),
@@ -577,11 +580,57 @@ def ivf_self_join(
         .dropDuplicates(["vec_id", "rvec_id"])
     )
     cos = _dot(F.col("v"), F.col("rv")) / (F.col("nrm") * F.col("rnrm"))
-    return cands.select(
+    out = cands.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("rvec_id").alias("vec_id_b"),
         F.round(cos, 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+    if pins is not None:
+        return out  # caller owns the cache lifetime
+    # Direct caller with no pins list: materialize (result-sized — the
+    # above-threshold pair set) and release the corpus-sized assignment
+    # cache here rather than leak it for the session (the
+    # decontaminate_bloom pattern, ADVICE r7).
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        assignments.unpersist()
+
+
+def similarity_join_auto(
+    vecs: DataFrame,
+    threshold: float = 0.4,
+    tile_rows: int = 4096,
+    exact_cap: int = 2_000_000,
+    n: int | None = None,
+    pins: list | None = None,
+) -> tuple[DataFrame, str]:
+    """Cost-based strategy selection for the similarity self-join —
+    the Spark-idiomatic realization of SURVEY §4.3's ``similarity_join``
+    optimizer rule.  A Catalyst extension would pick the physical
+    strategy from input cardinality statistics; lacking a Python hook
+    into the planner, this router makes the SAME decision from the
+    same statistic, before the plan is built:
+
+    - estimated exact-tier shuffle is ``n · ceil(n / tile_rows)`` rows
+      (the blocked-matmul replication footprint, cosine_self_join);
+    - at or under ``exact_cap`` rows the exact tier wins (no recall
+      loss, one cogroup); above it the IVF tier is chosen (shuffle
+      ~n·replicas assignment rows, recall contract pinned in tests).
+
+    Returns ``(df, route)`` with ``route`` in {"exact", "ivf"} so
+    callers (and the oracle, which re-derives the decision from
+    ``COUNT(*)`` with the same arithmetic) can observe the choice.
+    ``n`` may be passed from a catalog statistic to skip the count
+    scan — at 100 TB the row count comes from table metadata, not a
+    pre-pass over the data.
+    """
+    if n is None:
+        n = vecs.count()
+    est = n * ((n + tile_rows - 1) // tile_rows)
+    if est <= exact_cap:
+        return cosine_self_join(vecs, threshold, tile_rows), "exact"
+    return ivf_self_join(vecs, threshold, pins=pins), "ivf"
 
 
 def cosine_topk_vectorized(

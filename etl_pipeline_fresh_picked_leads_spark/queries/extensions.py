@@ -1392,8 +1392,11 @@ def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_self_join
 
     emb = read_table(spark, sf_dir, "embeddings")
+    pins: list = []
     exact = cosine_self_join(emb, threshold=0.4)
-    approx = ivf_self_join(emb, threshold=0.4).select("vec_id_a", "vec_id_b")
+    approx = ivf_self_join(emb, threshold=0.4, pins=pins).select(
+        "vec_id_a", "vec_id_b"
+    )
     keys = ["vec_id_a", "vec_id_b"]
     rec = (
         exact.select(*keys)
@@ -1402,7 +1405,93 @@ def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_tot")))
         .select((F.col("n_hit") * 10 >= F.col("n_tot") * 8).alias("recall_ok"))
     )
-    return exact.crossJoin(F.broadcast(rec))
+    return _release_after(exact.crossJoin(F.broadcast(rec)), pins)
+
+
+# The routing decisions are part of the hashed contract: the oracle
+# re-derives them from COUNT(*) with the SAME cost arithmetic the
+# router uses (n * ceil(n / tile_rows) vs the cap), so a corpus whose
+# size flips a route flips BOTH sides together.  The row set stays the
+# exact pair set on the deterministic vec_id%4 slice (the route the
+# default cap picks for it is 'exact', asserted loudly below), and
+# recall_ok certifies the IVF-routed full-corpus join against the
+# exact full pair set, as in q_sim_join_ivf.
+_SIM_JOIN_AUTO_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+  WHERE vec_id % 4 = 0
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, SUM(a.x * b.x) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+ns AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 4 = 0),
+nf AS (SELECT COUNT(*) AS n FROM embeddings),
+routes AS (
+  SELECT
+    CASE WHEN ns.n * CAST(ceil(ns.n / 4096.0) AS BIGINT) <= 2000000
+         THEN 'exact' ELSE 'ivf' END AS route_small,
+    CASE WHEN nf.n * CAST(ceil(nf.n / 4096.0) AS BIGINT) <= 256
+         THEN 'exact' ELSE 'ivf' END AS route_full
+  FROM ns, nf
+)
+SELECT vec_id_a, vec_id_b,
+       round(dot / (x.nrm * y.nrm), 6) AS cosine,
+       r.route_small, r.route_full,
+       TRUE AS recall_ok
+FROM dots
+JOIN norms x ON vec_id_a = x.vec_id
+JOIN norms y ON vec_id_b = y.vec_id
+CROSS JOIN routes r
+WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4
+"""
+
+
+@query("q_sim_join_auto", oracle=_SIM_JOIN_AUTO_ORACLE)
+def q_sim_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-routed similarity self-join (operators/similarity.py
+    ``similarity_join_auto`` — the Spark-idiomatic stand-in for SURVEY
+    §4.3's Catalyst ``similarity_join`` rule, VERDICT r7 missing #4).
+    Two routings are exercised and their decisions emitted as hashed
+    columns: the vec_id%4 slice under the default 2M-row exact-tier
+    cap (routes 'exact'; its pair set is the hashed row surface) and
+    the full corpus under a 256-row cap — the 100 TB setting scaled to
+    test data — which routes 'ivf'; that routed artifact is verified
+    by the recall_ok contract against the exact full pair set."""
+    from ..operators.similarity import similarity_join_auto
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    small = emb.filter(F.col("vec_id") % 4 == 0)
+    pins: list = []
+    small_df, route_small = similarity_join_auto(small, threshold=0.4)
+    full_df, route_full = similarity_join_auto(
+        emb, threshold=0.4, exact_cap=256, pins=pins
+    )
+    if route_small != "exact" or route_full != "ivf":
+        raise AssertionError(
+            f"router contract drifted: route_small={route_small} "
+            f"route_full={route_full} — regenerated corpus crossed a "
+            "cap boundary; retune the caps (and their oracle twins) "
+            "before trusting this contract"
+        )
+    exact_full = cosine_self_join(emb, threshold=0.4)
+    keys = ["vec_id_a", "vec_id_b"]
+    rec = (
+        exact_full.select(*keys)
+        .join(full_df.select(*keys), keys, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(exact_full.agg(F.count(F.lit(1)).alias("n_tot")))
+        .select((F.col("n_hit") * 10 >= F.col("n_tot") * 8).alias("recall_ok"))
+    )
+    out = (
+        small_df.withColumn("route_small", F.lit(route_small))
+        .withColumn("route_full", F.lit(route_full))
+        .crossJoin(F.broadcast(rec))
+    )
+    return _release_after(out, pins)
 
 
 # xxhash64 is unavailable in DuckDB, but the SELECTION is reproducible

@@ -251,6 +251,51 @@ def test_ivf_self_join_recall_vs_exact(embeddings):
     assert approx_df.filter(F.col("cosine") < 0.4).count() == 0
 
 
+def test_similarity_join_auto_routes_and_matches(spark, embeddings):
+    """The cost-based router (SURVEY §4.3's similarity_join rule,
+    Spark-idiomatic form): under the default cap the corpus routes
+    'exact' and the routed frame IS the exact pair set; a cap below
+    the estimated blocked-matmul shuffle routes 'ivf' and the routed
+    frame obeys the IVF family's recall/no-false-positive contract.
+    pins=None on the IVF route must not leak the assignment cache."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+        cosine_self_join,
+        similarity_join_auto,
+    )
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b, r.cosine)
+        for r in cosine_self_join(embeddings, threshold=0.4).collect()
+    }
+
+    routed_df, route = similarity_join_auto(embeddings, threshold=0.4)
+    assert route == "exact"
+    routed = {
+        (r.vec_id_a, r.vec_id_b, r.cosine) for r in routed_df.collect()
+    }
+    assert routed == exact and len(exact) > 0
+
+    # a catalog-provided n skips the count pre-pass but must make the
+    # same decision from the same statistic
+    _, route_n = similarity_join_auto(
+        embeddings, threshold=0.4, n=embeddings.count()
+    )
+    assert route_n == "exact"
+
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ivf_df, route_ivf = similarity_join_auto(
+        embeddings, threshold=0.4, exact_cap=1
+    )
+    assert route_ivf == "ivf"
+    ivf_pairs = {(r.vec_id_a, r.vec_id_b) for r in ivf_df.collect()}
+    exact_keys = {(a, b) for a, b, _ in exact}
+    assert ivf_pairs <= exact_keys  # exact verify: no false positives
+    assert len(ivf_pairs & exact_keys) / len(exact_keys) >= 0.9
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # only the result-sized localCheckpoint may persist (ADVICE r7)
+    assert n_after - n_before <= 1, "pins=None leaked the IVF cache"
+
+
 def test_dedup_clusters_invariants(docs):
     """Connected components over the ngram pair graph: every pair's
     endpoints share a cluster, cluster_id is the min doc_id of its
