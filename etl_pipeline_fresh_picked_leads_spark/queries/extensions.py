@@ -310,6 +310,90 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(corpus, threshold=0.9)
 
 
+# SRP-LSH variant over the FULL corpus + the same planted clones: the
+# hashed rows stay the exact 0.9 pair set (DuckDB-recomputable);
+# recall_ok certifies the hyperplane-banded candidate generation
+# recovered >= 80% of them (seeded planes -> deterministic; measured
+# 0.96/1.00 at sf0.01/sf0.1 with the 96-plane/12-band default).  On
+# regenerated data the planted slice may empty out — both sides then
+# degrade to zero rows together.
+_EMBED_LSH_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> 0.9 * x + 0.05)
+  FROM base WHERE vec_id < 50
+),
+flat AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM corpus CROSS JOIN generate_series(1, 64) t(i)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM flat GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, SUM(a.x * b.x) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_id_a, vec_id_b,
+       round(dot / (x.nrm * y.nrm), 6) AS cosine,
+       TRUE AS recall_ok
+FROM dots
+JOIN norms x ON vec_id_a = x.vec_id
+JOIN norms y ON vec_id_b = y.vec_id
+WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.9
+"""
+
+
+@query("q_dedup_embed_lsh", oracle=_EMBED_LSH_ORACLE)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH
+    (operators/similarity.py srp_lsh_self_join) — the LSH-bucketed
+    ANN scale path next to IVF: hyperplane sign-bit bands generate
+    candidates (n·bands rows shuffle, never n²), exact cosine verifies
+    them.  Runs on the FULL corpus plus q_dedup_embed's planted
+    perturbed clones; rows are the exact pair set, recall_ok the
+    contract flag."""
+    from ..operators.similarity import srp_lsh_self_join
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _assert_planted_offset(emb, "vec_id", 100000)
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    clones = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 0.9 + 0.05).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(clones).persist()
+    corpus.count()  # two consumers (exact + LSH) — scan once
+    pins: list = [corpus]
+    # three consumers (rows + both recall aggregates): one matmul, not 3
+    exact = cosine_self_join(corpus, threshold=0.9).persist()
+    exact.count()
+    pins.append(exact)
+    lsh = srp_lsh_self_join(corpus, threshold=0.9, pins=pins).select(
+        "vec_id_a", "vec_id_b"
+    )
+    keys = ["vec_id_a", "vec_id_b"]
+    rec = (
+        exact.select(*keys)
+        .join(lsh, keys, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_tot")))
+        .select((F.col("n_hit") * 10 >= F.col("n_tot") * 8).alias("recall_ok"))
+    )
+    return _release_after(exact.crossJoin(F.broadcast(rec)), pins)
+
+
 # ----------------------------------------------------------- similarity ----
 
 _TOPK_ORACLE = """
@@ -1393,7 +1477,10 @@ def q_sim_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     pins: list = []
-    exact = cosine_self_join(emb, threshold=0.4)
+    # three consumers (rows + both recall aggregates): one matmul, not 3
+    exact = cosine_self_join(emb, threshold=0.4).persist()
+    exact.count()
+    pins.append(exact)
     approx = ivf_self_join(emb, threshold=0.4, pins=pins).select(
         "vec_id_a", "vec_id_b"
     )
@@ -1477,7 +1564,9 @@ def q_sim_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cap boundary; retune the caps (and their oracle twins) "
             "before trusting this contract"
         )
-    exact_full = cosine_self_join(emb, threshold=0.4)
+    exact_full = cosine_self_join(emb, threshold=0.4).persist()
+    exact_full.count()  # two recall aggregates: one matmul, not 2
+    pins.append(exact_full)
     keys = ["vec_id_a", "vec_id_b"]
     rec = (
         exact_full.select(*keys)

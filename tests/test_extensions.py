@@ -251,6 +251,51 @@ def test_ivf_self_join_recall_vs_exact(embeddings):
     assert approx_df.filter(F.col("cosine") < 0.4).count() == 0
 
 
+def test_srp_lsh_self_join_recall_and_purity(spark, embeddings):
+    """Hyperplane (SRP) LSH near-dup join: on the corpus + planted
+    0.9-boundary clones it must recover >=80% of the exact pairs
+    (seeded planes -> deterministic), emit no false positives (exact
+    verify on candidates), and never report a pair below threshold.
+    pins=None must not leak the signature cache."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+        cosine_self_join,
+        srp_lsh_self_join,
+    )
+
+    base = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    clones = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 0.9 + 0.05).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(clones)
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in cosine_self_join(corpus, threshold=0.9).collect()
+    }
+    assert exact, "planted clones should produce >=0.9 pairs"
+
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    lsh_df = srp_lsh_self_join(corpus, threshold=0.9)
+    lsh = {(r.vec_id_a, r.vec_id_b) for r in lsh_df.collect()}
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after - n_before <= 1, "pins=None leaked the signature cache"
+
+    assert lsh <= exact  # exact verify: no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"SRP-LSH recall {recall} on {len(exact)} pairs"
+    assert lsh_df.filter(F.col("cosine") < 0.9).count() == 0
+
+    # empty input degrades to an empty frame, not an error
+    assert srp_lsh_self_join(corpus.filter(F.lit(False))).count() == 0
+
+
 def test_similarity_join_auto_routes_and_matches(spark, embeddings):
     """The cost-based router (SURVEY §4.3's similarity_join rule,
     Spark-idiomatic form): under the default cap the corpus routes
