@@ -87,6 +87,11 @@ HEADLINE = [
     # relation (Q2) and the 8-table market-share join (Q8)
     "q_tpch_q2",
     "q_tpch_q8",
+    # r8 additions: log-depth transitive closure (pointer doubling with
+    # parquet-spilled rounds) and the cost-routed similarity join
+    # (exact-vs-IVF strategy selection + recall contract)
+    "q_graph_closure",
+    "q_sim_join_auto",
 ]
 
 

@@ -74,13 +74,14 @@ _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # round-8 new queries (q_txtable_vacuum, q_sim_join_auto and
-    # q_dedup_embed_lsh took q_stream_stream_join's, q_stream_static_
-    # join's and q_stream_dedup's slots; those r4-green rows rejoin
-    # the rotation in r9)
+    # round-8 new queries (q_txtable_vacuum, q_sim_join_auto,
+    # q_dedup_embed_lsh and q_txtable_constraint took the slots of
+    # q_stream_stream_join / q_stream_static_join / q_stream_dedup /
+    # q_stream_watermark; those r4-green rows rejoin the rotation
+    # in r9)
     "q_txtable_restore", "q_txtable_history", "q_txtable_rename",
     "q_graph_closure", "q_txtable_vacuum", "q_sim_join_auto",
-    "q_dedup_embed_lsh",
+    "q_dedup_embed_lsh", "q_txtable_constraint",
     # round-8 behavior changes: TxTable column-mapping read/write paths
     "q_txtable_timetravel", "q_txtable_zorder", "q_matview_incremental",
     "q_scd2_merge", "q_stream_scd2",
@@ -95,9 +96,8 @@ _DRIVER_WINDOW = [
     "q_text_decontaminate", "q_text_pii_redact", "q_text_repetition",
     "q_text_tfidf", "q_try_cast", "q_txtable_changefeed",
     "q_udf_cogroup",
-    # r4 J-tier streaming cohort (4 of 36; rest in r9)
+    # r4 J-tier streaming cohort (3 of 36; rest in r9)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark",
 ]
 
 

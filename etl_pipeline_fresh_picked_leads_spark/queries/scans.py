@@ -580,6 +580,70 @@ def q_txtable_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_txtable_constraint",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    UNION ALL
+    SELECT -1, 'X', -99.0
+    """,
+)
+def q_txtable_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (ALTER TABLE ADD/DROP CONSTRAINT, Delta
+    semantics): a constraint is born only over data that satisfies it,
+    then gates every write path — the violating append and the
+    update-into-violation below must raise and commit NOTHING (version
+    pinned by in-query asserts), the valid append commits, and
+    dropping the constraint re-opens the gate (final planted negative
+    row).  Enforcement is one aggregate pass over each commit's
+    LOGICAL frame — cost ∝ the commit, never the table, so the gate
+    holds at 100 TB.  Parity note: reference R9-R11 reconciliation
+    enforces shape, not values; value invariants were delegated to the
+    warehouse — TxTable brings them to the table itself."""
+    import shutil
+
+    from ..sources.txtable import TxConstraintViolation, TxTable
+
+    root = os.path.join(_SCRATCH, "constraint_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(spark, root, o.filter(F.col("o_orderkey") % 2 == 0))
+    t.add_constraint("price_pos", "o_totalprice > 0")  # v2, scans v1 data
+    try:
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 != 0).withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            )
+        )
+        raise AssertionError("violating append must raise")
+    except TxConstraintViolation:
+        pass
+    assert t.snapshot().version == 2, "refused append must commit nothing"
+    t.append(o.filter(F.col("o_orderkey") % 2 != 0))  # v3: full table
+    try:
+        t.update(  # %2==0 is never empty — a no-match update would
+            # instead commit an empty version (Delta parity) and skip
+            # validation entirely
+            F.col("o_orderkey") % 2 == 0,
+            {"o_totalprice": F.lit(-1.0)},
+        )
+        raise AssertionError("update into violation must raise")
+    except TxConstraintViolation:
+        pass
+    assert t.snapshot().version == 3
+    t.drop_constraint("price_pos")  # v4
+    t.append(  # v5: the gate is open again
+        spark.createDataFrame(
+            [(-1, "X", -99.0)],
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        )
+    )
+    assert t.snapshot().version == 5
+    return t.read()
+
+
+@query(
     "q_txtable_history",
     oracle="""
     WITH c AS (

@@ -61,6 +61,12 @@ class TxConflictError(RuntimeError):
     concurrency loss).  Re-read the snapshot and retry."""
 
 
+class TxConstraintViolation(RuntimeError):
+    """A write contained rows for which a table CHECK constraint
+    evaluated to FALSE (Delta semantics: NULL passes).  Nothing was
+    committed."""
+
+
 def delta_available() -> bool:
     """True when delta-spark is importable — the seam where TxTable
     operations would be routed to DeltaTable.update/merge instead."""
@@ -89,6 +95,8 @@ class TxSnapshot:
     retired: tuple[str, ...] = ()  # physical names of dropped columns —
     # never reassigned, so old files can't leak pre-drop values
     max_id: int | None = None  # highest field id ever assigned
+    constraints: dict | None = None  # CHECK constraints {name: sql_expr}
+    # enforced on every data write; None/{} = unconstrained
 
 
 def _manifest_name(version: int) -> str:
@@ -174,6 +182,7 @@ class TxTable:
             tuple(m["colmap"]) if m.get("colmap") is not None else None,
             tuple(m.get("retired_phys") or ()),
             m.get("max_id"),
+            m.get("constraints"),
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -366,6 +375,89 @@ class TxTable:
                 "use add_column() to evolve the table schema first"
             )
 
+    @staticmethod
+    def _validate_constraints(
+        df: DataFrame, base: "TxSnapshot | None", op: str
+    ) -> None:
+        """Enforce the table's CHECK constraints on a write's LOGICAL
+        frame (Delta semantics: a row violates iff the expression
+        evaluates to FALSE; NULL passes).  One aggregate pass over the
+        incoming/rewritten data — cost ∝ the commit, never the table —
+        counting every constraint in the same scan.  Raises
+        TxConstraintViolation (committing nothing) with per-constraint
+        violation counts."""
+        cons = base.constraints if base is not None else None
+        if not cons:
+            return
+        counts = df.agg(
+            *[
+                F.count(
+                    F.when(F.expr(e).eqNullSafe(F.lit(False)), F.lit(1))
+                ).alias(name)
+                for name, e in cons.items()
+            ]
+        ).first()
+        bad = {name: counts[name] for name in cons if counts[name]}
+        if bad:
+            raise TxConstraintViolation(
+                f"{op} violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{n!r} ({cons[n]}): {c} row(s)" for n, c in bad.items()
+                )
+            )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` — a
+        metadata commit, but only after one validation scan proves the
+        EXISTING data satisfies the expression (Delta does the same:
+        a constraint can never be born already-violated).  From this
+        version on, every append/overwrite/update/upsert validates its
+        logical frame against the expression before writing;
+        ``restore`` is exempt by design (it returns to a state that
+        was committed under the rules in force at its time).  The
+        expression is ANSI SQL over LOGICAL column names, so it
+        survives rename_column-free schema evolution; constraints ride
+        every manifest like the dropped-name history."""
+        base = self._head()
+        cons = dict(base.constraints or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]}"
+            )
+        probe = TxSnapshot(  # validate existing data under the new rule
+            base.version,
+            base.op,
+            base.files,
+            base.schema_json,
+            constraints={name: expr},
+        )
+        self._validate_constraints(self.read(), probe, "add_constraint")
+        cons[name] = expr
+        return self._commit(
+            list(base.files),
+            "add_constraint",
+            base,
+            schema_json=base.schema_json,
+            stats=base.stats,
+            constraints=cons,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """``ALTER TABLE DROP CONSTRAINT`` — metadata-only commit."""
+        base = self._head()
+        cons = dict(base.constraints or {})
+        if name not in cons:
+            raise ValueError(f"constraint {name!r} does not exist")
+        del cons[name]
+        return self._commit(
+            list(base.files),
+            "drop_constraint",
+            base,
+            schema_json=base.schema_json,
+            stats=base.stats,
+            constraints=cons,
+        )
+
     def _stats_for(
         self, files: list[str], colmap: list[dict] | None = None
     ) -> dict:
@@ -430,10 +522,13 @@ class TxTable:
         colmap: list[dict] | None = None,
         retired: list[str] | None = None,
         max_id: int | None = None,
+        constraints: dict | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
         if dropped is None:  # dropped-name history rides every commit
             dropped = list(base.dropped) if base else []
+        if constraints is None and base is not None:
+            constraints = base.constraints  # constraints ride every commit
         if colmap is None and base is not None:
             # column-mapping state rides every commit once materialized
             colmap = self._colmap_or_none(base)
@@ -449,6 +544,8 @@ class TxTable:
             "stats": stats,
             "dropped": dropped,
         }
+        if constraints is not None:
+            manifest["constraints"] = constraints
         if colmap is not None:
             manifest["colmap"] = colmap
             manifest["retired_phys"] = retired or []
@@ -495,6 +592,7 @@ class TxTable:
         base = self.snapshot()
         if txn is not None and txn in self._committed_txns():
             return base.version  # replayed refresh: already applied
+        self._validate_constraints(df, base, "overwrite")
         cm, retired, max_id = self._overwrite_colmap(base, df.columns)
         new = self._write_data(df, cm)
         for attempt in range(max_retries + 1):
@@ -574,6 +672,7 @@ class TxTable:
         tag)."""
         base = self.snapshot()
         self._check_columns(df, base, "append")
+        self._validate_constraints(df, base, "append")
         if txn is not None and txn in self._committed_txns():
             return base.version if base else 0
         cm = self._colmap_or_none(base)
@@ -601,6 +700,8 @@ class TxTable:
                 if txn is not None and txn in self._committed_txns():
                     return base.version if base else 0
                 self._check_columns(df, base, "append")
+                # a racing add_constraint must gate OUR rows too
+                self._validate_constraints(df, base, "append")
                 if self._colmap_or_none(base) != cm:
                     # racing schema-evolution commit: our files carry
                     # stale physical names — caller must re-invoke
@@ -1046,7 +1147,9 @@ class TxTable:
         rows = pred_df.select("_fp").distinct().collect()
         return sorted(urlparse(r._fp).path for r in rows)
 
-    def _rewrite_affected(self, where: Column, op: str, transform) -> int:
+    def _rewrite_affected(
+        self, where: Column, op: str, transform, validate: bool = False
+    ) -> int:
         """File-granular copy-on-write scaffold shared by
         UPDATE/DELETE: find the files containing ``where`` matches,
         rewrite them through ``transform(hit_df)``, carry everything
@@ -1082,7 +1185,10 @@ class TxTable:
         hit = self._read_files(affected, base.schema_json, cm)
         n = hit.filter(where).count()
         survivors = [f for f in base.files if f not in set(affected)]
-        new = self._write_data(transform(hit), cm)
+        rewritten = transform(hit)
+        if validate:  # UPDATE can move rows INTO violation; DELETE can't
+            self._validate_constraints(rewritten, base, op)
+        new = self._write_data(rewritten, cm)
         self._commit(
             survivors + new,
             op,
@@ -1107,7 +1213,7 @@ class TxTable:
                 )
             return hit
 
-        return self._rewrite_affected(where, "update", transform)
+        return self._rewrite_affected(where, "update", transform, validate=True)
 
     def delete(self, where: Column) -> int:
         """``DELETE FROM <table> WHERE ...`` as file-granular
@@ -1133,6 +1239,8 @@ class TxTable:
         batch = batch.dropDuplicates([key])
         base = self.snapshot()
         self._check_columns(batch, base, "upsert")
+        # kept rows already passed at their own commit; gate the batch
+        self._validate_constraints(batch, base, "upsert")
         if base is None:
             new = self._write_data(batch)
             return self._commit(

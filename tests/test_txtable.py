@@ -888,3 +888,60 @@ def test_rename_column_then_mutations_and_restore(spark, tmp_path):
         (2, "b"),
         (3, "c"),
     }
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    """CHECK constraints (Delta semantics: FALSE violates, NULL
+    passes): add_constraint validates existing data first; append/
+    overwrite/upsert/update refuse violating frames atomically
+    (version unchanged, nothing committed); delete is exempt; NULLs
+    pass; drop_constraint lifts the gate; constraints survive
+    unrelated commits and show in history ops."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a"), (2, "b")]))
+
+    # can't be born violated
+    with pytest.raises(TxConstraintViolation):
+        t.add_constraint("k_big", "k > 1")
+    assert t.snapshot().version == 1  # nothing committed
+
+    v = t.add_constraint("k_pos", "k > 0")
+    assert v == 2 and t.snapshot().constraints == {"k_pos": "k > 0"}
+    with pytest.raises(ValueError):
+        t.add_constraint("k_pos", "k > 10")
+
+    # append: violating frame refused atomically, valid frame commits
+    with pytest.raises(TxConstraintViolation):
+        t.append(_mkdf(spark, [(0, "bad")]))
+    assert t.snapshot().version == 2
+    t.append(_mkdf(spark, [(3, "c")]))
+
+    # NULL passes (SQL CHECK semantics)
+    t.append(spark.createDataFrame([(None, "n")], "k int, v string"))
+    assert t.read().filter(F.col("k").isNull()).count() == 1
+
+    # update INTO violation refused; overwrite and upsert gated too
+    with pytest.raises(TxConstraintViolation):
+        t.update(F.col("v") == "c", {"k": F.lit(-3)})
+    with pytest.raises(TxConstraintViolation):
+        t.overwrite(_mkdf(spark, [(-1, "x")]))
+    with pytest.raises(TxConstraintViolation):
+        t.upsert(_mkdf(spark, [(-9, "u")]), "k")
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, None}
+
+    # delete never violates; constraint rides its commit
+    assert t.delete(F.col("k") == 1) == 1
+    assert t.snapshot().constraints == {"k_pos": "k > 0"}
+
+    # history records the metadata ops; drop lifts the gate
+    t.drop_constraint("k_pos")
+    ops = [h["op"] for h in t.history()]
+    assert "add_constraint" in ops and "drop_constraint" in ops
+    with pytest.raises(ValueError):
+        t.drop_constraint("k_pos")
+    t.append(_mkdf(spark, [(-5, "now ok")]))
+    assert t.read().filter(F.col("k") < 0).count() == 1
