@@ -256,10 +256,12 @@ def test_closure_matches_python_reference_on_random_graphs(spark, data):
 @given(data=st.data())
 def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factory):
     """Randomized op sequences (append / overwrite / upsert / delete /
-    add_column / drop_column / restore) against an in-memory reference
-    model: after every op the table's visible rows equal the model,
-    and restore to any recorded version replays the model's history —
-    the whole-format linearizability check no single-op test gives.
+    add_column / drop_column / rename_column / add_constraint /
+    drop_constraint / restore) against an in-memory reference model:
+    after every op the table's visible rows equal the model, writes
+    violating a live CHECK constraint raise and commit NOTHING, and
+    restore to any recorded version replays the model's history — the
+    whole-format linearizability check no single-op test gives.
 
     The model keys history by the table's ACTUAL committed version
     (``t.snapshot().version``), not by op count — ops that commit no
@@ -267,12 +269,21 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     arithmetic, and zero-match deletes commit an empty-change version
     (Delta parity, r8) which the recording picks up automatically
     (VERDICT/ADVICE r7)."""
-    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+    import pytest
+
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+        TxTable,
+    )
 
     root = str(tmp_path_factory.mktemp("txprop") / "t")
     cols = ["k", "v"]  # k: key, v: payload; extra columns may be added
     extra: list[str] = []
     dropped: set[str] = set()
+    cons: dict[str, int] = {}  # live constraints: name -> floor ("k >= kc")
+
+    def violates(rows):
+        return any(r["k"] < kc for kc in cons.values() for r in rows)
     model: dict[int, dict] = {}
     # committed version -> (visible rows, extra-column list at that version)
     versions: dict[int, tuple[dict, list[str]]] = {}
@@ -313,36 +324,71 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
 
     n_ops = data.draw(st.integers(2, 6), label="n_ops")
     for _ in range(n_ops):
-        choices = ["append", "overwrite", "delete", "add_column", "upsert"]
+        choices = [
+            "append", "overwrite", "delete", "add_column", "upsert",
+            "add_constraint",
+        ]
         if extra:
             choices += ["drop_column", "rename_column"]
+        if cons:
+            choices.append("drop_constraint")
         if len(versions) >= 2:
             choices.append("restore")
         op = data.draw(st.sampled_from(choices), label="op")
         if op == "append":
             rows = fresh_rows(data.draw(st.integers(1, 3), label="n"))
-            t.append(df_of(rows))
-            for r in rows:
-                model[next_id] = r
-                next_id += 1
+            if violates(rows):  # refused atomically: model unchanged
+                with pytest.raises(TxConstraintViolation):
+                    t.append(df_of(rows))
+            else:
+                t.append(df_of(rows))
+                for r in rows:
+                    model[next_id] = r
+                    next_id += 1
         elif op == "overwrite":
             rows = fresh_rows(data.draw(st.integers(1, 2), label="n"))
-            t.overwrite(df_of(rows))
-            model = {}
-            for r in rows:
-                model[next_id] = r
-                next_id += 1
+            if violates(rows):
+                with pytest.raises(TxConstraintViolation):
+                    t.overwrite(df_of(rows))
+            else:
+                t.overwrite(df_of(rows))
+                model = {}
+                for r in rows:
+                    model[next_id] = r
+                    next_id += 1
         elif op == "upsert":
             rows = fresh_rows(data.draw(st.integers(1, 2), label="n"))
             # upsert batches must be key-unique (documented contract)
             uniq = {r["k"]: r for r in rows}
             rows = list(uniq.values())
-            t.upsert(df_of(rows), "k")
-            keys = {r["k"] for r in rows}
-            model = {i: r for i, r in model.items() if r["k"] not in keys}
-            for r in rows:
-                model[next_id] = r
-                next_id += 1
+            if violates(rows):
+                with pytest.raises(TxConstraintViolation):
+                    t.upsert(df_of(rows), "k")
+            else:
+                t.upsert(df_of(rows), "k")
+                keys = {r["k"] for r in rows}
+                model = {
+                    i: r for i, r in model.items() if r["k"] not in keys
+                }
+                for r in rows:
+                    model[next_id] = r
+                    next_id += 1
+        elif op == "add_constraint":
+            kc = data.draw(st.integers(0, 9), label="kc")
+            name = f"ge{kc}"
+            if name in cons:
+                continue
+            if any(r["k"] < kc for r in model.values()):
+                # can't be born violated; nothing committed
+                with pytest.raises(TxConstraintViolation):
+                    t.add_constraint(name, f"k >= {kc}")
+            else:
+                t.add_constraint(name, f"k >= {kc}")
+                cons[name] = kc
+        elif op == "drop_constraint":
+            name = data.draw(st.sampled_from(sorted(cons)), label="dc")
+            t.drop_constraint(name)
+            del cons[name]
         elif op == "delete":
             key = data.draw(st.integers(0, 9), label="delk")
             t.delete(F.col("k") == key)
