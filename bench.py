@@ -88,10 +88,13 @@ HEADLINE = [
     "q_tpch_q2",
     "q_tpch_q8",
     # r8 additions: log-depth transitive closure (pointer doubling with
-    # parquet-spilled rounds) and the cost-routed similarity join
-    # (exact-vs-IVF strategy selection + recall contract)
+    # parquet-spilled rounds; cost is per-round fixed overhead) and the
+    # CHECK-constraint-gated TxTable write path.  q_sim_join_auto /
+    # q_dedup_embed_lsh stay out of the headline deliberately: their
+    # steady cost is the forced-IVF verify / exact-contract matmul
+    # (7-9 s), probed and explained in PLANS.md round-8 instead.
     "q_graph_closure",
-    "q_sim_join_auto",
+    "q_txtable_constraint",
 ]
 
 
