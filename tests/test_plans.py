@@ -555,3 +555,33 @@ def test_graph_closure_query_backend_selection(spark):
     assert len({r.root for r in cyc}) == 1  # one ring component
     forest = [r for r in rows if r.part == "forest"]
     assert all(r.root <= r.id for r in forest)  # chain min terminus
+
+
+def test_srp_lsh_signatures_cached_before_band_explode(spark):
+    """srp_lsh_self_join must explode band keys from the PERSISTED
+    signature frame (InMemoryTableScan under Generate): Generate
+    re-evaluates an inline expensive child per OUTPUT element, so an
+    unpersisted plan would recompute the planes x dim signature fold
+    12x per row (the measured 16x shingle trap, dedup.py).  The
+    candidate join must stay an equi-join on (band_id, band_key),
+    never a nested loop."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.similarity import (
+        srp_lsh_self_join,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    pins: list = []
+    df = srp_lsh_self_join(emb, threshold=0.9, pins=pins)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        gen_at = plan.find("Generate explode")
+        assert gen_at != -1, plan[:2000]
+        below = plan[gen_at:]
+        assert "InMemoryTableScan" in below, "explode not fed by cache"
+        # the expensive hyperplane fold lives in the cached child, not
+        # under Generate: no zip_with (the dot kernel) in the explode
+        assert "zip_with" not in plan[gen_at : gen_at + 4000].lower()
+        assert "NestedLoop" not in plan
+    finally:
+        for p in pins:
+            p.unpersist()
