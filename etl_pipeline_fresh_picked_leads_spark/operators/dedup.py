@@ -147,15 +147,9 @@ def decontaminate_bloom(
     )
     if pins is not None:
         return out  # caller owns the cache lifetime
-    # Direct caller with no pins list: materialize (result-sized) and
-    # release the two whole-corpus caches here — leaking them for the
-    # session is the exact hazard the pins protocol exists for
-    # (ADVICE r7).
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        ev_grams.unpersist()
-        tr_sh.unpersist()
+    from . import checkpoint_release
+
+    return checkpoint_release(out, [ev_grams, tr_sh])
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -587,14 +587,9 @@ def ivf_self_join(
     ).filter(F.col("cosine") >= threshold)
     if pins is not None:
         return out  # caller owns the cache lifetime
-    # Direct caller with no pins list: materialize (result-sized — the
-    # above-threshold pair set) and release the corpus-sized assignment
-    # cache here rather than leak it for the session (the
-    # decontaminate_bloom pattern, ADVICE r7).
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        assignments.unpersist()
+    from . import checkpoint_release
+
+    return checkpoint_release(out, [assignments])
 
 
 def srp_lsh_self_join(
@@ -693,10 +688,9 @@ def srp_lsh_self_join(
     ).filter(F.col("cosine") >= threshold)
     if pins is not None:
         return out  # caller owns the cache lifetime
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        sigged.unpersist()
+    from . import checkpoint_release
+
+    return checkpoint_release(out, [sigged])
 
 
 def similarity_join_auto(

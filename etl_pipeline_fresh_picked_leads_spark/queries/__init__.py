@@ -56,18 +56,20 @@ from . import tpch  # noqa: E402,F401
 # shapes, the four ADVICE-r6 behavior changes, and the ENTIRE r1/r2
 # stale tail (12 + 23) — after it no query's newest driver row
 # predates r3.
-# Round-8 rotation (VERDICT r7 #3/#5/#6): (a) the four NEW r8 queries
-# — the TxTable restore/history/rename trio pinning the column-mapping
-# + empty-commit semantics, and q_graph_closure pinning closure()'s
-# automatic backend selection; (b) the five TxTable-backed queries
-# whose read/write paths the r8 column-mapping refactor touched
-# (every committed read now routes through the colmap projection);
-# (c) the ENTIRE 29-query r3-last-verified cohort (filters B-tier,
-# ingest, text r3 tail — q_txtable_changefeed and
-# q_text_decontaminate land here AND had r8 behavior changes); then
-# (d) the seven J-tier streaming queries from the r4 cohort.  The
-# remaining r4 tail (dedup-cluster graph ops, C-tier joins, binary
-# scans) rotates in r9.
+# Round-8 rotation (VERDICT r7 #3/#5/#6): (a) the EIGHT new r8
+# queries — the TxTable restore/history/rename/vacuum/constraint
+# family pinning column-mapping + empty-commit + CHECK-gate
+# semantics, q_graph_closure pinning closure()'s automatic backend
+# selection, and the q_sim_join_auto / q_dedup_embed_lsh similarity
+# additions; (b) the five TxTable-backed queries whose read/write
+# paths the r8 column-mapping refactor touched (every committed read
+# now routes through the colmap projection); (c) the ENTIRE 29-query
+# r3-last-verified cohort (filters B-tier, ingest, text r3 tail —
+# q_txtable_changefeed and q_text_decontaminate land here AND had r8
+# behavior changes); then (d) three J-tier streaming queries from the
+# r4 cohort.  The remaining r4 tail (four J-tier streaming rows
+# displaced by the new queries, dedup-cluster graph ops, C-tier
+# joins, binary scans) rotates in r9.
 # tests/test_registry_drift.py enforces that nothing registered sits
 # outside both this window and the historical CORRECTNESS record.
 _DRIVER_WINDOW = [

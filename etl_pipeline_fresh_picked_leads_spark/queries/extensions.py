@@ -1558,6 +1558,9 @@ def q_sim_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.4, exact_cap=256, pins=pins
     )
     if route_small != "exact" or route_full != "ivf":
+        for p in pins:  # don't leak the IVF assignment cache on the
+            p.unpersist()  # fail-loud path (the _release_after finally
+            # never runs when we raise before materialization)
         raise AssertionError(
             f"router contract drifted: route_small={route_small} "
             f"route_full={route_full} — regenerated corpus crossed a "

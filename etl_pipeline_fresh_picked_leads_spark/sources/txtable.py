@@ -249,12 +249,16 @@ class TxTable:
         else a fresh id-suffixed name — old files then simply lack the
         physical column and read NULL (the Delta/Iceberg column-
         mapping re-add semantics)."""
-        in_use = {c["phys"] for c in colmap}
-        if name not in in_use and name not in retired:
+        in_use = {c["phys"] for c in colmap} | set(retired)
+        if name not in in_use:
             return name
-        phys = f"{name}__v{new_id}"
-        assert phys not in in_use and phys not in retired, phys
-        return phys
+        # a user schema may legitimately contain a column named like an
+        # id-suffixed candidate (e.g. 'a__v3'): probe forward until free
+        # rather than asserting (bounded: len(in_use)+1 candidates)
+        suffix = new_id
+        while f"{name}__v{suffix}" in in_use:
+            suffix += 1
+        return f"{name}__v{suffix}"
 
     def _read_files(
         self,
@@ -389,14 +393,24 @@ class TxTable:
         cons = base.constraints if base is not None else None
         if not cons:
             return
-        counts = df.agg(
-            *[
-                F.count(
-                    F.when(F.expr(e).eqNullSafe(F.lit(False)), F.lit(1))
-                ).alias(name)
-                for name, e in cons.items()
-            ]
-        ).first()
+        try:
+            agg = df.agg(
+                *[
+                    F.count(
+                        F.when(F.expr(e).eqNullSafe(F.lit(False)), F.lit(1))
+                    ).alias(name)
+                    for name, e in cons.items()
+                ]
+            )
+        except Exception as exc:  # analysis error: constraint column
+            # absent from this write's schema (e.g. an overwrite that
+            # narrows the schema) — actionable error, not a stack trace
+            raise ValueError(
+                f"{op} schema cannot resolve CHECK constraint(s) "
+                f"{sorted(cons)}: {exc.__class__.__name__}; drop the "
+                "constraint first"
+            ) from None
+        counts = agg.first()
         bad = {name: counts[name] for name in cons if counts[name]}
         if bad:
             raise TxConstraintViolation(
@@ -406,6 +420,28 @@ class TxTable:
                 )
             )
 
+    def _guard_constraint_schema(self, fields, cons, op: str) -> None:
+        """Block a schema change that would leave a live CHECK
+        constraint unresolvable (Delta refuses rename/drop of
+        constrained columns for the same reason): probe-analyze every
+        expression against the POST-change schema; failure means the
+        caller must ``drop_constraint`` first.  Analysis-only — no
+        data is read."""
+        if not cons:
+            return
+        from pyspark.sql.types import StructType
+
+        probe = self.spark.createDataFrame([], StructType(list(fields)))
+        for name, e in cons.items():
+            try:
+                probe.select(F.expr(e))
+            except Exception as exc:
+                raise ValueError(
+                    f"{op} would break CHECK constraint {name!r} "
+                    f"({e}): {exc.__class__.__name__}; drop the "
+                    "constraint first"
+                ) from None
+
     def add_constraint(self, name: str, expr: str) -> int:
         """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` — a
         metadata commit, but only after one validation scan proves the
@@ -413,8 +449,10 @@ class TxTable:
         a constraint can never be born already-violated).  From this
         version on, every append/overwrite/update/upsert validates its
         logical frame against the expression before writing;
-        ``restore`` is exempt by design (it returns to a state that
-        was committed under the rules in force at its time).  The
+        ``restore`` re-validates nothing because it also RESTORES the
+        target version's constraint set (metadata restores with the
+        state, like the schema) — the table never advertises a rule
+        its data predates.  The
         expression is ANSI SQL over LOGICAL column names, so it
         survives rename_column-free schema evolution; constraints ride
         every manifest like the dropped-name history."""
@@ -614,6 +652,9 @@ class TxTable:
                 base = self.snapshot()
                 if txn is not None and txn in self._committed_txns():
                     return base.version
+                # a racing add_constraint must gate OUR rows too
+                # (append's retry does the same)
+                self._validate_constraints(df, base, "overwrite")
                 cm2, retired, max_id = self._overwrite_colmap(
                     base, df.columns
                 )
@@ -672,9 +713,12 @@ class TxTable:
         tag)."""
         base = self.snapshot()
         self._check_columns(df, base, "append")
-        self._validate_constraints(df, base, "append")
         if txn is not None and txn in self._committed_txns():
             return base.version if base else 0
+        # AFTER the idempotency check: a replayed batch must no-op even
+        # if a constraint added since its first commit would now reject
+        # it (has_txn's exactly-once contract; also skips a wasted scan)
+        self._validate_constraints(df, base, "append")
         cm = self._colmap_or_none(base)
         new = self._write_data(df, cm)
         for attempt in range(max_retries + 1):
@@ -801,6 +845,9 @@ class TxTable:
         remaining = StructType([f for f in schema.fields if f.name != name])
         if not remaining.fields:
             raise ValueError("cannot drop the last remaining column")
+        self._guard_constraint_schema(
+            remaining.fields, base.constraints, "drop_column"
+        )
         if self.stats_cols and name in self.stats_cols:
             # this writer must stop collecting bounds for the dropped
             # column or its next write crashes on the missing field
@@ -871,6 +918,9 @@ class TxTable:
                 else f
                 for f in schema.fields
             ]
+        )
+        self._guard_constraint_schema(
+            renamed.fields, base.constraints, "rename_column"
         )
         if self.stats_cols and old in self.stats_cols:
             self.stats_cols = [
@@ -989,6 +1039,14 @@ class TxTable:
             base,
             schema_json=schema_json,
             stats=target.stats,
+            # CHECK constraints restore WITH the state, like the schema
+            # (Delta RESTORE restores metadata): carrying the head's
+            # rules over the target's data could advertise a constraint
+            # the restored rows violate — the one invariant
+            # add_constraint promises never happens.  {} (not None)
+            # when the target predates constraints, else _commit would
+            # re-inherit the head's.
+            constraints=dict(target.constraints or {}),
             **kwargs,
         )
 

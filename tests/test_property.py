@@ -285,8 +285,8 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     def violates(rows):
         return any(r["k"] < kc for kc in cons.values() for r in rows)
     model: dict[int, dict] = {}
-    # committed version -> (visible rows, extra-column list at that version)
-    versions: dict[int, tuple[dict, list[str]]] = {}
+    # committed version -> (visible rows, extra columns, constraints)
+    versions: dict[int, tuple[dict, list[str], dict]] = {}
 
     def df_of(rows):
         schema = ", ".join(
@@ -310,6 +310,7 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
         versions[t.snapshot().version] = (
             {i: dict(r) for i, r in model.items()},
             list(extra),
+            dict(cons),
         )
 
     t = TxTable.create(spark, root, df_of(fresh_rows(2)))
@@ -433,11 +434,16 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
                 st.sampled_from(sorted(versions)), label="rv"
             )
             t.restore(v)
-            state, extra_at_v = versions[v]
+            state, extra_at_v, cons_at_v = versions[v]
             model = {i: dict(r) for i, r in state.items()}
             # restore adopts the target's schema: previously-dropped
             # columns resurface (files intact) but stay name-fenced
             extra[:] = list(extra_at_v)
+            # ...and the target's CHECK constraints (metadata restores
+            # with the state — the head never advertises a rule its
+            # restored data predates)
+            cons.clear()
+            cons.update(cons_at_v)
         record()
 
         got = sorted(
@@ -452,9 +458,10 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
         )
         assert got == want, (op, extra, got, want)
         assert t.read().columns == cols + extra
+        assert set(t.snapshot().constraints or {}) == set(cons), op
 
     # every recorded version must still time-travel to its model state
-    for v, (state, extra_at_v) in versions.items():
+    for v, (state, extra_at_v, _cons_at_v) in versions.items():
         snap = sorted(
             tuple(row[c] for c in cols + extra_at_v)
             for row in t.read(version=v).collect()

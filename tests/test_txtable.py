@@ -945,3 +945,117 @@ def test_check_constraints_gate_every_write_path(spark, tmp_path):
         t.drop_constraint("k_pos")
     t.append(_mkdf(spark, [(-5, "now ok")]))
     assert t.read().filter(F.col("k") < 0).count() == 1
+
+
+def test_constraint_schema_interactions(spark, tmp_path):
+    """r8 review fixes: (1) rename/drop of a constraint-referenced
+    column is refused (Delta parity) — never a bricked table; (2) an
+    overwrite that narrows the schema under a live constraint raises
+    an actionable ValueError, not an AnalysisException; (3) RESTORE
+    restores the TARGET version's constraint set with the state, so
+    the head never advertises a rule its restored data violates;
+    (4) _safe_phys picks the next free suffix when a user column
+    collides with the id-suffixed candidate."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+        TxTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a"), (2, "b")]))
+    t.add_constraint("k_pos", "k > 0")  # v2
+
+    # (1) guard rename/drop of the constrained column; table usable after
+    with pytest.raises(ValueError, match="would break CHECK"):
+        t.rename_column("k", "kk")
+    with pytest.raises(ValueError, match="would break CHECK"):
+        t.drop_column("k")
+    assert t.snapshot().version == 2
+    t.append(_mkdf(spark, [(3, "c")]))  # still writable (v3)
+    t.rename_column("v", "w")  # unreferenced column renames fine (v4)
+
+    # (2) overwrite without the constrained column: actionable refusal
+    with pytest.raises(ValueError, match="cannot resolve CHECK"):
+        t.overwrite(
+            spark.createDataFrame([("x",)], "w string")
+        )
+    assert t.snapshot().version == 4
+
+    # (3) restore carries the TARGET's constraints with its state
+    t.restore(1)  # v5: pre-constraint state, pre-constraint rules
+    assert not (t.snapshot().constraints or {})
+    t.append(_mkdf(spark, [(-7, "neg ok again")]))  # v6
+    t.restore(2)  # v7: constraint era returns WITH its rule set...
+    assert set(t.snapshot().constraints or {}) == {"k_pos"}
+    with pytest.raises(TxConstraintViolation):  # ...and it gates again
+        t.append(_mkdf(spark, [(0, "bad")]))
+
+
+def test_append_replay_noop_beats_new_constraint(spark, tmp_path):
+    """Exactly-once ordering (r8 review): a txn-tagged batch REPLAYED
+    after a constraint was added that would reject it must no-op (the
+    idempotency check runs BEFORE validation), not crash the
+    replayer."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(5, "a")]))
+    batch = _mkdf(spark, [(1, "b")])
+    t.append(batch, txn="batch-1")  # v2
+    t.delete(F.col("k") == 1)  # v3
+    t.add_constraint("k_big", "k > 3")  # v4: passes on current data
+    v = t.append(batch, txn="batch-1")  # replay: would violate now
+    assert v == 4 and t.snapshot().version == 4  # no-op, no raise
+    assert {r.k for r in t.read().collect()} == {5}
+
+
+def test_overwrite_retry_revalidates_racing_constraint(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint committed BETWEEN overwrite's validation and its
+    manifest link must gate the retry (r8 review: append's retry
+    already did; overwrite's didn't)."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+        TxTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]))
+    rival = TxTable(spark, root)
+    orig = TxTable._commit
+    state = {"raced": False}
+
+    def racing(self, *a, **k):
+        if self is t and not state["raced"]:
+            state["raced"] = True  # rival wins the version race with a
+            rival.add_constraint("k_pos", "k > 0")  # constraint commit
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(TxTable, "_commit", racing)
+    with pytest.raises(TxConstraintViolation):
+        t.overwrite(_mkdf(spark, [(-1, "bad")]))
+    monkeypatch.undo()
+    assert set(t.snapshot().constraints or {}) == {"k_pos"}
+    assert [(r.k, r.v) for r in t.read().collect()] == [(1, "a")]
+
+
+def test_safe_phys_sidesteps_user_column_collision(spark, tmp_path):
+    """A user schema containing a column shaped like the id-suffixed
+    candidate ('a__v4') must push the re-added column to the next free
+    physical name instead of asserting (r8 review)."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "x")], "a int, a__v4 int, b string"
+    )
+    t = TxTable.create(spark, root, df)
+    t.rename_column("b", "c")  # materialize colmap ids (1..3)
+    t.drop_column("a")  # retires phys 'a'
+    t.add_column("a", "integer")  # new id 4 -> candidate a__v4 COLLIDES
+    cm = {c["name"]: c["phys"] for c in t.snapshot().colmap}
+    assert cm["a"] not in ("a", "a__v4"), cm
+    t.append(
+        spark.createDataFrame([(20, "y", 2)], "a__v4 int, c string, a int")
+    )
+    rows = {(r.a, r.a__v4, r.c) for r in t.read().collect()}
+    assert rows == {(None, 10, "x"), (2, 20, "y")}
