@@ -793,3 +793,170 @@ def q_txtable_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileNotFoundError:
         pass
     return t.read()
+
+
+@query(
+    "q_txtable_merge",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), s AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), m AS (
+      SELECT t.o_orderkey AS tk, t.o_orderstatus AS ts,
+             t.o_totalprice AS tp, s.o_orderkey AS sk,
+             s.o_orderstatus AS ss, s.o_totalprice AS sp
+      FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT tk AS o_orderkey,
+           CASE WHEN sk IS NOT NULL
+                     AND COALESCE(sp > 150000, FALSE)
+                THEN ss ELSE ts END AS o_orderstatus,
+           CASE WHEN sk IS NOT NULL
+                     AND COALESCE(sp > 150000, FALSE)
+                THEN sp ELSE tp END AS o_totalprice
+    FROM m
+    WHERE NOT COALESCE(
+      sk IS NOT NULL
+      AND NOT COALESCE(sp > 150000, FALSE)
+      AND ts = 'F', FALSE)
+    UNION ALL
+    SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+    FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+      AND COALESCE(s.o_totalprice <= 150000, FALSE)
+    """,
+)
+def q_txtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with the full Delta clause matrix (r8): target =
+    even order keys, source = %3 keys re-priced (+1000, status 'M');
+    WHEN MATCHED AND s.price > 150k THEN UPDATE, WHEN MATCHED AND
+    t.status = 'F' THEN DELETE (only rows the update clause did not
+    claim — clause order is part of the contract), WHEN NOT MATCHED
+    AND s.price <= 150k THEN INSERT.  The oracle re-derives the exact
+    final state declaratively (left join + null-safe clause CASEs +
+    anti-join inserts).  In-query asserts pin: every clause fired,
+    only files holding source keys were rewritten (file-granular
+    copy-on-write — at 100 TB a merge touches the slice its keys live
+    in, never the table), and a replayed txn tag no-ops (exactly-once
+    under at-least-once delivery).  Parity note: the reference
+    delegated upserts to warehouse write modes
+    (big_uery_handler.py WRITE_TRUNCATE/WRITE_APPEND); merge is the
+    general client-side form."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "merge_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        stats_cols=["o_orderkey"],
+    )
+    before = set(t.snapshot().files)
+    src = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    res = t.merge(
+        src,
+        "o_orderkey",
+        update="all",
+        update_condition="s.o_totalprice > 150000",
+        delete_condition="t.o_orderstatus = 'F'",
+        insert_condition="s.o_totalprice <= 150000",
+        txn="merge-orders-1",
+    )
+    assert (
+        res["updated"] > 0 and res["deleted"] > 0 and res["inserted"] > 0
+    ), f"every clause must fire on this corpus: {res}"
+    assert res["version"] == 2, res
+    replay = t.merge(
+        src, "o_orderkey", update="all", txn="merge-orders-1"
+    )
+    assert replay == {
+        "updated": 0,
+        "deleted": 0,
+        "inserted": 0,
+        "version": 2,
+    }, f"replayed txn must no-op: {replay}"
+    assert set(t.snapshot().files) - before, "merge must add files"
+    return t.read()
+
+
+@query(
+    "q_txtable_replace_where",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) <> 1997
+       OR o_orderdate IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_orderdate, o_totalprice + 10 FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    """,
+)
+def q_txtable_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``replaceWhere`` — dynamic slice overwrite (r8): orders
+    lands in three year-striped commits, then the 1997 slice is
+    atomically recomputed (+10 re-pricing) in ONE commit.  In-query
+    asserts pin the 100 TB contract: the two non-1997 files carry BY
+    REFERENCE (cost ∝ the replaced slice, never the table), an
+    incoming row OUTSIDE the predicate is refused loudly (Delta
+    parity — it would silently widen the overwrite), and a replayed
+    txn tag no-ops.  The oracle recomputes the final state from the
+    source table declaratively.  Parity note: the reference's only
+    overwrite is whole-table WRITE_TRUNCATE
+    (big_uery_handler.py:124-165); replace_where is the partition-
+    scoped form its date-ranged loads (R2) actually wanted."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "replace_where_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    t = TxTable.create(
+        spark,
+        root,
+        o.filter(yr < 1997).coalesce(1),
+        stats_cols=["o_orderdate"],
+    )
+    t.append(o.filter(yr == 1997).coalesce(1))
+    t.append(o.filter(yr > 1997).coalesce(1))
+    before = set(t.snapshot().files)
+    try:
+        t.replace_where(
+            o.filter(yr == 1996).limit(1), yr == 1997, txn="rw-1997"
+        )
+        raise AssertionError("out-of-slice rows must be refused")
+    except ValueError:
+        pass
+    assert t.snapshot().version == 3, "refused replace must commit nothing"
+    repriced = o.filter(yr == 1997).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10
+    )
+    res = t.replace_where(repriced, yr == 1997, txn="rw-1997")
+    assert res["deleted"] > 0 and res["inserted"] > 0, res
+    carried = before & set(t.snapshot().files)
+    assert len(carried) == 2, (
+        f"non-1997 files must carry by reference, got {len(carried)}"
+    )
+    replay = t.replace_where(repriced, yr == 1997, txn="rw-1997")
+    assert replay == {
+        "deleted": 0,
+        "inserted": 0,
+        "version": res["version"],
+    }, replay
+    return t.read()

@@ -1059,3 +1059,227 @@ def test_safe_phys_sidesteps_user_column_collision(spark, tmp_path):
     )
     rows = {(r.a, r.a__v4, r.c) for r in t.read().collect()}
     assert rows == {(None, 10, "x"), (2, 20, "y")}
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, name string, price double")
+
+
+def test_merge_full_clause_matrix(spark, tmp_path):
+    """One merge exercising all three WHEN clauses with conditions:
+    matched+update_condition updates, matched+delete_condition deletes,
+    not-matched+insert_condition filters inserts; counts and final
+    state pinned."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        _pdf(spark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)]),
+    )
+    res = t.merge(
+        _pdf(spark, [(2, "B", 200.0), (3, "c", -1.0), (5, "e", 50.0), (6, "f", -5.0)]),
+        "k",
+        update="all",
+        update_condition="s.price > 0",
+        delete_condition="s.price < 0",
+        insert_condition="s.price > 0",
+    )
+    assert (res["updated"], res["deleted"], res["inserted"]) == (1, 1, 1), res
+    got = sorted((r.k, r.name, r.price) for r in t.read().collect())
+    assert got == [(1, "a", 10.0), (2, "B", 200.0), (4, "d", 40.0), (5, "e", 50.0)]
+
+
+def test_merge_dict_update_references_both_sides(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(4, "d", 40.0)]))
+    t.merge(
+        _pdf(spark, [(4, "x", 1.5)]),
+        "k",
+        update={"price": "t.price + s.price"},
+        insert=False,
+    )
+    assert [(r.k, r.name, r.price) for r in t.read().collect()] == [(4, "d", 41.5)]
+
+
+def test_merge_insert_only_carries_base_files_by_reference(spark, tmp_path):
+    """update=None means matched rows are untouched — the merge must
+    NOT rewrite the files the batch keys live in (cost = inserts only,
+    the 100 TB contract for append-flavored merges)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]).coalesce(1))
+    t.append(_pdf(spark, [(2, "b", 20.0)]).coalesce(1))
+    before = set(t.snapshot().files)
+    res = t.merge(
+        _pdf(spark, [(1, "zzz", 999.0), (7, "g", 70.0)]),
+        "k",
+        update=None,
+        insert=True,
+    )
+    assert res["updated"] == 0 and res["inserted"] == 1
+    assert before <= set(t.snapshot().files), "base files must carry by reference"
+    got = dict((r.k, r.price) for r in t.read().collect())
+    assert got == {1: 10.0, 2: 20.0, 7: 70.0}
+
+
+def test_merge_noop_commits_empty_version(spark, tmp_path):
+    """Nothing matched, insert disabled: Delta-parity empty-change
+    commit (same file list, version advances)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]))
+    v = t.snapshot().version
+    res = t.merge(
+        _pdf(spark, [(99, "q", 1.0)]), "k", update=None, insert=False
+    )
+    assert res == {"updated": 0, "deleted": 0, "inserted": 0, "version": v + 1}
+    assert set(t.snapshot().files) == set(t.snapshot(v).files)
+
+
+def test_merge_ambiguous_source_raises_and_unmatched_dups_insert(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(2, "b", 20.0)]))
+    v = t.snapshot().version
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge(_pdf(spark, [(2, "p", 1.0), (2, "q", 2.0)]), "k")
+    assert t.snapshot().version == v, "refused merge must commit nothing"
+    # duplicates that match NOTHING are plain inserts (Delta parity)
+    res = t.merge(
+        _pdf(spark, [(100, "p", 1.0), (100, "q", 2.0)]), "k", update=None
+    )
+    assert res["inserted"] == 2
+
+
+def test_merge_null_source_keys_insert(spark, tmp_path):
+    """Equality matching: NULL keys never match, so NULL-keyed source
+    rows take the NOT MATCHED path (Delta parity)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]))
+    res = t.merge(_pdf(spark, [(None, "nul", 5.0)]), "k")
+    assert res["inserted"] == 1 and res["updated"] == 0
+    assert t.read().count() == 2
+
+
+def test_merge_txn_replay_noops(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]))
+    r1 = t.merge(_pdf(spark, [(1, "A", 11.0)]), "k", txn="m1")
+    r2 = t.merge(_pdf(spark, [(1, "AGAIN", 12.0)]), "k", txn="m1")
+    assert r1["updated"] == 1
+    assert r2 == {"updated": 0, "deleted": 0, "inserted": 0, "version": r1["version"]}
+    assert [(r.name, r.price) for r in t.read().collect()] == [("A", 11.0)]
+
+
+def test_merge_constraint_gated_and_replay_beats_constraint(spark, tmp_path):
+    """Updated/inserted rows pass through CHECK validation; a replayed
+    txn no-ops BEFORE validation even if a younger constraint would
+    reject it (same contract as append)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]))
+    r1 = t.merge(_pdf(spark, [(2, "b", -5.0)]), "k", txn="m1")  # inserts -5
+    assert r1["inserted"] == 1
+    t.delete(F.col("price") < 0)  # clean up so the constraint can be born
+    t.add_constraint("price_pos", "price > 0")
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+    )
+
+    v = t.snapshot().version
+    with pytest.raises(TxConstraintViolation):
+        t.merge(_pdf(spark, [(1, "a", -1.0)]), "k")  # update into violation
+    with pytest.raises(TxConstraintViolation):
+        t.merge(_pdf(spark, [(9, "z", -9.0)]), "k")  # insert in violation
+    assert t.snapshot().version == v, "refused merges must commit nothing"
+    # replayed txn no-ops instead of raising (idempotency before validation)
+    r3 = t.merge(_pdf(spark, [(2, "b", -5.0)]), "k", txn="m1")
+    assert r3 == {"updated": 0, "deleted": 0, "inserted": 0, "version": v}
+
+
+def test_merge_on_renamed_column_table(spark, tmp_path):
+    """Merge keys/conditions bind to LOGICAL names on a column-mapped
+    table (rename materializes a colmap; the merge writes physical
+    names under the hood)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0), (2, "b", 20.0)]))
+    t.rename_column("price", "amount")
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (3, "c", 30.0)], "k bigint, name string, amount double"
+    )
+    res = t.merge(src, "k", update={"amount": "s.amount"})
+    assert res["updated"] == 1 and res["inserted"] == 1
+    got = sorted((r.k, r.name, r.amount) for r in t.read().collect())
+    assert got == [(1, "a", 10.0), (2, "b", 200.0), (3, "c", 30.0)]
+
+
+def test_merge_multi_target_rows_per_source_key(spark, tmp_path):
+    """Target tables are not key-constrained: ONE source row matching
+    several target rows updates them all (Delta parity — the ambiguity
+    guard is about duplicate SOURCE rows only)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _pdf(spark, [(1, "a", 10.0), (1, "a2", 11.0), (2, "b", 20.0)])
+    )
+    res = t.merge(_pdf(spark, [(1, "X", 99.0)]), "k", insert=False)
+    assert res["updated"] == 2
+    got = sorted((r.k, r.name, r.price) for r in t.read().collect())
+    assert got == [(1, "X", 99.0), (1, "X", 99.0), (2, "b", 20.0)]
+
+
+def test_replace_where_file_granular(spark, tmp_path):
+    """Only files holding predicate-matching rows are rewritten; the
+    slice is swapped atomically in ONE commit."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]).coalesce(1))
+    t.append(_pdf(spark, [(2, "b", 20.0)]).coalesce(1))
+    t.append(_pdf(spark, [(4, "d", 40.0)]).coalesce(1))
+    before = t.snapshot()
+    res = t.replace_where(
+        _pdf(spark, [(2, "b2", 21.0), (20, "t", 22.0)]), F.col("k") % 2 == 0
+    )
+    after = t.snapshot()
+    assert res["deleted"] == 2 and res["inserted"] == 2
+    assert after.version == before.version + 1
+    # the odd-key file carries by reference
+    assert len(set(before.files) & set(after.files)) == 1
+    got = sorted((r.k, r.name, r.price) for r in t.read().collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (20, "t", 22.0)]
+
+
+def test_replace_where_rejects_out_of_slice_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(2, "b", 20.0)]))
+    v = t.snapshot().version
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.replace_where(_pdf(spark, [(9, "odd", 1.0)]), F.col("k") % 2 == 0)
+    assert t.snapshot().version == v, "refused replace must commit nothing"
+
+
+def test_replace_where_null_predicate_target_rows_kept(spark, tmp_path):
+    """SQL DELETE semantics on the outgoing side: rows where the
+    predicate evaluates NULL are NOT part of the replaced slice."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _pdf(spark, [(None, "nul", 5.0), (2, "b", 20.0)])
+    )
+    res = t.replace_where(_pdf(spark, [(4, "d", 40.0)]), F.col("k") % 2 == 0)
+    assert res["deleted"] == 1
+    got = sorted(
+        (r.k if r.k is not None else -1, r.name) for r in t.read().collect()
+    )
+    assert got == [(-1, "nul"), (4, "d")]
+
+
+def test_replace_where_txn_replay_and_constraints(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(2, "b", 20.0)]))
+    t.add_constraint("price_pos", "price > 0")
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+    )
+
+    v = t.snapshot().version
+    with pytest.raises(TxConstraintViolation):
+        t.replace_where(_pdf(spark, [(2, "b", -1.0)]), "k = 2")
+    assert t.snapshot().version == v
+    r1 = t.replace_where(_pdf(spark, [(2, "b2", 2.0)]), "k = 2", txn="rw1")
+    r2 = t.replace_where(_pdf(spark, [(2, "b3", 3.0)]), "k = 2", txn="rw1")
+    assert r2 == {"deleted": 0, "inserted": 0, "version": r1["version"]}
+    assert [(r.name, r.price) for r in t.read().collect()] == [("b2", 2.0)]
