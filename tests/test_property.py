@@ -327,7 +327,7 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     for _ in range(n_ops):
         choices = [
             "append", "overwrite", "delete", "add_column", "upsert",
-            "add_constraint",
+            "add_constraint", "merge", "replace_where",
         ]
         if extra:
             choices += ["drop_column", "rename_column"]
@@ -371,6 +371,73 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
                 model = {
                     i: r for i, r in model.items() if r["k"] not in keys
                 }
+                for r in rows:
+                    model[next_id] = r
+                    next_id += 1
+        elif op == "merge":
+            # key-unique source (the ambiguity guard is covered by its
+            # own unit test); clause mix drawn per op
+            rows = fresh_rows(data.draw(st.integers(1, 3), label="mn"))
+            rows = list({r["k"]: r for r in rows}.values())
+            with_update = data.draw(st.booleans(), label="mu")
+            uc = data.draw(st.integers(0, 99), label="muc")
+            with_delete = data.draw(st.booleans(), label="md")
+            dc = data.draw(st.integers(0, 99), label="mdc")
+            do_insert = data.draw(st.booleans(), label="mi")
+            # replay of the engine's clause semantics on the model:
+            # update claims first, delete only unclaimed matches,
+            # unmatched sources insert
+            next_model = {i: dict(r) for i, r in model.items()}
+            inserted = []
+            for s_row in rows:
+                matched = [
+                    i for i, r in next_model.items() if r["k"] == s_row["k"]
+                ]
+                if matched:
+                    for i in matched:
+                        if with_update and s_row["v"] >= uc:
+                            next_model[i] = dict(s_row)
+                        elif with_delete and s_row["v"] < dc:
+                            del next_model[i]
+                elif do_insert:
+                    inserted.append(s_row)
+            # constraints bind on k, merge keys on k: updates can never
+            # violate; only INSERTED rows can
+            call = lambda: t.merge(  # noqa: E731
+                df_of(rows),
+                "k",
+                update="all" if with_update else None,
+                update_condition=f"s.v >= {uc}" if with_update else None,
+                delete_condition=f"s.v < {dc}" if with_delete else None,
+                insert=do_insert,
+            )
+            if violates(inserted):
+                with pytest.raises(TxConstraintViolation):
+                    call()
+            else:
+                call()
+                model = next_model
+                for r in inserted:
+                    model[next_id] = r
+                    next_id += 1
+        elif op == "replace_where":
+            key = data.draw(st.integers(0, 9), label="rwk")
+            rows = fresh_rows(data.draw(st.integers(1, 2), label="rwn"))
+            for r in rows:
+                r["k"] = key
+            if data.draw(st.booleans(), label="rwbad"):
+                # one row outside the slice: refused loudly, nothing
+                # committed, model unchanged
+                bad = dict(rows[0])
+                bad["k"] = key + 1
+                with pytest.raises(ValueError, match="do not satisfy"):
+                    t.replace_where(df_of(rows + [bad]), F.col("k") == key)
+            elif violates(rows):
+                with pytest.raises(TxConstraintViolation):
+                    t.replace_where(df_of(rows), F.col("k") == key)
+            else:
+                t.replace_where(df_of(rows), F.col("k") == key)
+                model = {i: r for i, r in model.items() if r["k"] != key}
                 for r in rows:
                     model[next_id] = r
                     next_id += 1
