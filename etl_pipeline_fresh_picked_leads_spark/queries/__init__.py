@@ -66,10 +66,11 @@ from . import tpch  # noqa: E402,F401
 # now routes through the colmap projection); (c) the ENTIRE 29-query
 # r3-last-verified cohort (filters B-tier, ingest, text r3 tail —
 # q_txtable_changefeed and q_text_decontaminate land here AND had r8
-# behavior changes); then (d) three J-tier streaming queries from the
-# r4 cohort.  The remaining r4 tail (four J-tier streaming rows
-# displaced by the new queries, dedup-cluster graph ops, C-tier
-# joins, binary scans) rotates in r9.
+# behavior changes); (d) the TWO new MERGE INTO / replaceWhere
+# queries; then (e) one J-tier streaming query from the r4 cohort.
+# The remaining r4 tail (six J-tier streaming rows displaced by the
+# new queries, dedup-cluster graph ops, C-tier joins, binary scans)
+# rotates in r9.
 # tests/test_registry_drift.py enforces that nothing registered sits
 # outside both this window and the historical CORRECTNESS record.
 _DRIVER_WINDOW = [

@@ -1283,3 +1283,45 @@ def test_replace_where_txn_replay_and_constraints(spark, tmp_path):
     r2 = t.replace_where(_pdf(spark, [(2, "b3", 3.0)]), "k = 2", txn="rw1")
     assert r2 == {"deleted": 0, "inserted": 0, "version": r1["version"]}
     assert [(r.name, r.price) for r in t.read().collect()] == [("b2", 2.0)]
+
+
+def test_merge_upsert_prune_candidate_files_by_key_stats(spark, tmp_path):
+    """With stats on the merge key, the affected-file search opens
+    only files whose [min,max] intersects the batch's key range —
+    manifest-level pruning, no footer opens for disjoint files.
+    Correctness is unchanged (pruning is a superset filter)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        _pdf(spark, [(0, "a", 1.0), (9, "b", 2.0)]).coalesce(1),
+        stats_cols=["k"],
+    )
+    t.append(_pdf(spark, [(10, "c", 3.0), (19, "d", 4.0)]).coalesce(1))
+    t.append(_pdf(spark, [(20, "e", 5.0), (29, "f", 6.0)]).coalesce(1))
+    base = t.snapshot()
+    batch = _pdf(spark, [(10, "X", 9.0)])
+    cand = t._candidate_files_for_keys(base, batch, ["k"])
+    assert len(cand) == 1, f"one file intersects [10,10], got {len(cand)}"
+    # all-NULL batch keys: nothing can match, scan skipped entirely
+    null_batch = _pdf(spark, [(None, "n", 1.0)])
+    assert t._candidate_files_for_keys(base, null_batch, ["k"]) == []
+    # correctness through the pruned path
+    res = t.merge(batch, "k", insert=False)
+    assert res["updated"] == 1
+    got = dict((r.k, r.name) for r in t.read().collect())
+    assert got[10] == "X" and got[0] == "a" and got[29] == "f"
+    # untouched-range files carried by reference
+    assert len(set(base.files) & set(t.snapshot().files)) == 2
+    # upsert takes the same pruned path
+    v = t.upsert(_pdf(spark, [(25, "Y", 1.0)]).coalesce(1), "k")
+    assert v == t.snapshot().version
+    assert dict((r.k, r.name) for r in t.read().collect())[25] == "Y"
+
+
+def test_candidate_pruning_no_stats_falls_back_to_full_list(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 1.0)]))
+    base = t.snapshot()
+    cand = t._candidate_files_for_keys(base, _pdf(spark, [(1, "x", 2.0)]), ["k"])
+    assert set(cand) == set(base.files)
