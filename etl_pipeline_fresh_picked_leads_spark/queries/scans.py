@@ -907,11 +907,14 @@ def q_txtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_txtable_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta ``replaceWhere`` — dynamic slice overwrite (r8): orders
     lands in three year-striped commits, then the 1997 slice is
-    atomically recomputed (+10 re-pricing) in ONE commit.  In-query
-    asserts pin the 100 TB contract: the two non-1997 files carry BY
-    REFERENCE (cost ∝ the replaced slice, never the table), an
-    incoming row OUTSIDE the predicate is refused loudly (Delta
-    parity — it would silently widen the overwrite), and a replayed
+    atomically recomputed (+10 re-pricing) in ONE commit via
+    ``replace_range``, whose affected-file search is manifest-pruned
+    (asserted: stats admit exactly the ONE 1997 file — no footer
+    outside the slice is opened).  Further asserts pin the 100 TB
+    contract: the two non-1997 files carry BY REFERENCE (cost ∝ the
+    replaced slice, never the table), an incoming row OUTSIDE the
+    predicate is refused loudly (Delta parity — it would silently
+    widen the overwrite; generic replace_where path), and a replayed
     txn tag no-ops.  The oracle recomputes the final state from the
     source table declaratively.  Parity note: the reference's only
     overwrite is whole-table WRITE_TRUNCATE
@@ -947,13 +950,18 @@ def q_txtable_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     repriced = o.filter(yr == 1997).withColumn(
         "o_totalprice", F.col("o_totalprice") + 10
     )
-    res = t.replace_where(repriced, yr == 1997, txn="rw-1997")
+    lo, hi = "1997-01-01 00:00:00", "1997-12-31 23:59:59"
+    cand = t.files_in_range("o_orderdate", lo, hi)
+    assert len(cand) == 1, (
+        f"manifest stats must admit only the 1997 file, got {len(cand)}"
+    )
+    res = t.replace_range(repriced, "o_orderdate", lo, hi, txn="rw-1997")
     assert res["deleted"] > 0 and res["inserted"] > 0, res
     carried = before & set(t.snapshot().files)
     assert len(carried) == 2, (
         f"non-1997 files must carry by reference, got {len(carried)}"
     )
-    replay = t.replace_where(repriced, yr == 1997, txn="rw-1997")
+    replay = t.replace_range(repriced, "o_orderdate", lo, hi, txn="rw-1997")
     assert replay == {
         "deleted": 0,
         "inserted": 0,

@@ -1617,8 +1617,52 @@ class TxTable:
         callers re-invoke (safe under the txn tag).
 
         Returns ``{"deleted", "inserted", "version"}``."""
-        pred = F.expr(where) if isinstance(where, str) else where
+        return self._replace_impl(df, where, txn, None)
+
+    def replace_range(
+        self,
+        df: DataFrame,
+        col: str,
+        lo=None,
+        hi=None,
+        txn: str | None = None,
+    ) -> dict:
+        """``replace_where`` specialized to a key range (``lo <= col
+        <= hi``, bounds optional like ``read_range``) — the common
+        form: recompute a day/month of a time-keyed table.  The
+        affected-file search opens ONLY the files whose manifest
+        [min, max] for ``col`` intersects the range (manifest-level
+        skipping, no footer opens outside the slice), so on a
+        date-clustered 100 TB table the whole operation — search,
+        rewrite, commit — costs one slice, not one table.  The generic
+        ``replace_where`` must scan every file's ``col`` column to
+        locate matches (predicate pushdown makes that cheap, but it is
+        still O(files)); use this form whenever the slice is a range
+        on a ``stats_cols`` column."""
+        if lo is None and hi is None:
+            raise ValueError("replace_range needs at least one bound")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = F.col(col) >= F.lit(lo)
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
         base = self.snapshot()
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        candidates = self.files_in_range(col, lo, hi, snap=base)
+        return self._replace_impl(df, pred, txn, candidates, base=base)
+
+    def _replace_impl(
+        self,
+        df: DataFrame,
+        where: "Column | str",
+        txn: str | None,
+        candidates: list[str] | None,
+        base: "TxSnapshot | None" = None,
+    ) -> dict:
+        pred = F.expr(where) if isinstance(where, str) else where
+        if base is None:
+            base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         if txn is not None and txn in self._committed_txns():
@@ -1638,8 +1682,16 @@ class TxTable:
             )
         self._validate_constraints(df, base, "replace_where")
         cm = self._colmap_or_none(base)
-        scan = self._scan_with_fp(base.files, base.schema_json, cm)
-        affected = self._affected_files(scan.filter(pred))
+        search = base.files if candidates is None else candidates
+        affected = (
+            self._affected_files(
+                self._scan_with_fp(
+                    search, base.schema_json, cm
+                ).filter(pred)
+            )
+            if search
+            else []
+        )
         if affected:
             hit = self._read_files(affected, base.schema_json, cm)
             n_del = hit.filter(pred).count()

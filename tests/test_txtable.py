@@ -1325,3 +1325,32 @@ def test_candidate_pruning_no_stats_falls_back_to_full_list(spark, tmp_path):
     base = t.snapshot()
     cand = t._candidate_files_for_keys(base, _pdf(spark, [(1, "x", 2.0)]), ["k"])
     assert set(cand) == set(base.files)
+
+
+def test_replace_range_prunes_search_and_matches_replace_where(spark, tmp_path):
+    """replace_range's affected-file search must touch only the files
+    whose stats admit the range; result state identical to the generic
+    replace_where."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        _pdf(spark, [(0, "a", 1.0), (9, "b", 2.0)]).coalesce(1),
+        stats_cols=["k"],
+    )
+    t.append(_pdf(spark, [(10, "c", 3.0), (19, "d", 4.0)]).coalesce(1))
+    t.append(_pdf(spark, [(20, "e", 5.0), (29, "f", 6.0)]).coalesce(1))
+    before = set(t.snapshot().files)
+    res = t.replace_range(
+        _pdf(spark, [(12, "X", 9.0), (15, "Y", 8.0)]), "k", 10, 19
+    )
+    assert res["deleted"] == 2 and res["inserted"] == 2
+    assert len(before & set(t.snapshot().files)) == 2, "disjoint files carry"
+    got = sorted((r.k, r.name) for r in t.read().collect())
+    assert got == [(0, "a"), (9, "b"), (12, "X"), (15, "Y"), (20, "e"), (29, "f")]
+    # out-of-range incoming rows refused like replace_where
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.replace_range(_pdf(spark, [(50, "z", 1.0)]), "k", 10, 19)
+    # bound-less call is a caller bug
+    with pytest.raises(ValueError, match="at least one bound"):
+        t.replace_range(_pdf(spark, [(1, "q", 1.0)]), "k")
