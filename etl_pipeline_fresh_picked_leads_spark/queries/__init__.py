@@ -99,12 +99,10 @@ _DRIVER_WINDOW = [
     "q_text_decontaminate", "q_text_pii_redact", "q_text_repetition",
     "q_text_tfidf", "q_try_cast", "q_txtable_changefeed",
     "q_udf_cogroup",
-    # round-8 MERGE INTO / replaceWhere additions (took the slots of
-    # q_stream_sliding / q_stream_session; those r4-green rows rejoin
-    # the rotation in r9)
-    "q_txtable_merge", "q_txtable_replace_where",
-    # r4 J-tier streaming cohort (1 of 36; rest in r9)
-    "q_stream_tumbling",
+    # round-8 MERGE INTO / replaceWhere / streaming-CDC additions
+    # (took the slots of q_stream_tumbling / q_stream_sliding /
+    # q_stream_session; those r4-green rows rejoin the rotation in r9)
+    "q_txtable_merge", "q_txtable_replace_where", "q_stream_cdc_apply",
 ]
 
 

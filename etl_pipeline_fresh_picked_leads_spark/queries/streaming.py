@@ -733,3 +733,113 @@ def q_stream_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("saw_v2"),
     )
     return run_available_now(joined, spark, "append")
+
+
+_CDC_APPLY_ORACLE = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 3 = 0 AND c_custkey % 2 = 0
+            THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+FROM customer
+WHERE c_custkey % 3 = 2 OR c_custkey % 5 <> 0
+"""
+
+
+@query("q_stream_cdc_apply", oracle=_CDC_APPLY_ORACLE)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the streaming MERGE INTO pattern (r8): a
+    change stream of full-state insert/update/delete rows (op flag +
+    source sequence, Debezium-shaped) maintains a queryable TxTable
+    replica.  Each micro-batch collapses within-batch key churn
+    (last sequence wins; a same-sequence insert+delete converges on
+    delete) and commits ONE atomic merge under a batch-content txn
+    tag, so at-least-once delivery is exactly-once at the table —
+    including the same-split checkpoint-loss replay (asserted: a
+    second full drain leaves the version untouched).  Batch 1's
+    deletes (%5 keys, seq 3) race its inserts (%3=2 keys, seq 4) on
+    overlapping keys — the collapse must let the later insert win.
+    Per-trigger cost is O(batch + files-hit-by-batch-keys) via the
+    merge scaffold (manifest-stats candidate pruning).  Parity note:
+    the reference streams nothing — its closest shape is the daily
+    re-load (WRITE_APPEND, big_uery_handler.py:158-194); CDC apply is
+    that pipeline's incremental form."""
+    from ..sources.txtable import TxTable
+    from ..streaming.sinks import foreach_batch_cdc_apply
+
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "cdc_apply"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = os.path.join(base, "replica")
+    TxTable.create(
+        spark,
+        root,
+        cust.filter(F.col("c_custkey") % 3 == 0),
+        stats_cols=["c_custkey"],
+    )
+    op = lambda o, seq: [  # noqa: E731
+        F.lit(o).alias("_op"), F.lit(seq).cast("long").alias("_seq")
+    ]
+    b0 = (
+        cust.filter(F.col("c_custkey") % 3 == 1)
+        .select("*", *op("insert", 1))
+        .unionByName(
+            cust.filter(
+                (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 2 == 0)
+            )
+            .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+            .select("*", *op("update", 2))
+        )
+    )
+    b1 = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            *op("delete", 3),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 3 == 2).select(
+                "*", *op("insert", 4)
+            )
+        )
+    )
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate((b0, b1)):
+        tmp = os.path.join(base, f"tmp{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(landing, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (now - 100 + i * 30,) * 2)
+    schema = spark.read.parquet(landing).schema
+
+    def drain(chk: str) -> None:
+        q = foreach_batch_cdc_apply(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing),
+            spark,
+            root,
+            "c_custkey",
+            checkpoint=os.path.join(base, chk),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("CDC apply stream did not finish")
+
+    drain("chk")
+    t = TxTable(spark, root)
+    v = t.snapshot().version
+    assert v == 3, f"create + two batch commits, got {v}"
+    drain("chk")  # replay over the same checkpoint: no new batches
+    drain("chk_lost")  # checkpoint loss, same splits: tags no-op
+    assert TxTable(spark, root).snapshot().version == v, "replay must no-op"
+    return TxTable(spark, root).read()

@@ -1405,6 +1405,7 @@ class TxTable:
         delete_condition: "Column | str | None" = None,
         insert: bool = True,
         insert_condition: "Column | str | None" = None,
+        extra_source_cols: "list[str] | None" = None,
         txn: str | None = None,
     ) -> dict:
         """``MERGE INTO`` with full Delta clause semantics, the general
@@ -1428,7 +1429,10 @@ class TxTable:
         Delta parity), and a target row matched by MORE than one
         source row raises loudly when any matched clause is active
         (Delta's ambiguous-merge error; unmatched duplicate source
-        rows all insert).
+        rows all insert).  ``extra_source_cols`` names source columns
+        that exist ONLY for clause conditions (e.g. a CDC op flag
+        ``s._op = 'delete'``) — usable in every condition and update
+        expression, never written to the table.
 
         Scale shape: only files containing a source key are rewritten
         (semi-join on broadcast batch keys, the upsert scaffold), the
@@ -1461,13 +1465,27 @@ class TxTable:
                 "inserted": 0,
                 "version": base.version,
             }
-        self._check_columns(source, base, "merge")
+        extra = list(extra_source_cols or [])
+        if extra:
+            missing = sorted(set(extra) - set(source.columns))
+            if missing:
+                raise ValueError(
+                    f"extra_source_cols not in source: {missing}"
+                )
+            self._check_columns(source.drop(*extra), base, "merge")
+        else:
+            self._check_columns(source, base, "merge")
         cols = [f["name"] for f in json.loads(base.schema_json)["fields"]]
+        clash = sorted(set(extra) & set(cols))
+        if clash:
+            raise ValueError(
+                f"extra_source_cols collide with table columns: {clash}"
+            )
         if isinstance(update, dict):
             bad = sorted(set(update) - set(cols))
             if bad:
                 raise ValueError(f"merge update targets unknown columns {bad}")
-        src = source.select(*cols)
+        src = source.select(*cols, *extra)
         cm = self._colmap_or_none(base)
         has_matched_clause = update is not None or delete_condition is not None
         bkeys = F.broadcast(src.select(*keys).distinct())

@@ -199,3 +199,93 @@ def foreach_batch_scd2(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_dir: str,
+    key: str,
+    op_col: str = "_op",
+    order_col: str = "_seq",
+    txn: str | None = None,
+) -> dict:
+    """Apply one micro-batch of CDC rows (op column in
+    {'insert','update','delete'}, Debezium-shaped) to the TxTable at
+    ``target_dir`` in ONE atomic merge commit.
+
+    Within-batch compaction first: a key can carry several ops per
+    batch (insert then delete, update then update...); only the row
+    with the LAST ``order_col`` per key survives — ``order_col`` (a
+    source LSN / event timestamp) is what makes replay deterministic,
+    so it is required.  Ties break on the op column (delete last) so a
+    same-sequence insert+delete converges on delete rather than on
+    partition luck.  The collapsed batch then merges:
+
+    - matched  & op <> delete -> UPDATE (whole row)
+    - matched  & op =  delete -> DELETE
+    - unmatched & op <> delete -> INSERT
+    - unmatched deletes no-op (deleting a row that never existed)
+
+    The op/order flags ride as ``extra_source_cols`` — consulted by
+    the clauses, never written.  Cost per trigger is O(batch +
+    files-hit-by-batch-keys) via the merge scaffold's manifest-stats
+    pruning; exactly-once under ``txn`` (a replayed batch no-ops
+    against its committed tag)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(key).orderBy(
+        F.col(order_col).desc(),
+        F.when(F.col(op_col) == "delete", 1).otherwise(0).desc(),
+    )
+    last = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return TxTable(spark, target_dir).merge(
+        last.drop(order_col),
+        key,
+        update="all",
+        update_condition=f"s.{op_col} <> 'delete'",
+        delete_condition=f"s.{op_col} = 'delete'",
+        insert_condition=f"s.{op_col} <> 'delete'",
+        extra_source_cols=[op_col],
+        txn=txn,
+    )
+
+
+def foreach_batch_cdc_apply(
+    stream: DataFrame,
+    spark: SparkSession,
+    target_dir: str,
+    key: str,
+    checkpoint: str,
+    op_col: str = "_op",
+    order_col: str = "_seq",
+):
+    """writeStream.foreachBatch wiring for cdc_apply_batch: a change
+    stream (insert/update/delete rows) maintains a queryable TxTable
+    replica of the source — the streaming MERGE INTO pattern.  Each
+    batch commits once under a batch-content txn tag (batch id is NOT
+    enough: after checkpoint loss the replayed batch 0 spans
+    different rows), so at-least-once delivery is exactly-once at the
+    table."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return  # empty trigger: no commit, no tag
+        n, lo, hi = batch_df.agg(
+            F.count(F.lit(1)), F.min(order_col), F.max(order_col)
+        ).first()
+        tag = f"cdc|{n}:{lo}:{hi}"
+        cdc_apply_batch(
+            spark, batch_df, target_dir, key, op_col, order_col, txn=tag
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

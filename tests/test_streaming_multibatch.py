@@ -603,3 +603,77 @@ def test_stream_scd2_multibatch_history_checkpoint_loss_noops(spark, tmp_path):
         for r in TxTable(spark, dim_root).read().collect()
     )
     assert state2 == state
+
+
+def test_stream_cdc_apply_multibatch_replay_and_checkpoint_loss(spark, tmp_path):
+    """foreach_batch_cdc_apply: a change stream (insert/update/delete
+    rows with a source sequence) maintains a TxTable replica.
+    (a) Two landing files drain as separate exactly-once commits;
+    (b) a full replay over the SAME checkpoint no-ops;
+    (c) a checkpoint-LOSS replay (whole landing re-read as batch 0,
+    a DIFFERENT row set than any committed batch, so txn tags cannot
+    save it) still CONVERGES — full-state CDC rows are idempotent at
+    the row level (re-update to same values, delete of absent no-ops,
+    insert of a present key flips to the update clause)."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        foreach_batch_cdc_apply,
+    )
+
+    base = str(tmp_path)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    root = os.path.join(base, "replica")
+    TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)],
+            "k bigint, name string, price double",
+        ),
+    )
+    schema = "k bigint, name string, price double, _op string, _seq bigint"
+    b0 = spark.createDataFrame(
+        [(3, "c", 30.0, "insert", 1), (1, "A", 11.0, "update", 2)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(2, None, None, "delete", 3), (3, "C", 31.0, "update", 4)], schema
+    )
+    now = time.time()
+    for i, b in enumerate((b0, b1)):
+        tmp = os.path.join(base, f"tmp{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(landing, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (now - 100 + i * 30,) * 2)
+
+    def drain(chk, multi=True):
+        r = spark.readStream.schema(schema)
+        if multi:
+            r = r.option("maxFilesPerTrigger", "1")
+        q = foreach_batch_cdc_apply(
+            r.parquet(landing),
+            spark, root, "k", checkpoint=os.path.join(base, chk),
+        )
+        assert q.awaitTermination(300)
+
+    drain("chk")
+    t = TxTable(spark, root)
+    v1 = t.snapshot().version
+    want = [(1, "A", 11.0), (3, "C", 31.0)]
+    assert sorted((r.k, r.name, r.price) for r in t.read().collect()) == want
+    assert v1 == 3, "two batch commits after create"
+    drain("chk")  # same checkpoint: nothing new, no commit
+    assert TxTable(spark, root).snapshot().version == v1
+    # checkpoint loss, SAME batch splits (maxFilesPerTrigger=1): both
+    # tags are already committed — exactly-once via tags, no commit
+    drain("chk_lost_same")
+    assert TxTable(spark, root).snapshot().version == v1
+    # checkpoint loss, DIFFERENT split (whole landing as one batch):
+    # the union tag is new, so the batch re-applies — and converges,
+    # because full-state CDC rows are row-level idempotent
+    drain("chk_lost_union", multi=False)
+    t2 = TxTable(spark, root)
+    assert sorted((r.k, r.name, r.price) for r in t2.read().collect()) == want
+    assert t2.snapshot().version == v1 + 1, "one convergent re-apply commit"

@@ -1354,3 +1354,48 @@ def test_replace_range_prunes_search_and_matches_replace_where(spark, tmp_path):
     # bound-less call is a caller bug
     with pytest.raises(ValueError, match="at least one bound"):
         t.replace_range(_pdf(spark, [(1, "q", 1.0)]), "k")
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, name string, price double, _op string, _seq bigint"
+    )
+
+
+def test_cdc_apply_batch_collapses_and_applies_all_ops(spark, tmp_path):
+    """One CDC batch with within-batch key churn: last-seq op per key
+    wins (delete beats insert on a seq tie), then a single atomic
+    merge applies update/delete/insert; unmatched deletes no-op."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        cdc_apply_batch,
+    )
+
+    root = str(tmp_path / "t")
+    TxTable.create(
+        spark, root, _pdf(spark, [(1, "a", 10.0), (2, "b", 20.0)])
+    )
+    batch = _cdc(
+        spark,
+        [
+            (1, "zz", 0.0, "insert", 1),   # superseded by seq 2
+            (1, "A", 11.0, "update", 2),
+            (2, None, None, "delete", 1),
+            (3, "c", 30.0, "insert", 1),
+            (4, None, None, "delete", 1),  # never existed: no-op
+            (5, "e", 50.0, "insert", 3),
+            (5, None, None, "delete", 3),  # seq tie: delete wins
+        ],
+    )
+    res = cdc_apply_batch(spark, batch, root, "k", txn="b0")
+    assert res["updated"] == 1 and res["deleted"] == 1 and res["inserted"] == 1
+    got = sorted((r.k, r.name, r.price) for r in TxTable(spark, root).read().collect())
+    assert got == [(1, "A", 11.0), (3, "c", 30.0)]
+    # exact replay no-ops under the txn tag
+    res2 = cdc_apply_batch(spark, batch, root, "k", txn="b0")
+    assert res2["updated"] == 0 and res2["inserted"] == 0
+    # checkpoint-loss shape: re-apply WITHOUT the tag — full-state CDC
+    # rows converge (update to same values, delete of absent no-ops,
+    # insert of present key flips to update)
+    res3 = cdc_apply_batch(spark, batch, root, "k", txn=None)
+    got3 = sorted((r.k, r.name, r.price) for r in TxTable(spark, root).read().collect())
+    assert got3 == got, (res3, got3)
