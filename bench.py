@@ -95,6 +95,11 @@ HEADLINE = [
     # (7-9 s), probed and explained in PLANS.md round-8 instead.
     "q_graph_closure",
     "q_txtable_constraint",
+    # r8: full MERGE INTO — semi-join affected-file search with
+    # manifest-stats candidate pruning + one full-outer clause
+    # resolution (q_stream_cdc_apply stays out: micro-batch startup
+    # would dominate the measurement, like the other J-tier rows)
+    "q_txtable_merge",
 ]
 
 

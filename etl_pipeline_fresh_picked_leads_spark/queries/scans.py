@@ -812,31 +812,29 @@ def q_txtable_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
     )
     SELECT tk AS o_orderkey,
-           CASE WHEN sk IS NOT NULL
-                     AND COALESCE(sp > 150000, FALSE)
+           CASE WHEN sk IS NOT NULL AND sk % 5 < 3
                 THEN ss ELSE ts END AS o_orderstatus,
-           CASE WHEN sk IS NOT NULL
-                     AND COALESCE(sp > 150000, FALSE)
+           CASE WHEN sk IS NOT NULL AND sk % 5 < 3
                 THEN sp ELSE tp END AS o_totalprice
     FROM m
     WHERE NOT COALESCE(
-      sk IS NOT NULL
-      AND NOT COALESCE(sp > 150000, FALSE)
-      AND ts = 'F', FALSE)
+      sk IS NOT NULL AND NOT (sk % 5 < 3) AND tk % 7 = 0, FALSE)
     UNION ALL
     SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
     FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
-    WHERE t.o_orderkey IS NULL
-      AND COALESCE(s.o_totalprice <= 150000, FALSE)
+    WHERE t.o_orderkey IS NULL AND s.o_orderkey % 11 <> 0
     """,
 )
 def q_txtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO with the full Delta clause matrix (r8): target =
     even order keys, source = %3 keys re-priced (+1000, status 'M');
-    WHEN MATCHED AND s.price > 150k THEN UPDATE, WHEN MATCHED AND
-    t.status = 'F' THEN DELETE (only rows the update clause did not
+    WHEN MATCHED AND s.key%5<3 THEN UPDATE, WHEN MATCHED AND
+    t.key%7=0 THEN DELETE (only rows the update clause did not
     claim — clause order is part of the contract), WHEN NOT MATCHED
-    AND s.price <= 150k THEN INSERT.  The oracle re-derives the exact
+    AND s.key%11<>0 THEN INSERT.  Clause conditions are modular on
+    the dense key domain so every clause fires on ANY regenerated
+    corpus (id shifts preserve residue coverage — the r7/r8
+    regeneration-robustness discipline).  The oracle re-derives the exact
     final state declaratively (left join + null-safe clause CASEs +
     anti-join inserts).  In-query asserts pin: every clause fired,
     only files holding source keys were rewritten (file-granular
@@ -871,9 +869,9 @@ def q_txtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         src,
         "o_orderkey",
         update="all",
-        update_condition="s.o_totalprice > 150000",
-        delete_condition="t.o_orderstatus = 'F'",
-        insert_condition="s.o_totalprice <= 150000",
+        update_condition="s.o_orderkey % 5 < 3",
+        delete_condition="t.o_orderkey % 7 = 0",
+        insert_condition="s.o_orderkey % 11 <> 0",
         txn="merge-orders-1",
     )
     assert (
@@ -896,30 +894,41 @@ def q_txtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_txtable_replace_where",
     oracle="""
-    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
-    WHERE EXTRACT(YEAR FROM o_orderdate) <> 1997
+    WITH y AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr FROM orders
+      WHERE o_orderdate IS NOT NULL
+    ), p AS (
+      SELECT MAX(yr) AS pick FROM y
+      WHERE yr <= (SELECT MIN(yr) + (MAX(yr) - MIN(yr)) // 2 FROM y)
+    )
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders, p
+    WHERE EXTRACT(YEAR FROM o_orderdate) <> p.pick
        OR o_orderdate IS NULL
     UNION ALL
-    SELECT o_orderkey, o_orderdate, o_totalprice + 10 FROM orders
-    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    SELECT o_orderkey, o_orderdate, o_totalprice + 10 FROM orders, p
+    WHERE EXTRACT(YEAR FROM o_orderdate) = p.pick
     """,
 )
 def q_txtable_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta ``replaceWhere`` — dynamic slice overwrite (r8): orders
-    lands in three year-striped commits, then the 1997 slice is
-    atomically recomputed (+10 re-pricing) in ONE commit via
+    lands in up-to-three year-striped commits, then one year's slice
+    is atomically recomputed (+10 re-pricing) in ONE commit via
     ``replace_range``, whose affected-file search is manifest-pruned
-    (asserted: stats admit exactly the ONE 1997 file — no footer
-    outside the slice is opened).  Further asserts pin the 100 TB
-    contract: the two non-1997 files carry BY REFERENCE (cost ∝ the
-    replaced slice, never the table), an incoming row OUTSIDE the
-    predicate is refused loudly (Delta parity — it would silently
-    widen the overwrite; generic replace_where path), and a replayed
-    txn tag no-ops.  The oracle recomputes the final state from the
-    source table declaratively.  Parity note: the reference's only
-    overwrite is whole-table WRITE_TRUNCATE
-    (big_uery_handler.py:124-165); replace_where is the partition-
-    scoped form its date-ranged loads (R2) actually wanted."""
+    (asserted: stats admit exactly the ONE picked-year file — no
+    footer outside the slice is opened).  The picked year derives
+    from the data (greatest year present <= the min/max-year
+    midpoint, identical integer arithmetic in the oracle) so the
+    query survives regenerated testdata with any date span.  Further
+    asserts pin the 100 TB contract: every other file carries BY
+    REFERENCE (cost ∝ the replaced slice, never the table), an
+    incoming row OUTSIDE the predicate is refused loudly (Delta
+    parity — it would silently widen the overwrite; generic
+    replace_where path), and a replayed txn tag no-ops.  The oracle
+    recomputes the final state from the source table declaratively.
+    Parity note: the reference's only overwrite is whole-table
+    WRITE_TRUNCATE (big_uery_handler.py:124-165); replace_where is
+    the partition-scoped form its date-ranged loads (R2) actually
+    wanted."""
     import shutil
 
     from ..sources.txtable import TxTable
@@ -930,38 +939,52 @@ def q_txtable_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     yr = F.year("o_orderdate")
+    years = sorted(
+        r[0]
+        for r in o.filter(F.col("o_orderdate").isNotNull())
+        .select(yr)
+        .distinct()
+        .collect()
+    )
+    mid = years[0] + (years[-1] - years[0]) // 2
+    pick = max(y for y in years if y <= mid)
     t = TxTable.create(
         spark,
         root,
-        o.filter(yr < 1997).coalesce(1),
+        o.filter(yr == pick).coalesce(1),
         stats_cols=["o_orderdate"],
     )
-    t.append(o.filter(yr == 1997).coalesce(1))
-    t.append(o.filter(yr > 1997).coalesce(1))
+    for stripe in (o.filter(yr < pick), o.filter(yr > pick)):
+        if stripe.head(1):  # degenerate spans skip empty stripes
+            t.append(stripe.coalesce(1))
     before = set(t.snapshot().files)
-    try:
-        t.replace_where(
-            o.filter(yr == 1996).limit(1), yr == 1997, txn="rw-1997"
-        )
-        raise AssertionError("out-of-slice rows must be refused")
-    except ValueError:
-        pass
-    assert t.snapshot().version == 3, "refused replace must commit nothing"
-    repriced = o.filter(yr == 1997).withColumn(
+    v0 = t.snapshot().version
+    other = o.filter(yr != pick).limit(1)
+    if other.head(1):
+        try:
+            t.replace_where(other, yr == pick, txn=f"rw-{pick}")
+            raise AssertionError("out-of-slice rows must be refused")
+        except ValueError:
+            pass
+        assert t.snapshot().version == v0, "refused replace commits nothing"
+    repriced = o.filter(yr == pick).withColumn(
         "o_totalprice", F.col("o_totalprice") + 10
     )
-    lo, hi = "1997-01-01 00:00:00", "1997-12-31 23:59:59"
+    lo, hi = f"{pick}-01-01 00:00:00", f"{pick}-12-31 23:59:59"
     cand = t.files_in_range("o_orderdate", lo, hi)
     assert len(cand) == 1, (
-        f"manifest stats must admit only the 1997 file, got {len(cand)}"
+        f"manifest stats must admit only the {pick} file, got {len(cand)}"
     )
-    res = t.replace_range(repriced, "o_orderdate", lo, hi, txn="rw-1997")
+    res = t.replace_range(repriced, "o_orderdate", lo, hi, txn=f"rw-{pick}")
     assert res["deleted"] > 0 and res["inserted"] > 0, res
     carried = before & set(t.snapshot().files)
-    assert len(carried) == 2, (
-        f"non-1997 files must carry by reference, got {len(carried)}"
+    assert len(carried) == len(before) - 1, (
+        f"non-{pick} files must carry by reference: "
+        f"{len(carried)} of {len(before)}"
     )
-    replay = t.replace_range(repriced, "o_orderdate", lo, hi, txn="rw-1997")
+    replay = t.replace_range(
+        repriced, "o_orderdate", lo, hi, txn=f"rw-{pick}"
+    )
     assert replay == {
         "deleted": 0,
         "inserted": 0,

@@ -1399,3 +1399,23 @@ def test_cdc_apply_batch_collapses_and_applies_all_ops(spark, tmp_path):
     res3 = cdc_apply_batch(spark, batch, root, "k", txn=None)
     got3 = sorted((r.k, r.name, r.price) for r in TxTable(spark, root).read().collect())
     assert got3 == got, (res3, got3)
+
+
+def test_merge_source_derived_from_target_table(spark, tmp_path):
+    """Self-referential merge: the source is computed FROM the current
+    table state (the compact-and-reprice pattern).  The t/s aliasing
+    must keep the two lineages distinct through the full-outer clause
+    join."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _pdf(spark, [(1, "a", 10.0), (2, "b", 20.0)])
+    )
+    src = (
+        t.read()
+        .filter(F.col("k") == 1)
+        .withColumn("price", F.col("price") * 2)
+    )
+    res = t.merge(src, "k", insert=False)
+    assert res["updated"] == 1, res
+    got = sorted((r.k, r.price) for r in t.read().collect())
+    assert got == [(1, 20.0), (2, 20.0)]
