@@ -1528,18 +1528,23 @@ class TxTable:
                     "multiple source rows; deduplicate the source on "
                     f"{keys} first (Delta raises here too)"
                 )
-        t = hit.withColumn("_t_marker", F.lit(True)).alias("t")
-        s = src.withColumn("_s_marker", F.lit(True)).alias("s")
+        tm, sm = "_t_marker", "_s_marker"
+        while tm in cols or tm in extra:  # user column shaped like ours
+            tm = "_" + tm
+        while sm in cols or sm in extra:
+            sm = "_" + sm
+        t = hit.withColumn(tm, F.lit(True)).alias("t")
+        s = src.withColumn(sm, F.lit(True)).alias("s")
         join_cond = None
         for k in keys:
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             join_cond = c if join_cond is None else (join_cond & c)
         j = t.join(s, join_cond, "full_outer")
         matched = (
-            F.col("t._t_marker").isNotNull()
-            & F.col("s._s_marker").isNotNull()
+            F.col(f"t.{tm}").isNotNull()
+            & F.col(f"s.{sm}").isNotNull()
         )
-        src_only = F.col("t._t_marker").isNull()
+        src_only = F.col(f"t.{tm}").isNull()
         do_update = (
             matched
             & F.lit(update is not None)

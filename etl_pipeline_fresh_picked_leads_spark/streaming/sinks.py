@@ -238,10 +238,13 @@ def cdc_apply_batch(
         F.col(order_col).desc(),
         F.when(F.col(op_col) == "delete", 1).otherwise(0).desc(),
     )
+    rn = "_rn"
+    while rn in batch.columns:  # user column shaped like ours
+        rn = "_" + rn
     last = (
-        batch.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        batch.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
     return TxTable(spark, target_dir).merge(
         last.drop(order_col),

@@ -1419,3 +1419,21 @@ def test_merge_source_derived_from_target_table(spark, tmp_path):
     assert res["updated"] == 1, res
     got = sorted((r.k, r.price) for r in t.read().collect())
     assert got == [(1, 20.0), (2, 20.0)]
+
+
+def test_merge_on_table_with_marker_shaped_columns(spark, tmp_path):
+    """A user schema containing '_t_marker'/'_s_marker' must not
+    collide with merge's internal class flags."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, True, False)], "k bigint, _t_marker boolean, _s_marker boolean"
+    )
+    t = TxTable.create(spark, root, df)
+    src = spark.createDataFrame(
+        [(1, False, True), (2, True, True)],
+        "k bigint, _t_marker boolean, _s_marker boolean",
+    )
+    res = t.merge(src, "k")
+    assert res["updated"] == 1 and res["inserted"] == 1
+    got = sorted((r.k, r._t_marker, r._s_marker) for r in t.read().collect())
+    assert got == [(1, False, True), (2, True, True)]
