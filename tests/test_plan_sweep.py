@@ -24,7 +24,10 @@ PY_EVAL_ALLOWED = {
     "q_dedup_embed",
     "q_multimodal_features",
     "q_sim_join",
-    "q_sim_join_ivf",
+    # q_sim_join_ivf left this list in late r8: its Arrow blocked
+    # matmul still runs, but the exact pair frame is now persisted
+    # (one matmul for three consumers), so the FINAL plan shows
+    # InMemoryTableScan and the marker sits behind the cache boundary
     "q_sim_topk_vectorized",
     "q_udaf_pandas",
     "q_udf_cogroup",

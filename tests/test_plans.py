@@ -249,13 +249,22 @@ def test_ivf_join_final_plan_single_shuffle(spark):
         ivf_self_join,
     )
 
+    # pins=[] keeps cache lifetime with the test so the RETURNED frame
+    # is the real pipeline plan — pin-less calls self-release via
+    # localCheckpoint (r8 cache hygiene), which truncates the plan to
+    # Scan ExistingRDD and would make these asserts vacuous
+    pins: list = []
     df = ivf_self_join(
-        read_table(spark, SF_SMALL, "embeddings"), threshold=0.4
+        read_table(spark, SF_SMALL, "embeddings"), threshold=0.4, pins=pins
     )
-    plan = formatted_plan(df)
-    assert n_exchanges(df) <= 2, plan
-    assert has_broadcast_join(df)
-    assert "Python" not in plan and "Arrow" not in plan
+    try:
+        plan = formatted_plan(df)
+        assert n_exchanges(df) <= 2, plan
+        assert has_broadcast_join(df)
+        assert "Python" not in plan and "Arrow" not in plan
+    finally:
+        for p in pins:
+            p.unpersist()
 
 
 def test_cluster_star_bounded_lineage(spark):
