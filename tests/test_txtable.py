@@ -1437,3 +1437,39 @@ def test_merge_on_table_with_marker_shaped_columns(spark, tmp_path):
     assert res["updated"] == 1 and res["inserted"] == 1
     got = sorted((r.k, r._t_marker, r._s_marker) for r in t.read().collect())
     assert got == [(1, False, True), (2, True, True)]
+
+
+def test_merge_conflict_raises_and_commits_nothing(spark, tmp_path):
+    """A commit racing in between merge's snapshot and its commit must
+    surface TxConflictError (survivor lists derive from the snapshot,
+    so no auto-retry) and leave the table on the racer's state; the
+    caller's re-invoke then applies cleanly."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]))
+
+    class RacedTable(TxTable):
+        def _commit(self, *a, **kw):
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                TxTable(self.spark, self.root).append(
+                    _pdf(self.spark, [(9, "race", 90.0)])
+                )
+            return super()._commit(*a, **kw)
+
+    rt = RacedTable(spark, root)
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConflictError,
+    )
+
+    with pytest.raises(TxConflictError):
+        rt.merge(_pdf(spark, [(1, "A", 11.0)]), "k", txn="m1")
+    snap = TxTable(spark, root).snapshot()
+    assert snap.version == 2 and snap.op == "append", (
+        "create + racer append only"
+    )
+    got = sorted((r.k, r.name) for r in TxTable(spark, root).read().collect())
+    assert got == [(1, "a"), (9, "race")], "refused merge left no trace"
+    res = t.merge(_pdf(spark, [(1, "A", 11.0)]), "k", txn="m1")  # re-invoke
+    assert res["updated"] == 1
+    got = sorted((r.k, r.name) for r in t.read().collect())
+    assert got == [(1, "A"), (9, "race")]
