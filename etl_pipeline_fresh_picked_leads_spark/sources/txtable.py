@@ -118,7 +118,14 @@ class TxTable:
         manifest-level file skipping via ``read_range`` — the
         Delta/Iceberg data-skipping idea, and the difference between
         'open 10M footers' and 'read one manifest' on a key-range
-        query at 100 TB."""
+        query at 100 TB.
+
+        ``stats_cols`` is a TABLE property, not a handle property:
+        every commit records it in the manifest, and a handle built
+        WITHOUT it (a foreachBatch sink, a maintenance job) adopts the
+        committed value on first snapshot read — otherwise each fresh
+        writer would silently stop recording stats and erode the
+        pruning the table was created for (r8 review)."""
         self.spark = spark
         self.root = os.path.abspath(root)
         self.log_dir = os.path.join(self.root, _LOG_DIR)
@@ -171,6 +178,9 @@ class TxTable:
             version = versions[-1]
         with open(os.path.join(self.log_dir, _manifest_name(version))) as f:
             m = json.load(f)
+        if self.stats_cols is None and m.get("stats_cols"):
+            # adopt the table's committed stats policy (see __init__)
+            self.stats_cols = list(m["stats_cols"])
         return TxSnapshot(
             m["version"],
             m["op"],
@@ -582,6 +592,9 @@ class TxTable:
             "stats": stats,
             "dropped": dropped,
         }
+        if self.stats_cols:
+            # table property: fresh handles adopt it on snapshot read
+            manifest["stats_cols"] = list(self.stats_cols)
         if constraints is not None:
             manifest["constraints"] = constraints
         if colmap is not None:
@@ -1386,6 +1399,29 @@ class TxTable:
         )
 
     @staticmethod
+    def _conform_types(df: DataFrame, base: "TxSnapshot") -> DataFrame:
+        """Cast ``df``'s columns to the manifest schema's types where
+        they differ — a write whose column TYPE drifts from the
+        manifest (a merge update expression CaseWhen-coerced to
+        string, a replace batch built with a narrower type) would
+        otherwise land parquet files every later manifest-schema read
+        chokes on (the table is poisoned until a restore).  Casts run
+        under the session's ANSI mode, so a genuinely unconvertible
+        value fails THIS write loudly instead of corrupting the
+        table (r8 review)."""
+        from pyspark.sql.types import StructType
+
+        want = StructType.fromJson(json.loads(base.schema_json))
+        have = {f.name: f.dataType for f in df.schema.fields}
+        out = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if have.get(f.name) != f.dataType
+            else F.col(f.name)
+            for f in want.fields
+        ]
+        return df.select(*out)
+
+    @staticmethod
     def _merge_cond(cond, default: bool) -> Column:
         """Normalize a user WHEN-clause condition: None -> the clause's
         default, string -> F.expr over the t/s-aliased join, and NULL
@@ -1485,7 +1521,12 @@ class TxTable:
             bad = sorted(set(update) - set(cols))
             if bad:
                 raise ValueError(f"merge update targets unknown columns {bad}")
-        src = source.select(*cols, *extra)
+        # four consumers before the clause join materializes (key-bound
+        # agg, broadcast distinct keys, ambiguity check, the s side of
+        # the full outer) — a source derived from the table itself
+        # would re-run its whole lineage per job (CLAUDE.md trap)
+        src = source.select(*cols, *extra).persist()
+        src.count()
         cm = self._colmap_or_none(base)
         has_matched_clause = update is not None or delete_condition is not None
         bkeys = F.broadcast(src.select(*keys).distinct())
@@ -1523,6 +1564,7 @@ class TxTable:
                 .count()
             )
             if n_ambiguous:
+                src.unpersist()  # expected error path: release the pin
                 raise ValueError(
                     f"merge: {n_ambiguous} target row(s) matched by "
                     "multiple source rows; deduplicate the source on "
@@ -1595,6 +1637,7 @@ class TxTable:
                 survivors = list(base.files)
                 result = j.filter(do_insert).select(*out_cols)
             if changed or n_ins > 0:
+                result = self._conform_types(result, base)
                 self._validate_constraints(result, base, "merge")
                 new = self._write_data(result, cm)
             else:
@@ -1609,6 +1652,7 @@ class TxTable:
             )
         finally:
             j.unpersist()
+            src.unpersist()
         return {
             "updated": n_upd,
             "deleted": n_del,
@@ -1691,8 +1735,7 @@ class TxTable:
         if txn is not None and txn in self._committed_txns():
             return {"deleted": 0, "inserted": 0, "version": base.version}
         self._check_columns(df, base, "replace_where")
-        cols = [f["name"] for f in json.loads(base.schema_json)["fields"]]
-        df = df.select(*cols)
+        df = self._conform_types(df, base)
         n_ins, n_outside = df.agg(
             F.count(F.lit(1)),
             F.count(F.when(~F.coalesce(pred, F.lit(False)), 1)),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.fingerprint import df_fingerprint
 from ..sources.ingest import stamp_ingestion_date
 from ..sources.txtable import TxTable
 
@@ -278,10 +279,15 @@ def foreach_batch_cdc_apply(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return  # empty trigger: no commit, no tag
-        n, lo, hi = batch_df.agg(
-            F.count(F.lit(1)), F.min(order_col), F.max(order_col)
-        ).first()
-        tag = f"cdc|{n}:{lo}:{hi}"
+        # content fingerprint, NOT count/bounds: two different batches
+        # can share (n, min_seq, max_seq) — e.g. distinct rows inside
+        # one timestamp burst — and a non-unique tag would silently
+        # drop the second batch as a replay (r8 review).  Same
+        # order-insensitive (count, hash-sum) pair the SCD2 sink tags
+        # with; partition-layout-proof, so a re-split replay of the
+        # SAME rows still no-ops.
+        n, h = df_fingerprint(batch_df)
+        tag = f"cdc|{n}:{h}"
         cdc_apply_batch(
             spark, batch_df, target_dir, key, op_col, order_col, txn=tag
         )

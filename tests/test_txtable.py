@@ -1473,3 +1473,55 @@ def test_merge_conflict_raises_and_commits_nothing(spark, tmp_path):
     assert res["updated"] == 1
     got = sorted((r.k, r.name) for r in t.read().collect())
     assert got == [(1, "A"), (9, "race")]
+
+
+def test_merge_and_replace_conform_types_to_manifest_schema(spark, tmp_path):
+    """A dict-update expression (or replace batch) whose type drifts
+    from the manifest schema must NOT poison the table: the write
+    casts back to the manifest type (ANSI: unconvertible values fail
+    THIS write loudly), and every later read still works."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0), (2, "b", 20.0)]))
+    # CaseWhen(string, double) coerces to string without the conform
+    t.merge(
+        _pdf(spark, [(1, "a", 1.0)]),
+        "k",
+        update={"price": "CAST(42 AS INT)"},  # int, manifest says double
+        insert=False,
+    )
+    got = {r.k: r.price for r in t.read().collect()}
+    assert got == {1: 42.0, 2: 20.0}
+    assert dict(t.read().dtypes)["price"] == "double"
+    # replace path: narrower incoming type widens to the manifest's
+    narrow = spark.createDataFrame(
+        [(2, "b2", 9)], "k bigint, name string, price int"
+    )
+    t.replace_where(narrow, "k = 2")
+    assert dict(t.read().dtypes)["price"] == "double"
+    assert {r.k: r.price for r in t.read().collect()} == {1: 42.0, 2: 9.0}
+
+
+def test_stats_cols_persist_in_manifest_for_fresh_handles(spark, tmp_path):
+    """stats_cols is a table property: a handle built WITHOUT it (the
+    CDC/upsert sink shape) adopts the committed value on snapshot
+    read, so its commits keep recording per-file stats and pruning
+    never erodes."""
+    root = str(tmp_path / "t")
+    TxTable.create(
+        spark, root, _pdf(spark, [(1, "a", 1.0)]).coalesce(1),
+        stats_cols=["k"],
+    )
+    fresh = TxTable(spark, root)  # no stats_cols given
+    fresh.append(_pdf(spark, [(100, "z", 2.0)]).coalesce(1))
+    snap = fresh.snapshot()
+    assert fresh.stats_cols == ["k"]
+    new_file = [f for f in snap.files if f not in TxTable(spark, root).snapshot(1).files]
+    assert len(new_file) == 1
+    st = snap.stats[new_file[0]]
+    assert st["min"]["k"] == 100 and st["max"]["k"] == 100, st
+    # and pruning works through yet another fresh handle
+    again = TxTable(spark, root)
+    cand = again._candidate_files_for_keys(
+        again.snapshot(), _pdf(spark, [(100, "q", 1.0)]), ["k"]
+    )
+    assert len(cand) == 1
