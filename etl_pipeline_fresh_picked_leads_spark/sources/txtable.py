@@ -97,6 +97,9 @@ class TxSnapshot:
     max_id: int | None = None  # highest field id ever assigned
     constraints: dict | None = None  # CHECK constraints {name: sql_expr}
     # enforced on every data write; None/{} = unconstrained
+    stats_cols: tuple[str, ...] | None = None  # the table's committed
+    # stats policy (late r8): rides every manifest; stats-less handles
+    # adopt it, opt-out writers ([]) still carry it forward
 
 
 def _manifest_name(version: int) -> str:
@@ -193,6 +196,7 @@ class TxTable:
             tuple(m.get("retired_phys") or ()),
             m.get("max_id"),
             m.get("constraints"),
+            tuple(m["stats_cols"]) if m.get("stats_cols") else None,
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -592,9 +596,16 @@ class TxTable:
             "stats": stats,
             "dropped": dropped,
         }
-        if self.stats_cols:
-            # table property: fresh handles adopt it on snapshot read
-            manifest["stats_cols"] = list(self.stats_cols)
+        prop = (
+            list(self.stats_cols)
+            if self.stats_cols
+            else (list(base.stats_cols) if base and base.stats_cols else None)
+        )
+        if prop:
+            # table property: rides every commit (an opt-out writer
+            # records no stats for ITS files but must not erase the
+            # policy); fresh handles adopt it on snapshot read
+            manifest["stats_cols"] = prop
         if constraints is not None:
             manifest["constraints"] = constraints
         if colmap is not None:

@@ -731,13 +731,21 @@ def test_drop_column_cross_instance_stats_writer_self_heals(spark, tmp_path):
 def test_history_reports_unknown_rows_on_partial_stats(spark, tmp_path):
     """A stats-less writer's append leaves the manifest with bounds
     for only SOME files; history must report n_rows=None, never a
-    confidently wrong partial sum."""
+    confidently wrong partial sum.  Since stats_cols became a table
+    property (late r8), a DEFAULT handle adopts the committed value —
+    the stats-less writer here opts out explicitly (stats_cols=[],
+    the legacy/external-writer shape)."""
     root = str(tmp_path / "t")
     df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double")
     TxTable(spark, root, stats_cols=["k"]).overwrite(df.coalesce(1))
-    TxTable(spark, root).append(df.coalesce(1))  # stats-less writer
+    TxTable(spark, root, stats_cols=[]).append(df.coalesce(1))  # opt-out
     h = TxTable(spark, root).history()
     assert h[0]["n_rows"] is None and h[1]["n_rows"] == 2
+    # ...while a DEFAULT handle adopts the property and keeps stats
+    t = TxTable(spark, root)
+    t.append(df.coalesce(1))
+    assert t.history()[0]["n_rows"] is None  # partial files remain
+    assert t.stats_cols == ["k"]
 
 
 def test_no_match_mutation_commits_empty_version(spark, tmp_path):
