@@ -1973,6 +1973,63 @@ class TxTable:
 
     # ------------------------------------------------------- cleanup
 
+    def clone_to(self, new_root: str) -> "TxTable":
+        """SHALLOW CLONE (Delta parity): a new, independently-evolving
+        table whose v1 manifest references the SOURCE's current data
+        files BY PATH — metadata-sized at any table scale (one
+        manifest write, zero data copied).  The clone carries the
+        source head's schema, per-file stats, column mapping (+
+        retired physical names, so a re-add in the clone can never
+        alias an old source file's column), CHECK constraints and
+        stats policy; its version history starts fresh at v1.  Writes
+        to the clone copy-on-write into the CLONE's own data
+        directory — the source is never touched — and the clone's
+        ``vacuum`` only walks the clone's data dir, so it cannot GC
+        source files.  The one shared-fate hazard is Delta's own:
+        ``vacuum`` ON THE SOURCE can delete files the clone still
+        references (the clone's manifests are invisible to the
+        source's GC) — retain clones only alongside a source
+        retention policy that covers them, or ``compact()`` the clone
+        to re-materialize it onto its own files.  Typical uses:
+        zero-cost dev/test copies of a production table and
+        short-lived experiment branches.
+
+        Refuses a ``new_root`` that is already a table (cloning over
+        history would orphan it silently)."""
+        base = self._head()
+        if self.is_table(new_root):
+            raise ValueError(
+                f"clone target {new_root} is already a TxTable; "
+                "choose a fresh root"
+            )
+        out = TxTable(
+            self.spark,
+            new_root,
+            stats_cols=(
+                list(self.stats_cols) if self.stats_cols else None
+            ),
+        )
+        cm, retired, max_id = (
+            (list(base.colmap), list(base.retired), base.max_id)
+            if base.colmap is not None
+            else (None, None, None)
+        )
+        out._commit(
+            list(base.files),
+            "clone",
+            None,
+            schema_json=base.schema_json,
+            stats=dict(base.stats) if base.stats else None,
+            dropped=list(base.dropped),
+            colmap=cm,
+            retired=retired,
+            max_id=max_id,
+            constraints=(
+                dict(base.constraints) if base.constraints else None
+            ),
+        )
+        return out
+
     def vacuum(self, retain: int = 1, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files unreferenced by the newest ``retain``
         manifests and drop older manifests.  Crash-orphaned commit

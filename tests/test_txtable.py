@@ -1533,3 +1533,60 @@ def test_stats_cols_persist_in_manifest_for_fresh_handles(spark, tmp_path):
         again.snapshot(), _pdf(spark, [(100, "q", 1.0)]), ["k"]
     )
     assert len(cand) == 1
+
+
+def test_shallow_clone_metadata_only_and_independent(spark, tmp_path):
+    """clone_to: v1 references the SOURCE's files (no data copied),
+    then the two tables evolve independently — mutations on the clone
+    copy-on-write into the CLONE's data dir and never touch the
+    source; the clone's vacuum cannot GC source files."""
+    src_root, cl_root = str(tmp_path / "src"), str(tmp_path / "cl")
+    t = TxTable.create(
+        spark,
+        src_root,
+        _pdf(spark, [(1, "a", 10.0), (2, "b", 20.0)]).coalesce(1),
+        stats_cols=["k"],
+    )
+    t.append(_pdf(spark, [(3, "c", 30.0)]).coalesce(1))
+    c = t.clone_to(cl_root)
+    assert set(c.snapshot().files) == set(t.snapshot().files)
+    assert not os.path.isdir(c.data_dir) or not os.listdir(c.data_dir)
+    assert c.snapshot().version == 1 and c.snapshot().op == "clone"
+    assert c.stats_cols == ["k"], "stats policy carried"
+    got = sorted((r.k, r.name) for r in c.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # clone mutates independently; source state untouched
+    assert c.delete(F.col("k") == 1) == 1
+    c.append(_pdf(spark, [(9, "z", 90.0)]).coalesce(1))
+    assert sorted(r.k for r in c.read().collect()) == [2, 3, 9]
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    # clone vacuum walks only the clone's data dir
+    removed = c.vacuum(retain=1, min_age_seconds=0)
+    assert all(f.startswith(c.data_dir) for f in removed), removed
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    # stats carried: pruning works immediately on the clone
+    assert len(c.files_in_range("k", 2, 2)) < len(c.snapshot().files)
+    # refusing to clone over an existing table
+    with pytest.raises(ValueError, match="already a TxTable"):
+        t.clone_to(cl_root)
+
+
+def test_shallow_clone_carries_constraints_and_colmap(spark, tmp_path):
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+    )
+
+    src_root, cl_root = str(tmp_path / "src"), str(tmp_path / "cl")
+    t = TxTable.create(spark, src_root, _pdf(spark, [(1, "a", 10.0)]))
+    t.rename_column("price", "amount")  # materializes the colmap
+    t.add_constraint("amount_pos", "amount > 0")
+    c = t.clone_to(cl_root)
+    assert [x["name"] for x in c.snapshot().colmap] == ["k", "name", "amount"]
+    got = [(r.k, r.amount) for r in c.read().collect()]
+    assert got == [(1, 10.0)], "logical names resolve through the colmap"
+    with pytest.raises(TxConstraintViolation):
+        c.append(
+            spark.createDataFrame(
+                [(2, "b", -1.0)], "k bigint, name string, amount double"
+            )
+        )
