@@ -68,41 +68,39 @@ from . import tpch  # noqa: E402,F401
 # q_txtable_changefeed and q_text_decontaminate land here AND had r8
 # behavior changes); (d) the TWO new MERGE INTO / replaceWhere
 # queries; then (e) one J-tier streaming query from the r4 cohort.
-# The remaining r4 tail (six J-tier streaming rows displaced by the
-# new queries, dedup-cluster graph ops, C-tier joins, binary scans)
-# rotates in r9.
+# Round-9 rotation (VERDICT r8 #1): the ENTIRE 36-query cohort whose
+# newest driver-green row is r4 — the J-tier streaming set displaced
+# by r8's new queries, the 11 C-tier joins, q_agg_global, binary /
+# variant scans, the dedup-cluster graph ops, and the sketch/window
+# leftovers — plus 5 canaries fills 41 slots.  The remaining 9 go to
+# r9's new queries and the most-at-risk r5 tail (reshaped
+# q_embed_quantize, contract-oracle promotions, point-in-time /
+# null-safe joins).  After a green r9 run no registered query's
+# newest driver row predates r5.
 # tests/test_registry_drift.py enforces that nothing registered sits
 # outside both this window and the historical CORRECTNESS record.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # round-8 new queries (q_txtable_vacuum, q_sim_join_auto,
-    # q_dedup_embed_lsh and q_txtable_constraint took the slots of
-    # q_stream_stream_join / q_stream_static_join / q_stream_dedup /
-    # q_stream_watermark; those r4-green rows rejoin the rotation
-    # in r9)
-    "q_txtable_restore", "q_txtable_history", "q_txtable_rename",
-    "q_graph_closure", "q_txtable_vacuum", "q_sim_join_auto",
-    "q_dedup_embed_lsh", "q_txtable_constraint",
-    # round-8 behavior changes: TxTable column-mapping read/write paths
-    "q_txtable_timetravel", "q_txtable_zorder", "q_matview_incremental",
-    "q_scd2_merge", "q_stream_scd2",
-    # r3-last-verified tail, complete (29)
-    "q_dq_report", "q_filter_between", "q_filter_cmp", "q_filter_in",
-    "q_filter_like", "q_filter_null", "q_funnel_steps",
-    "q_ingest_reconcile", "q_ingest_stamp", "q_map_json_struct",
-    "q_pack_chunks", "q_project", "q_quality_filter",
-    "q_retention_cohorts", "q_sample_stratified", "q_scan_csv_infer",
-    "q_scan_json_infer", "q_scan_orc", "q_sessionize_batch",
-    "q_sql_interface", "q_str_fuzzy", "q_text_chunk",
-    "q_text_decontaminate", "q_text_pii_redact", "q_text_repetition",
-    "q_text_tfidf", "q_try_cast", "q_txtable_changefeed",
-    "q_udf_cogroup",
-    # round-8 MERGE INTO / replaceWhere / streaming-CDC additions
-    # (took the slots of q_stream_tumbling / q_stream_sliding /
-    # q_stream_session; those r4-green rows rejoin the rotation in r9)
-    "q_txtable_merge", "q_txtable_replace_where", "q_stream_cdc_apply",
+    # r4-last-verified cohort, complete (36)
+    "q_agg_global", "q_agg_histogram", "q_dedup_apply",
+    "q_dedup_cluster", "q_dedup_cluster_star", "q_geo_wkt",
+    "q_join_anti", "q_join_asof", "q_join_broadcast",
+    "q_join_bucketed", "q_join_cross", "q_join_full", "q_join_left",
+    "q_join_multikey", "q_join_range", "q_join_right", "q_join_semi",
+    "q_join_theta", "q_map_in_arrow", "q_multimodal_features",
+    "q_sample_pergroup", "q_scan_binaryfile",
+    "q_sketch_quantile_rollup", "q_stream_dedup", "q_stream_session",
+    "q_stream_sliding", "q_stream_stateful", "q_stream_static_join",
+    "q_stream_stream_join", "q_stream_tumbling", "q_stream_watermark",
+    "q_text_dup_spans", "q_time_strings", "q_udtf_lateral",
+    "q_variant_json", "q_win_percent_rank",
+    # r5 tail picks (displaced one-by-one by new r9 queries as they
+    # land): behavior-reshaped / contract-oracle / at-risk entries
+    "q_embed_quantize", "q_agg_approx_cd", "q_agg_percentile_approx",
+    "q_text_langid", "q_stream_session_timeout", "q_join_pointintime",
+    "q_join_nullsafe", "q_mix_temperature", "q_join_salted",
 ]
 
 

@@ -1513,6 +1513,15 @@ class TxTable:
                 "version": base.version,
             }
         extra = list(extra_source_cols or [])
+        cols = [f["name"] for f in json.loads(base.schema_json)["fields"]]
+        # clash check BEFORE _check_columns: an extra name that is also
+        # a table column must raise the intended ValueError, not a
+        # confusing missing-columns mismatch from the drop (ADVICE r8)
+        clash = sorted(set(extra) & set(cols))
+        if clash:
+            raise ValueError(
+                f"extra_source_cols collide with table columns: {clash}"
+            )
         if extra:
             missing = sorted(set(extra) - set(source.columns))
             if missing:
@@ -1522,12 +1531,6 @@ class TxTable:
             self._check_columns(source.drop(*extra), base, "merge")
         else:
             self._check_columns(source, base, "merge")
-        cols = [f["name"] for f in json.loads(base.schema_json)["fields"]]
-        clash = sorted(set(extra) & set(cols))
-        if clash:
-            raise ValueError(
-                f"extra_source_cols collide with table columns: {clash}"
-            )
         if isinstance(update, dict):
             bad = sorted(set(update) - set(cols))
             if bad:
@@ -2002,13 +2005,15 @@ class TxTable:
                 f"clone target {new_root} is already a TxTable; "
                 "choose a fresh root"
             )
-        out = TxTable(
-            self.spark,
-            new_root,
-            stats_cols=(
-                list(self.stats_cols) if self.stats_cols else None
-            ),
+        # the COMMITTED policy (base.stats_cols) wins: a stats-opt-out
+        # handle (stats_cols=[]) must still carry the table property
+        # into the clone's first manifest (ADVICE r8).
+        clone_stats = (
+            list(base.stats_cols)
+            if base.stats_cols
+            else (list(self.stats_cols) if self.stats_cols else None)
         )
+        out = TxTable(self.spark, new_root, stats_cols=clone_stats)
         cm, retired, max_id = (
             (list(base.colmap), list(base.retired), base.max_id)
             if base.colmap is not None

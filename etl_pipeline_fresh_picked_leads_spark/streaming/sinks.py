@@ -219,9 +219,12 @@ def cdc_apply_batch(
     batch (insert then delete, update then update...); only the row
     with the LAST ``order_col`` per key survives — ``order_col`` (a
     source LSN / event timestamp) is what makes replay deterministic,
-    so it is required.  Ties break on the op column (delete last) so a
-    same-sequence insert+delete converges on delete rather than on
-    partition luck.  The collapsed batch then merges:
+    so it is required.  Ties break on a TOTAL order — op precedence
+    (delete > update > insert), then a full-row hash — so ANY
+    same-sequence pair (insert+delete, but also insert+update with
+    different payloads) collapses identically on every replay, even a
+    checkpoint-loss re-split that repartitions the batch (ADVICE r8).
+    The collapsed batch then merges:
 
     - matched  & op <> delete -> UPDATE (whole row)
     - matched  & op =  delete -> DELETE
@@ -237,7 +240,11 @@ def cdc_apply_batch(
 
     w = W.partitionBy(key).orderBy(
         F.col(order_col).desc(),
-        F.when(F.col(op_col) == "delete", 1).otherwise(0).desc(),
+        F.when(F.col(op_col) == "delete", 2)
+        .when(F.col(op_col) == "update", 1)
+        .otherwise(0)
+        .desc(),
+        F.xxhash64(F.struct(*batch.columns)).desc(),
     )
     rn = "_rn"
     while rn in batch.columns:  # user column shaped like ours

@@ -1590,3 +1590,63 @@ def test_shallow_clone_carries_constraints_and_colmap(spark, tmp_path):
                 [(2, "b", -1.0)], "k bigint, name string, amount double"
             )
         )
+
+
+def test_clone_carries_stats_cols_from_optout_handle(spark, tmp_path):
+    """stats_cols is a TABLE property: a stats-opt-out handle
+    (stats_cols=[]) cloning the table must still carry the COMMITTED
+    policy into the clone's first manifest (ADVICE r8)."""
+    src_root, cl_root = str(tmp_path / "src"), str(tmp_path / "cl")
+    TxTable.create(
+        spark, src_root, _pdf(spark, [(1, "a", 10.0)]), stats_cols=["k"]
+    )
+    optout = TxTable(spark, src_root, stats_cols=[])
+    c = optout.clone_to(cl_root)
+    assert c.snapshot().stats_cols == ("k",), "committed policy carried"
+    # a fresh stats-less handle on the clone adopts it on first read
+    fresh = TxTable(spark, cl_root)
+    fresh.read().count()
+    assert fresh.stats_cols == ["k"]
+
+
+def test_merge_extra_source_col_clashing_table_column_raises(spark, tmp_path):
+    """An extra_source_cols name that is ALSO a table column must
+    surface as the intended clash ValueError, not a confusing
+    missing-columns schema mismatch (ADVICE r8)."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]))
+    src = _pdf(spark, [(1, "b", 11.0)])
+    with pytest.raises(ValueError, match="collide with table columns"):
+        t.merge(src, "k", update="all", extra_source_cols=["name"])
+
+
+def test_cdc_collapse_total_order_deterministic(spark, tmp_path):
+    """Same-sequence pairs collapse by a TOTAL order (op precedence,
+    then row hash), not partition luck: a seq-tied insert+update pair
+    lands the update payload on every replay, under any batch
+    partitioning (ADVICE r8)."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        cdc_apply_batch,
+    )
+
+    rows = [
+        (1, "ins-payload", 1.0, "insert", 7),
+        (1, "upd-payload", 2.0, "update", 7),  # same seq, op wins
+        (2, "x1", 1.0, "update", 3),
+        (2, "x2", 2.0, "update", 3),  # same seq+op: hash decides
+    ]
+    finals = []
+    for i, nparts in enumerate((1, 7, 32)):
+        root = str(tmp_path / f"t{i}")
+        TxTable.create(spark, root, _pdf(spark, [(2, "seed", 0.0)]))
+        batch = _cdc(spark, rows).repartition(nparts)
+        cdc_apply_batch(spark, batch, root, "k", txn=None)
+        finals.append(
+            sorted(
+                (r.k, r.name, r.price)
+                for r in TxTable(spark, root).read().collect()
+            )
+        )
+    assert finals[0] == finals[1] == finals[2], finals
+    assert ("1", "upd-payload") not in finals[0]  # type sanity
+    assert [r for r in finals[0] if r[0] == 1][0][1] == "upd-payload"
