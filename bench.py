@@ -100,7 +100,28 @@ HEADLINE = [
     # resolution (q_stream_cdc_apply stays out: micro-batch startup
     # would dominate the measurement, like the other J-tier rows)
     "q_txtable_merge",
+    # r9: merge-on-read mutations — sidecar write + anti-join read,
+    # the DV lifecycle (delete->compact->vacuum) end to end
+    "q_txtable_delete_dv",
 ]
+
+# The BENCH_r01 query set — a FIXED cross-round subtotal (VERDICT r8
+# item 7): the headline total grows every round as queries are added,
+# so `value` alone reads as a regression when it's really new
+# coverage.  baseline15_total is comparable across every round since
+# r1 without re-deriving the common subset by hand.
+BASELINE15 = [
+    "q_agg_group", "q_agg_rollup", "q_dedup_content_hash",
+    "q_dedup_fuzzy", "q_join_asof", "q_join_broadcast", "q_join_inner",
+    "q_join_theta", "q_pivot", "q_sim_topk", "q_stream_tumbling",
+    "q_text_quality", "q_text_tokens", "q_topk_pergroup",
+    "q_win_running",
+]
+
+# Last round's headline set (BENCH_r08), for the other fixed
+# comparison: common_prev_total isolates "did anything we both ran
+# get slower" from "we added 3 expensive new queries".
+PREV_HEADLINE = [q for q in HEADLINE if q != "q_txtable_delete_dv"]
 
 
 def build_outputs(
@@ -163,6 +184,14 @@ def build_outputs(
         "canary_sec": canary,
         "total_normalized": (
             round(total_steady / canary, 3) if canary else None
+        ),
+        # fixed cross-round subtotals (steady): the r1 query set and
+        # last round's headline set — see BASELINE15 / PREV_HEADLINE
+        "baseline15_total": round(
+            sum(steady.get(q, 0.0) for q in BASELINE15), 3
+        ),
+        "common_prev_total": round(
+            sum(steady.get(q, 0.0) for q in PREV_HEADLINE), 3
         ),
         "n_queries": len(steady),
         "n_errors": len(errors),

@@ -96,11 +96,12 @@ _DRIVER_WINDOW = [
     "q_stream_stream_join", "q_stream_tumbling", "q_stream_watermark",
     "q_text_dup_spans", "q_time_strings", "q_udtf_lateral",
     "q_variant_json", "q_win_percent_rank",
-    # r5 tail picks (displaced one-by-one by new r9 queries as they
-    # land): behavior-reshaped / contract-oracle / at-risk entries
+    # round-9 new queries: deletion-vector merge-on-read mutations
+    "q_txtable_delete_dv", "q_txtable_update_dv",
+    # r5 tail picks: behavior-reshaped / contract-oracle / at-risk
     "q_embed_quantize", "q_agg_approx_cd", "q_agg_percentile_approx",
     "q_text_langid", "q_stream_session_timeout", "q_join_pointintime",
-    "q_join_nullsafe", "q_mix_temperature", "q_join_salted",
+    "q_join_nullsafe",
 ]
 
 

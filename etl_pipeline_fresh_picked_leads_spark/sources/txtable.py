@@ -54,11 +54,20 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+# deletion-vector sidecar schema: plain data-file path + row ordinal
+# (parquet row_index) of each deleted row
+_DV_SCHEMA = "file string, pos bigint"
+_CLONES_DIR = "_clones"
 
 
 class TxConflictError(RuntimeError):
     """Another writer committed the same version first (optimistic
     concurrency loss).  Re-read the snapshot and retry."""
+
+
+class TxCloneFateError(RuntimeError):
+    """A source vacuum would delete files a live shallow clone still
+    references (silent data loss in Delta; loud here)."""
 
 
 class TxConstraintViolation(RuntimeError):
@@ -100,6 +109,12 @@ class TxSnapshot:
     stats_cols: tuple[str, ...] | None = None  # the table's committed
     # stats policy (late r8): rides every manifest; stats-less handles
     # adopt it, opt-out writers ([]) still carry it forward
+    dvs: dict | None = None  # deletion vectors (r9, merge-on-read):
+    # {data_file_path: [dv_parquet_paths]} — each DV parquet holds
+    # (file, pos) pairs naming rows DELETED from otherwise-untouched
+    # data files; every committed read anti-joins them out.  None/{} =
+    # no deletes pending (the identity fast path: plans and manifests
+    # stay bit-identical to the pre-DV era)
 
 
 def _manifest_name(version: int) -> str:
@@ -197,6 +212,7 @@ class TxTable:
             m.get("max_id"),
             m.get("constraints"),
             tuple(m["stats_cols"]) if m.get("stats_cols") else None,
+            m.get("dvs"),
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -212,7 +228,10 @@ class TxTable:
         if snap is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         return self._read_files(
-            list(snap.files), snap.schema_json, self._colmap_or_none(snap)
+            list(snap.files),
+            snap.schema_json,
+            self._colmap_or_none(snap),
+            dvs=dict(snap.dvs) if snap.dvs else None,
         )
 
     # ------------------------------------------------- column mapping
@@ -279,6 +298,7 @@ class TxTable:
         files: list,
         schema_json: str | None,
         colmap: list[dict] | None = None,
+        dvs: dict | None = None,
     ) -> DataFrame:
         """Every scan of committed files goes through here so the
         manifest schema governs even mixed-schema file sets (files
@@ -286,7 +306,13 @@ class TxTable:
         footer order — silently dropping the new column in a
         copy-on-write rewrite).  With a non-identity ``colmap`` the
         files are read under their PHYSICAL schema and projected back
-        to logical names (renames never rewrite data)."""
+        to logical names (renames never rewrite data).  With ``dvs``
+        (the snapshot's deletion vectors) rows named by a DV sidecar
+        are anti-joined out — the merge-on-read half of DELETE."""
+        live = self._live_dvs(files, dvs)
+        if live:
+            scanned = self._scan_with_pos(files, schema_json, colmap)
+            return self._anti_dv(scanned, live).drop("_fp", "_pos")
         reader = self.spark.read
         if schema_json is None:
             return reader.parquet(*files)
@@ -298,6 +324,76 @@ class TxTable:
         return self._phys_read(files, logical, colmap).select(
             *self._logical_select(logical, colmap)
         )
+
+    # ------------------------------------------------ deletion vectors
+
+    @staticmethod
+    def _live_dvs(files: list, dvs: dict | None) -> dict | None:
+        """The DV entries that apply to THIS file set, or None — the
+        None fast path keeps every DV-less read's plan (and every
+        pre-DV table's behavior) bit-identical."""
+        if not dvs:
+            return None
+        return {f: dvs[f] for f in files if f in dvs} or None
+
+    @staticmethod
+    def _dvs_of(snap: "TxSnapshot | None") -> dict | None:
+        return dict(snap.dvs) if snap is not None and snap.dvs else None
+
+    @staticmethod
+    def _norm_fp() -> Column:
+        """``_metadata.file_path`` is a URI (``file:/x`` or
+        ``file:///x``); manifests and DV sidecars store plain paths."""
+        return F.regexp_replace(F.col("_fp"), "^file:(//)?", "")
+
+    def _scan_with_pos(
+        self,
+        files: list,
+        schema_json: str | None,
+        colmap: list[dict] | None = None,
+    ) -> DataFrame:
+        """Snapshot scan carrying ``_fp`` (source file URI) and
+        ``_pos`` (``_metadata.row_index`` — the row's ordinal within
+        its immutable parquet file, the stable row identity DVs key
+        on).  Like ``_scan_with_fp``, metadata columns must be
+        projected before any join/filter and, under a colmap, before
+        the physical->logical projection."""
+        if schema_json is None or self._is_identity(colmap):
+            return (
+                self._read_files(files, schema_json)
+                .withColumn("_fp", F.col("_metadata.file_path"))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+            )
+        from pyspark.sql.types import StructType
+
+        logical = StructType.fromJson(json.loads(schema_json))
+        raw = (
+            self._phys_read(files, logical, colmap)
+            .withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+        )
+        return raw.select(
+            *self._logical_select(logical, colmap),
+            F.col("_fp"),
+            F.col("_pos"),
+        )
+
+    def _anti_dv(self, scanned: DataFrame, live: dict) -> DataFrame:
+        """Subtract DV-named rows from a ``_scan_with_pos`` frame: one
+        equi anti-join on (file, position).  The DV side is deleted
+        rows only — AQE broadcasts it when small (the scattered-
+        mutation common case); a huge accumulated DV set shuffles,
+        which is the signal to ``compact()`` and re-materialize."""
+        paths = sorted({p for v in live.values() for p in v})
+        dv = self.spark.read.schema(_DV_SCHEMA).parquet(*paths)
+        d = scanned.withColumn("_fpn", self._norm_fp()).alias("d")
+        out = d.join(
+            dv.alias("v"),
+            (F.col("d._fpn") == F.col("v.file"))
+            & (F.col("d._pos") == F.col("v.pos")),
+            "left_anti",
+        )
+        return out.drop("_fpn")
 
     def _phys_read(self, files, logical, colmap) -> DataFrame:
         from pyspark.sql.types import StructField, StructType
@@ -575,10 +671,20 @@ class TxTable:
         retired: list[str] | None = None,
         max_id: int | None = None,
         constraints: dict | None = None,
+        dvs: dict | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
         if dropped is None:  # dropped-name history rides every commit
             dropped = list(base.dropped) if base else []
+        if dvs is None and base is not None:
+            dvs = dict(base.dvs) if base.dvs else None
+        if dvs:
+            # DV entries are keyed by live data file: a rewrite that
+            # drops a file from the list physically materialized (or
+            # replaced) its deletes, so its vector entry retires with
+            # it — and vacuum then GCs the unreferenced DV parquet.
+            live = set(files)
+            dvs = {f: v for f, v in dvs.items() if f in live} or None
         if constraints is None and base is not None:
             constraints = base.constraints  # constraints ride every commit
         if colmap is None and base is not None:
@@ -608,6 +714,8 @@ class TxTable:
             manifest["stats_cols"] = prop
         if constraints is not None:
             manifest["constraints"] = constraints
+        if dvs:
+            manifest["dvs"] = dvs
         if colmap is not None:
             manifest["colmap"] = colmap
             manifest["retired_phys"] = retired or []
@@ -1026,7 +1134,14 @@ class TxTable:
         if version == base.version:
             return base.version
         target = self.snapshot(version)  # raises if vacuumed/missing
-        missing = [f for f in target.files if not os.path.exists(f)]
+        t_dv_paths = sorted(
+            {p for v in (target.dvs or {}).values() for p in v}
+        )
+        missing = [
+            f
+            for f in [*target.files, *t_dv_paths]
+            if not os.path.exists(f)
+        ]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore {self.root} to v{version}: "
@@ -1071,6 +1186,10 @@ class TxTable:
             # when the target predates constraints, else _commit would
             # re-inherit the head's.
             constraints=dict(target.constraints or {}),
+            # deletion vectors are STATE, not policy: the target's
+            # vectors restore with its file list ({} when it had none
+            # — _commit would otherwise re-inherit the head's)
+            dvs=self._dvs_of(target) or {},
             **kwargs,
         )
 
@@ -1089,7 +1208,16 @@ class TxTable:
         processed MUST pin — against the live head, a commit landing
         between "note the head version" and "read the delta" would be
         consumed now but re-delivered next cycle (the matview
-        double-count race)."""
+        double-count race).
+
+        Deletion vectors (r9): the head's DVs are applied to the
+        DELIVERED files (a row appended then DV-deleted inside the
+        window is never delivered — consistent with the head state),
+        but DV deletes on files the consumer already saw are NOT
+        retracted — an add-only feed cannot express deletion, the same
+        restore caveat above.  ``delete_dv``/``update_dv`` are
+        non-append ops, so matview's incremental fast path already
+        falls back to a full recompute when one intervenes."""
         old = self.snapshot(version)
         head = self.snapshot(until)
         if old is None or head is None:
@@ -1105,7 +1233,10 @@ class TxTable:
             )
             return self.spark.createDataFrame([], schema)
         return self._read_files(
-            new_files, head.schema_json, self._colmap_or_none(head)
+            new_files,
+            head.schema_json,
+            self._colmap_or_none(head),
+            dvs=self._dvs_of(head),
         )
 
     # ------------------------------------------------- file skipping
@@ -1188,7 +1319,10 @@ class TxTable:
             )
             return self.spark.createDataFrame([], schema)
         df = self._read_files(
-            files, snap.schema_json, self._colmap_or_none(snap)
+            files,
+            snap.schema_json,
+            self._colmap_or_none(snap),
+            dvs=self._dvs_of(snap),
         )
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
@@ -1246,12 +1380,20 @@ class TxTable:
         files,
         schema_json: str | None = None,
         colmap: list[dict] | None = None,
+        dvs: dict | None = None,
     ) -> DataFrame:
         """Snapshot scan carrying each row's source file as a regular
         column.  ``_metadata`` resolves only directly against the file
         source, so it must be projected here, before any join/filter —
         and, under a non-identity colmap, before the physical->logical
-        projection."""
+        projection.  ``dvs`` subtracts deletion-vector rows, so a file
+        whose only predicate matches are already-deleted rows is never
+        reported affected."""
+        live = self._live_dvs(list(files), dvs)
+        if live:
+            return self._anti_dv(
+                self._scan_with_pos(files, schema_json, colmap), live
+            ).drop("_pos")
         if schema_json is None or self._is_identity(colmap):
             return self._read_files(files, schema_json).withColumn(
                 "_fp", F.col("_metadata.file_path")
@@ -1277,6 +1419,69 @@ class TxTable:
         rows = pred_df.select("_fp").distinct().collect()
         return sorted(urlparse(r._fp).path for r in rows)
 
+    @staticmethod
+    def _pure_append_between(old: TxSnapshot, new: TxSnapshot) -> bool:
+        """True when the commits separating two snapshots only ADDED
+        data files: nothing removed, schema / constraints / column
+        mapping / deletion vectors untouched.  That is the one
+        interleaving a snapshot-derived mutation can safely replay
+        against — the appended rows simply don't participate in a
+        mutation whose read set predates them (Delta's
+        WriteSerializable conflict matrix: blind appends don't
+        conflict with update/delete/merge)."""
+        return (
+            set(old.files) <= set(new.files)
+            and new.schema_json == old.schema_json
+            and (new.constraints or {}) == (old.constraints or {})
+            and new.colmap == old.colmap
+            and (new.dvs or {}) == (old.dvs or {})
+        )
+
+    def _commit_vs_appends(
+        self,
+        base: TxSnapshot,
+        op: str,
+        affected: set,
+        new: list[str],
+        txn: str | None = None,
+        dvs: dict | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Commit a snapshot-derived mutation (survivors = base.files
+        minus ``affected``, plus ``new``), auto-resolving lost races
+        against PURE-APPEND commits: the racing appends' files join
+        the survivor list and the same already-written outputs
+        re-commit — no recomputation, because ``_pure_append_between``
+        guarantees everything the mutation derived from (its read
+        set, the schema, constraints, colmap, DVs) is untouched.  Any
+        other interleaving still raises TxConflictError for the
+        caller to re-invoke (their survivor/DV decisions would be
+        stale).  Delta caveat mirrored: a racing blind append CAN
+        land rows a just-committed upsert/merge would have claimed
+        (duplicate keys) — WriteSerializable, not Serializable."""
+        cm = self._colmap_or_none(base)
+        for attempt in range(max_retries + 1):
+            survivors = [f for f in base.files if f not in affected]
+            try:
+                return self._commit(
+                    survivors + new,
+                    op,
+                    base,
+                    txn=txn,
+                    schema_json=base.schema_json,
+                    stats=self._merged_stats(base, survivors, new, cm),
+                    dvs=dvs,
+                )
+            except TxConflictError:
+                nb = self.snapshot()
+                if txn is not None and txn in self._committed_txns():
+                    return nb.version  # our twin's replay landed it
+                if attempt == max_retries or not self._pure_append_between(
+                    base, nb
+                ):
+                    raise
+                base = nb
+
     def _rewrite_affected(
         self, where: Column, op: str, transform, validate: bool = False
     ) -> int:
@@ -1291,41 +1496,34 @@ class TxTable:
         Delta Lake commits an empty transaction here for the same
         reason).  Returns the number of matching rows.
 
-        Concurrency: a commit racing in between snapshot and commit
-        raises TxConflictError and is NOT auto-retried — unlike
-        append/overwrite, a rewrite's survivor list derives FROM the
-        snapshot, so a safe retry must redo the affected-file scan
-        against the new base; callers re-invoke."""
+        Concurrency (r9 conflict matrix): a lost race against
+        PURE-APPEND commits auto-resolves — the appended files join
+        the survivor list, nothing recomputes (``_commit_vs_appends``).
+        Any other interleaving raises TxConflictError: the survivor
+        list derives FROM the snapshot, so a safe retry would have to
+        redo the affected-file scan against the new base — callers
+        re-invoke."""
         base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         cm = self._colmap_or_none(base)
         affected = self._affected_files(
-            self._scan_with_fp(base.files, base.schema_json, cm).filter(where)
+            self._scan_with_fp(
+                base.files, base.schema_json, cm, dvs=self._dvs_of(base)
+            ).filter(where)
         )
         if not affected:
-            self._commit(
-                list(base.files),
-                op,
-                base,
-                schema_json=base.schema_json,
-                stats=self._merged_stats(base, list(base.files), []),
-            )
+            self._commit_vs_appends(base, op, set(), [])
             return 0
-        hit = self._read_files(affected, base.schema_json, cm)
+        hit = self._read_files(
+            affected, base.schema_json, cm, dvs=self._dvs_of(base)
+        )
         n = hit.filter(where).count()
-        survivors = [f for f in base.files if f not in set(affected)]
         rewritten = transform(hit)
         if validate:  # UPDATE can move rows INTO violation; DELETE can't
             self._validate_constraints(rewritten, base, op)
         new = self._write_data(rewritten, cm)
-        self._commit(
-            survivors + new,
-            op,
-            base,
-            schema_json=base.schema_json,
-            stats=self._merged_stats(base, survivors, new, cm),
-        )
+        self._commit_vs_appends(base, op, set(affected), new)
         return n
 
     def update(self, where: Column, set_map: dict[str, Column]) -> int:
@@ -1360,6 +1558,109 @@ class TxTable:
             lambda hit: hit.filter(~where.eqNullSafe(F.lit(True))),
         )
 
+    def _write_dv(self, dv_df: DataFrame) -> list[str]:
+        """Materialize a (file, pos) frame as an immutable DV sidecar
+        commit directory; returns its parquet part paths."""
+        out = os.path.join(self.data_dir, uuid.uuid4().hex)
+        dv_df.select(
+            F.col("file").cast("string").alias("file"),
+            F.col("pos").cast("bigint").alias("pos"),
+        ).write.mode("error").parquet(out)
+        return sorted(
+            os.path.join(out, n)
+            for n in os.listdir(out)
+            if n.endswith(".parquet")
+        )
+
+    def _matches_with_pos(self, base: TxSnapshot, where: Column) -> DataFrame:
+        """Live (not-already-deleted) rows matching ``where``, carrying
+        ``_fp``/``_pos`` row identity — the shared front half of the
+        merge-on-read mutations."""
+        cm = self._colmap_or_none(base)
+        scanned = self._scan_with_pos(list(base.files), base.schema_json, cm)
+        live = self._live_dvs(list(base.files), self._dvs_of(base))
+        if live:
+            scanned = self._anti_dv(scanned, live)
+        return scanned.filter(where)
+
+    def _dv_commit(
+        self, base: TxSnapshot, op: str, matched: DataFrame, new: list[str]
+    ) -> int:
+        """Write the DV sidecar for ``matched`` (persisted, non-empty)
+        and commit: same data files (+ optionally ``new`` appended
+        ones), each affected file's vector extended — never a data-file
+        rewrite.  Per-file row-count stats become upper bounds once a
+        file carries a DV; min/max stay sound (a DV only removes rows),
+        so manifest pruning is unaffected."""
+        dv_rows = matched.select(
+            self._norm_fp().alias("file"), F.col("_pos").alias("pos")
+        )
+        dv_files = self._write_dv(dv_rows)
+        affected = sorted(
+            r.file for r in dv_rows.select("file").distinct().collect()
+        )
+        dvs = self._dvs_of(base) or {}
+        for f in affected:
+            dvs[f] = list(dvs.get(f, [])) + dv_files
+        return self._commit_vs_appends(base, op, set(), new, dvs=dvs)
+
+    def delete_dv(self, where: Column) -> int:
+        """Merge-on-read DELETE (Delta deletion vectors): matching rows
+        are recorded in a (file, row-position) sidecar and subtracted
+        from every subsequent read — NO data file is rewritten.  At
+        100 TB with scattered small mutations this is the difference
+        between a few-KB sidecar write and rewriting a 1 GB file per
+        touched row (copy-on-write amplification, VERDICT r8 #2); the
+        read-side cost is one anti-join against the accumulated DV
+        set, reclaimed by the next ``compact()``/rewrite of the file
+        (which materializes the deletes and retires the vector).
+        Same SQL semantics as ``delete``: NULL-predicate rows survive,
+        already-deleted rows don't double-count, a zero-match call
+        commits an empty-change version.  Returns rows deleted."""
+        base = self._head()
+        matched = self._matches_with_pos(base, where).persist()
+        try:
+            n = matched.count()
+            if n == 0:
+                self._commit_vs_appends(base, "delete_dv", set(), [])
+                return 0
+            self._dv_commit(base, "delete_dv", matched, [])
+            return n
+        finally:
+            matched.unpersist()
+
+    def update_dv(self, where: Column, set_map: dict[str, Column]) -> int:
+        """Merge-on-read UPDATE: matched rows are DV-deleted in place
+        and their updated images APPEND as fresh files — the old data
+        files are never rewritten (Delta's DV update path).  Cost ∝
+        matched rows, not touched-file bytes: the CoW ``update`` of a
+        single row in a 1 GB file rewrites the GB; this writes one
+        sidecar plus one matched-rows-sized file.  CHECK constraints
+        gate the updated images (an update can move rows INTO
+        violation); a zero-match call commits an empty-change version
+        BEFORE validation, like ``update``.  Returns rows updated."""
+        base = self._head()
+        cols = [f["name"] for f in json.loads(base.schema_json)["fields"]]
+        bad = sorted(set(set_map) - set(cols))
+        if bad:
+            raise ValueError(f"update_dv targets unknown columns {bad}")
+        matched = self._matches_with_pos(base, where).persist()
+        try:
+            n = matched.count()
+            if n == 0:
+                self._commit_vs_appends(base, "update_dv", set(), [])
+                return 0
+            updated = matched
+            for col_name, value in set_map.items():
+                updated = updated.withColumn(col_name, value)
+            updated = self._conform_types(updated.select(*cols), base)
+            self._validate_constraints(updated, base, "update_dv")
+            new = self._write_data(updated, self._colmap_or_none(base))
+            self._dv_commit(base, "update_dv", matched, new)
+            return n
+        finally:
+            matched.unpersist()
+
     def upsert(self, batch: DataFrame, key: str) -> int:
         """MERGE keyed by ``key``: batch rows replace existing rows
         with the same key, new keys append.  Only files containing a
@@ -1385,29 +1686,22 @@ class TxTable:
         candidates = self._candidate_files_for_keys(base, batch, [key])
         affected = (
             self._affected_files(
-                self._scan_with_fp(candidates, base.schema_json, cm).join(
-                    keys, key, "left_semi"
-                )
+                self._scan_with_fp(
+                    candidates, base.schema_json, cm, dvs=self._dvs_of(base)
+                ).join(keys, key, "left_semi")
             )
             if candidates
             else []
         )
         if affected:
-            kept = self._read_files(affected, base.schema_json, cm).join(
-                keys, key, "left_anti"
-            )
+            kept = self._read_files(
+                affected, base.schema_json, cm, dvs=self._dvs_of(base)
+            ).join(keys, key, "left_anti")
             new_data = kept.unionByName(batch.select(*kept.columns))
         else:
             new_data = batch
-        survivors = [f for f in base.files if f not in set(affected)]
         new = self._write_data(new_data, cm)
-        return self._commit(
-            survivors + new,
-            "upsert",
-            base,
-            schema_json=base.schema_json,
-            stats=self._merged_stats(base, survivors, new, cm),
-        )
+        return self._commit_vs_appends(base, "upsert", set(affected), new)
 
     @staticmethod
     def _conform_types(df: DataFrame, base: "TxSnapshot") -> DataFrame:
@@ -1490,9 +1784,10 @@ class TxTable:
         ``txn`` the merge is exactly-once under replay (checked BEFORE
         validation, like append).  A merge that changes nothing still
         commits an empty-change version (Delta parity, predictable
-        ``restore``/``history`` arithmetic).  Conflicts are NOT
-        auto-retried — the survivor list derives from the snapshot, so
-        callers re-invoke (the txn tag makes that safe).
+        ``restore``/``history`` arithmetic).  A lost race against
+        pure-append commits auto-resolves (r9, ``_commit_vs_appends``);
+        any other conflict raises — the survivor list derives from the
+        snapshot, so callers re-invoke (the txn tag makes that safe).
 
         Returns ``{"updated", "deleted", "inserted", "version"}``.
 
@@ -1547,15 +1842,17 @@ class TxTable:
         candidates = self._candidate_files_for_keys(base, src, keys)
         affected = (
             self._affected_files(
-                self._scan_with_fp(candidates, base.schema_json, cm).join(
-                    bkeys, keys, "left_semi"
-                )
+                self._scan_with_fp(
+                    candidates, base.schema_json, cm, dvs=self._dvs_of(base)
+                ).join(bkeys, keys, "left_semi")
             )
             if candidates
             else []
         )
         if affected:
-            hit = self._read_files(affected, base.schema_json, cm)
+            hit = self._read_files(
+                affected, base.schema_json, cm, dvs=self._dvs_of(base)
+            )
         else:
             from pyspark.sql.types import StructType
 
@@ -1641,14 +1938,10 @@ class TxTable:
             ).first()
             changed = (n_upd + n_del) > 0
             if changed:
-                survivors = [
-                    f for f in base.files if f not in set(affected)
-                ]
                 result = j.filter(keep).select(*out_cols)
             else:
                 # matched clauses fired nowhere: carry ALL base files by
                 # reference, write only the inserts
-                survivors = list(base.files)
                 result = j.filter(do_insert).select(*out_cols)
             if changed or n_ins > 0:
                 result = self._conform_types(result, base)
@@ -1656,13 +1949,12 @@ class TxTable:
                 new = self._write_data(result, cm)
             else:
                 new = []  # empty-change version, Delta parity
-            version = self._commit(
-                survivors + new,
-                "merge",
+            version = self._commit_vs_appends(
                 base,
+                "merge",
+                set(affected) if changed else set(),
+                new,
                 txn=txn,
-                schema_json=base.schema_json,
-                stats=self._merged_stats(base, survivors, new, cm),
             )
         finally:
             j.unpersist()
@@ -1693,9 +1985,10 @@ class TxTable:
         where the predicate is not TRUE raise ValueError and commit
         NOTHING.  Target rows with a NULL predicate are KEPT (SQL
         DELETE semantics).  With ``txn`` the replace is exactly-once
-        under replay (checked before validation).  Conflicts are NOT
-        auto-retried — the survivor list derives from the snapshot;
-        callers re-invoke (safe under the txn tag).
+        under replay (checked before validation).  A lost race against
+        pure-append commits auto-resolves (r9); any other conflict
+        raises — the survivor list derives from the snapshot; callers
+        re-invoke (safe under the txn tag).
 
         Returns ``{"deleted", "inserted", "version"}``."""
         return self._replace_impl(df, where, txn, None)
@@ -1766,29 +2059,25 @@ class TxTable:
         affected = (
             self._affected_files(
                 self._scan_with_fp(
-                    search, base.schema_json, cm
+                    search, base.schema_json, cm, dvs=self._dvs_of(base)
                 ).filter(pred)
             )
             if search
             else []
         )
         if affected:
-            hit = self._read_files(affected, base.schema_json, cm)
+            hit = self._read_files(
+                affected, base.schema_json, cm, dvs=self._dvs_of(base)
+            )
             n_del = hit.filter(pred).count()
             kept = hit.filter(~pred.eqNullSafe(F.lit(True)))
             new_data = kept.unionByName(df)
         else:
             n_del = 0
             new_data = df
-        survivors = [f for f in base.files if f not in set(affected)]
         new = self._write_data(new_data, cm) if (affected or n_ins) else []
-        version = self._commit(
-            survivors + new,
-            "replace_where",
-            base,
-            txn=txn,
-            schema_json=base.schema_json,
-            stats=self._merged_stats(base, survivors, new, cm),
+        version = self._commit_vs_appends(
+            base, "replace_where", set(affected), new, txn=txn
         )
         return {"deleted": n_del, "inserted": n_ins, "version": version}
 
@@ -1935,7 +2224,9 @@ class TxTable:
         if cluster_by:
             total = sum(os.path.getsize(f) for f in base.files)
             n_out = max(1, -(-total // target_bytes))  # ceil
-            full = self._read_files(list(base.files), base.schema_json, cm)
+            full = self._read_files(
+                list(base.files), base.schema_json, cm, dvs=self._dvs_of(base)
+            )
             if zorder and len(cluster_by) >= 2:
                 keyed = full.withColumn(
                     "_zk", self._zorder_key(full, cluster_by)
@@ -1962,7 +2253,7 @@ class TxTable:
             total = sum(os.path.getsize(f) for f in small)
             n_out = max(1, -(-total // target_bytes))  # ceil
             packed = self._read_files(
-                small, base.schema_json, cm
+                small, base.schema_json, cm, dvs=self._dvs_of(base)
             ).repartition(n_out)
             survivors = [f for f in base.files if f not in set(small)]
         new = self._write_data(packed, cm)
@@ -1988,14 +2279,15 @@ class TxTable:
         to the clone copy-on-write into the CLONE's own data
         directory — the source is never touched — and the clone's
         ``vacuum`` only walks the clone's data dir, so it cannot GC
-        source files.  The one shared-fate hazard is Delta's own:
-        ``vacuum`` ON THE SOURCE can delete files the clone still
-        references (the clone's manifests are invisible to the
-        source's GC) — retain clones only alongside a source
-        retention policy that covers them, or ``compact()`` the clone
-        to re-materialize it onto its own files.  Typical uses:
-        zero-cost dev/test copies of a production table and
-        short-lived experiment branches.
+        source files.  The shared-fate hazard in the other direction
+        (source ``vacuum`` GC-ing files the clone still references —
+        silent data loss in Delta) is GUARDED here (r9): every clone
+        drops a marker under the source's log dir, and the source's
+        ``vacuum`` refuses to delete a file a live clone references
+        unless forced — ``compact()`` the clone to re-materialize it
+        onto its own files first.  Typical uses: zero-cost dev/test
+        copies of a production table and short-lived experiment
+        branches.
 
         Refuses a ``new_root`` that is already a table (cloning over
         history would orphan it silently)."""
@@ -2032,10 +2324,45 @@ class TxTable:
             constraints=(
                 dict(base.constraints) if base.constraints else None
             ),
+            dvs=self._dvs_of(base) or {},
         )
+        # register the clone with the SOURCE so vacuum can see it:
+        # one marker file per clone (append-only, race-free)
+        cdir = os.path.join(self.log_dir, _CLONES_DIR)
+        os.makedirs(cdir, exist_ok=True)
+        with open(os.path.join(cdir, f"{uuid.uuid4().hex}.json"), "w") as f:
+            json.dump({"root": out.root}, f)
         return out
 
-    def vacuum(self, retain: int = 1, min_age_seconds: float = 3600.0) -> list[str]:
+    def _clone_roots(self) -> list[str]:
+        """Roots of clones registered against this table, pruning
+        markers whose clone no longer exists (deleted from disk)."""
+        cdir = os.path.join(self.log_dir, _CLONES_DIR)
+        if not os.path.isdir(cdir):
+            return []
+        roots = []
+        for name in sorted(os.listdir(cdir)):
+            path = os.path.join(cdir, name)
+            try:
+                with open(path) as f:
+                    root = json.load(f)["root"]
+            except (OSError, ValueError, KeyError):
+                continue
+            if self.is_table(root):
+                roots.append(root)
+            else:
+                try:  # stale marker: the clone was deleted
+                    os.unlink(path)
+                except OSError:
+                    pass
+        return roots
+
+    def vacuum(
+        self,
+        retain: int = 1,
+        min_age_seconds: float = 3600.0,
+        force: bool = False,
+    ) -> list[str]:
         """Delete data files unreferenced by the newest ``retain``
         manifests and drop older manifests.  Crash-orphaned commit
         directories (written but never referenced) go too — but only
@@ -2048,7 +2375,14 @@ class TxTable:
         ``min_age_seconds=0`` only when no writer can be concurrent.
         Dropping a manifest forgets its txn tag, so keep ``retain``
         larger than any writer's possible replay horizon (the same
-        contract Delta VACUUM has with idempotent-writer history)."""
+        contract Delta VACUUM has with idempotent-writer history).
+
+        Clone guard (r9): a file still referenced by a LIVE registered
+        shallow clone (``clone_to``'s marker registry) refuses to be
+        deleted — TxCloneFateError names the clone; ``force=True``
+        overrides (the Delta behavior, where this is silent data
+        loss).  ``compact()`` the clone to re-materialize it onto its
+        own files, or delete the clone, then vacuum."""
         import shutil
         import time
 
@@ -2059,9 +2393,27 @@ class TxTable:
         referenced: set[str] = set()
         for v in keep_versions:
             with open(os.path.join(self.log_dir, _manifest_name(v))) as f:
-                referenced.update(json.load(f)["files"])
+                m = json.load(f)
+                referenced.update(m["files"])
+                for dv_paths in (m.get("dvs") or {}).values():
+                    referenced.update(dv_paths)
+        clone_refs: dict[str, str] = {}  # file -> clone root holding it
+        if not force:
+            for croot in self._clone_roots():
+                clone = TxTable(self.spark, croot)
+                for cv in clone._versions():
+                    with open(
+                        os.path.join(clone.log_dir, _manifest_name(cv))
+                    ) as f:
+                        cman = json.load(f)
+                    for fp in cman["files"]:
+                        clone_refs.setdefault(fp, croot)
+                    for dvp in (cman.get("dvs") or {}).values():
+                        for fp in dvp:
+                            clone_refs.setdefault(fp, croot)
         now = time.time()
         removed: list[str] = []
+        doomed: list[tuple[str, set[str]]] = []
         if os.path.isdir(self.data_dir):
             for commit_dir in os.listdir(self.data_dir):
                 cdir = os.path.join(self.data_dir, commit_dir)
@@ -2071,14 +2423,29 @@ class TxTable:
                     if n.endswith(".parquet")
                 }
                 if members and not (members & referenced):
+                    held = members & set(clone_refs)
+                    if held:
+                        # refuse BEFORE deleting anything: a partial
+                        # vacuum that already broke other dirs would
+                        # make the guard pointless
+                        fp = sorted(held)[0]
+                        raise TxCloneFateError(
+                            f"vacuum of {self.root} would delete "
+                            f"{len(held)} file(s) still referenced by "
+                            f"shallow clone {clone_refs[fp]} (e.g. {fp})"
+                            " — compact() or drop the clone first, or "
+                            "pass force=True to accept breaking it"
+                        )
                     try:
                         age = now - os.path.getmtime(cdir)
                     except OSError:
                         continue  # raced with its own writer/cleaner
                     if age < min_age_seconds:
                         continue  # possibly a staged-but-uncommitted write
-                    shutil.rmtree(cdir)
-                    removed.extend(sorted(members))
+                    doomed.append((cdir, members))
+        for cdir, members in doomed:
+            shutil.rmtree(cdir)
+            removed.extend(sorted(members))
         for v in versions[:-retain]:
             os.unlink(os.path.join(self.log_dir, _manifest_name(v)))
         return removed

@@ -262,6 +262,10 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     violating a live CHECK constraint raise and commit NOTHING, and
     restore to any recorded version replays the model's history — the
     whole-format linearizability check no single-op test gives.
+    Merge-on-read mutations (delete_dv / update_dv, r9) enter the
+    same pool: they must be indistinguishable from their CoW twins in
+    every visible state, including across restore (vectors restore
+    WITH the file list) and time travel.
 
     The model keys history by the table's ACTUAL committed version
     (``t.snapshot().version``), not by op count — ops that commit no
@@ -327,7 +331,8 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
     for _ in range(n_ops):
         choices = [
             "append", "overwrite", "delete", "add_column", "upsert",
-            "add_constraint", "merge", "replace_where",
+            "add_constraint", "merge", "replace_where", "delete_dv",
+            "update_dv",
         ]
         if extra:
             choices += ["drop_column", "rename_column"]
@@ -461,6 +466,19 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
             key = data.draw(st.integers(0, 9), label="delk")
             t.delete(F.col("k") == key)
             model = {i: r for i, r in model.items() if r["k"] != key}
+        elif op == "delete_dv":
+            # merge-on-read twin of delete: same model transition
+            key = data.draw(st.integers(0, 9), label="dvk")
+            t.delete_dv(F.col("k") == key)
+            model = {i: r for i, r in model.items() if r["k"] != key}
+        elif op == "update_dv":
+            # constraints bind on k and update_dv sets v: never violates
+            key = data.draw(st.integers(0, 9), label="uvk")
+            nv = data.draw(st.integers(0, 99), label="uvv")
+            t.update_dv(F.col("k") == key, {"v": F.lit(nv)})
+            for r in model.values():
+                if r["k"] == key:
+                    r["v"] = nv
         elif op == "add_column":
             name = data.draw(
                 st.sampled_from(["c1", "c2", "c3"]), label="col"

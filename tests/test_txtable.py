@@ -1447,11 +1447,12 @@ def test_merge_on_table_with_marker_shaped_columns(spark, tmp_path):
     assert got == [(1, False, True), (2, True, True)]
 
 
-def test_merge_conflict_raises_and_commits_nothing(spark, tmp_path):
-    """A commit racing in between merge's snapshot and its commit must
-    surface TxConflictError (survivor lists derive from the snapshot,
-    so no auto-retry) and leave the table on the racer's state; the
-    caller's re-invoke then applies cleanly."""
+def test_merge_vs_racing_append_auto_resolves(spark, tmp_path):
+    """r9 conflict matrix: a PURE-APPEND commit racing in between
+    merge's snapshot and its commit auto-resolves — the appended file
+    joins the survivor list, the same already-written outputs
+    re-commit, and BOTH writers' rows land exactly once (Delta
+    WriteSerializable: blind appends don't conflict with merge)."""
     root = str(tmp_path / "t")
     t = TxTable.create(spark, root, _pdf(spark, [(1, "a", 10.0)]))
 
@@ -1465,6 +1466,31 @@ def test_merge_conflict_raises_and_commits_nothing(spark, tmp_path):
             return super()._commit(*a, **kw)
 
     rt = RacedTable(spark, root)
+    res = rt.merge(_pdf(spark, [(1, "A", 11.0)]), "k", txn="m1")
+    assert res["updated"] == 1
+    got = sorted((r.k, r.name) for r in TxTable(spark, root).read().collect())
+    assert got == [(1, "A"), (9, "race")], "both writers landed once"
+
+
+def test_merge_conflict_vs_rewrite_raises_and_commits_nothing(spark, tmp_path):
+    """A NON-append commit (here a delete, which rewrites the file
+    list) racing a merge must still surface TxConflictError — the
+    merge's survivor list derives from its snapshot and is stale —
+    and leave the table on the racer's state; the caller's re-invoke
+    then applies cleanly."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _pdf(spark, [(1, "a", 10.0), (5, "z", 50.0)])
+    )
+
+    class RacedTable(TxTable):
+        def _commit(self, *a, **kw):
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                TxTable(self.spark, self.root).delete(F.col("k") == 5)
+            return super()._commit(*a, **kw)
+
+    rt = RacedTable(spark, root)
     from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
         TxConflictError,
     )
@@ -1472,15 +1498,13 @@ def test_merge_conflict_raises_and_commits_nothing(spark, tmp_path):
     with pytest.raises(TxConflictError):
         rt.merge(_pdf(spark, [(1, "A", 11.0)]), "k", txn="m1")
     snap = TxTable(spark, root).snapshot()
-    assert snap.version == 2 and snap.op == "append", (
-        "create + racer append only"
-    )
+    assert snap.op == "delete", "create + racer delete only"
     got = sorted((r.k, r.name) for r in TxTable(spark, root).read().collect())
-    assert got == [(1, "a"), (9, "race")], "refused merge left no trace"
+    assert got == [(1, "a")], "refused merge left no trace"
     res = t.merge(_pdf(spark, [(1, "A", 11.0)]), "k", txn="m1")  # re-invoke
     assert res["updated"] == 1
     got = sorted((r.k, r.name) for r in t.read().collect())
-    assert got == [(1, "A"), (9, "race")]
+    assert got == [(1, "A")]
 
 
 def test_merge_and_replace_conform_types_to_manifest_schema(spark, tmp_path):
@@ -1650,3 +1674,48 @@ def test_cdc_collapse_total_order_deterministic(spark, tmp_path):
     assert finals[0] == finals[1] == finals[2], finals
     assert ("1", "upd-payload") not in finals[0]  # type sanity
     assert [r for r in finals[0] if r[0] == 1][0][1] == "upd-payload"
+
+
+def test_vacuum_refuses_to_break_live_clone(spark, tmp_path):
+    """Clone-fate guard (r9, VERDICT r8 #4): source vacuum must refuse
+    to GC files a live shallow clone references; force=True overrides
+    (and demonstrably breaks the clone); a compacted clone releases
+    the source files and vacuum then passes."""
+    import shutil
+
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxCloneFateError,
+    )
+
+    src = str(tmp_path / "src")
+    t = TxTable.create(spark, src, _pdf(spark, [(1, "a", 10.0)]).coalesce(1))
+    c1 = t.clone_to(str(tmp_path / "c1"))
+    t.overwrite(_pdf(spark, [(2, "b", 20.0)]).coalesce(1))
+    with pytest.raises(TxCloneFateError, match="shallow clone"):
+        t.vacuum(retain=1, min_age_seconds=0)
+    assert [(r.k, r.name) for r in c1.read().collect()] == [(1, "a")], (
+        "refused vacuum left the clone readable"
+    )
+    # compact() re-materializes the clone onto its own files...
+    c1.append(_pdf(spark, [(3, "c", 30.0)]).coalesce(1))
+    c1.compact(target_bytes=1 << 30, small_frac=1.0)
+    # ...but its OLD manifests still reference source files: vacuum
+    # the clone's history down, then the source passes cleanly
+    c1.vacuum(retain=1, min_age_seconds=0)
+    removed = t.vacuum(retain=1, min_age_seconds=0)
+    assert removed, "source GC proceeded once the clone let go"
+    assert sorted(r.k for r in c1.read().collect()) == [1, 3]
+
+    # force=True on a still-attached clone: loud opt-in data loss
+    c2 = t.clone_to(str(tmp_path / "c2"))
+    t.overwrite(_pdf(spark, [(9, "z", 90.0)]).coalesce(1))
+    t.vacuum(retain=1, min_age_seconds=0, force=True)
+    with pytest.raises(Exception):
+        c2.read().collect()
+
+    # a DELETED clone releases its hold (marker pruned)
+    c3 = t.clone_to(str(tmp_path / "c3"))
+    t.overwrite(_pdf(spark, [(4, "d", 40.0)]).coalesce(1))
+    shutil.rmtree(c3.root)
+    t.vacuum(retain=1, min_age_seconds=0)  # no raise
+    assert [(r.k) for r in t.read().collect()] == [4]

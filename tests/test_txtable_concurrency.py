@@ -1,0 +1,274 @@
+"""Concurrent-writer conflict matrix (r9, VERDICT r8 item 3).
+
+Delta's WriteSerializable matrix, pinned per op pair: a lost manifest
+race against PURE-APPEND commits auto-resolves for every
+snapshot-derived mutation (the appended files join the survivor list,
+nothing recomputes — ``_commit_vs_appends``); any other interleaving
+(rewrite, schema/constraint/colmap/DV change) raises TxConflictError
+and commits NOTHING.  Races are injected deterministically at the
+commit boundary (subclass hook firing a competing writer between
+snapshot and ``os.link``) — the same interleaving threads would
+produce, without the flake.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+    TxConflictError,
+    TxTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, name string, price double"
+    ).coalesce(1)
+
+
+def _raced(spark, root, racer):
+    """A TxTable whose FIRST commit attempt loses a race to ``racer``
+    (called with a fresh handle on the same root)."""
+
+    class RacedTable(TxTable):
+        def _commit(self, *a, **kw):
+            if not getattr(self, "_raced_once", False):
+                self._raced_once = True
+                racer(TxTable(self.spark, self.root))
+            return super()._commit(*a, **kw)
+
+    return RacedTable(spark, root)
+
+
+def _append_racer(spark):
+    def racer(t):
+        t.append(_df(spark, [(900, "race", 9.0)]))
+
+    return racer
+
+
+BASE = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        "delete",
+        "update",
+        "delete_dv",
+        "update_dv",
+        "upsert",
+        "merge",
+        "replace_where",
+    ],
+)
+def test_mutations_auto_resolve_vs_pure_append(spark, tmp_path, op):
+    """Every snapshot-derived mutation ∥ blind append: BOTH land
+    exactly once, mutation applied, appended row untouched."""
+    root = str(tmp_path / "t")
+    TxTable.create(spark, root, _df(spark, BASE))
+    rt = _raced(spark, root, _append_racer(spark))
+    if op == "delete":
+        assert rt.delete(F.col("k") == 2) == 1
+        want = {1: "a", 3: "c", 900: "race"}
+    elif op == "update":
+        assert rt.update(F.col("k") == 2, {"name": F.lit("B")}) == 1
+        want = {1: "a", 2: "B", 3: "c", 900: "race"}
+    elif op == "delete_dv":
+        assert rt.delete_dv(F.col("k") == 2) == 1
+        want = {1: "a", 3: "c", 900: "race"}
+    elif op == "update_dv":
+        assert rt.update_dv(F.col("k") == 2, {"name": F.lit("B")}) == 1
+        want = {1: "a", 2: "B", 3: "c", 900: "race"}
+    elif op == "upsert":
+        rt.upsert(_df(spark, [(2, "B", 2.0), (7, "g", 7.0)]), "k")
+        want = {1: "a", 2: "B", 3: "c", 7: "g", 900: "race"}
+    elif op == "merge":
+        res = rt.merge(_df(spark, [(2, "B", 2.0), (7, "g", 7.0)]), "k")
+        assert res["updated"] == 1 and res["inserted"] == 1
+        want = {1: "a", 2: "B", 3: "c", 7: "g", 900: "race"}
+    elif op == "replace_where":
+        rt.replace_where(_df(spark, [(2, "B", 2.0)]), "k = 2")
+        want = {1: "a", 2: "B", 3: "c", 900: "race"}
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got == want, (op, got)
+
+
+@pytest.mark.parametrize("racer_kind", ["delete", "delete_dv", "constraint"])
+def test_mutations_refuse_vs_non_append(spark, tmp_path, racer_kind):
+    """Mutation ∥ rewrite / DV-change / constraint-change: the loser
+    raises and leaves NO trace (its files stay unreferenced for vacuum
+    — never half a commit)."""
+    root = str(tmp_path / "t")
+    TxTable.create(spark, root, _df(spark, BASE))
+
+    def racer(t):
+        if racer_kind == "delete":
+            t.delete(F.col("k") == 3)
+        elif racer_kind == "delete_dv":
+            t.delete_dv(F.col("k") == 3)
+        else:
+            t.add_constraint("k_pos", "k > 0")
+
+    rt = _raced(spark, root, racer)
+    with pytest.raises(TxConflictError):
+        rt.delete_dv(F.col("k") == 2)
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    racer_state = (
+        {1: "a", 2: "b", 3: "c"}  # metadata racer: rows intact
+        if racer_kind == "constraint"
+        else {1: "a", 2: "b"}
+    )
+    assert got == racer_state, "racer won, loser left no trace"
+    if racer_kind == "constraint":
+        assert "k_pos" in (TxTable(spark, root).snapshot().constraints or {})
+    # re-invoke applies cleanly against the new snapshot
+    assert TxTable(spark, root).delete_dv(F.col("k") == 2) == 1
+    want = {1, 3} if racer_kind == "constraint" else {1}
+    assert {r.k for r in TxTable(spark, root).read().collect()} == want
+
+
+def test_append_vs_append_both_land(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    rt = _raced(spark, root, _append_racer(spark))
+    rt.append(_df(spark, [(2, "b", 2.0)]))
+    got = sorted(r.k for r in TxTable(spark, root).read().collect())
+    assert got == [1, 2, 900]
+
+
+def test_constraint_vs_append_refuses(spark, tmp_path):
+    """add_constraint ∥ append is NOT auto-resolved: the racing
+    append's rows were never validated under the new rule, so the
+    constraint writer must re-scan — conservative refusal (Delta:
+    metadata changes conflict with everything)."""
+    root = str(tmp_path / "t")
+    TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    rt = _raced(spark, root, _append_racer(spark))
+    with pytest.raises(TxConflictError):
+        rt.add_constraint("k_small", "k < 100")
+    snap = TxTable(spark, root).snapshot()
+    assert not (snap.constraints or {}), "no constraint landed"
+    # re-invoke now validates the appended row too — and refuses,
+    # because k=900 violates the rule
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxConstraintViolation,
+    )
+
+    with pytest.raises(TxConstraintViolation):
+        TxTable(spark, root).add_constraint("k_small", "k < 100")
+
+
+def test_merge_vs_disjoint_merge_refuses_then_reinvokes(spark, tmp_path):
+    """merge ∥ key-disjoint merge: conservative refusal (each merge's
+    survivor list derives from its snapshot — even disjoint keys can
+    share a data file), but the loser's re-invoke composes: both
+    merges' effects land exactly once."""
+    root = str(tmp_path / "t")
+    TxTable.create(spark, root, _df(spark, BASE))
+
+    def racer(t):
+        t.merge(_df(spark, [(1, "A", 1.0)]), "k")
+
+    rt = _raced(spark, root, racer)
+    with pytest.raises(TxConflictError):
+        rt.merge(_df(spark, [(3, "C", 3.0)]), "k", txn="m2")
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got == {1: "A", 2: "b", 3: "c"}, "only the racer applied"
+    res = TxTable(spark, root).merge(
+        _df(spark, [(3, "C", 3.0)]), "k", txn="m2"
+    )
+    assert res["updated"] == 1
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got == {1: "A", 2: "b", 3: "C"}
+
+
+def test_mutation_vs_append_storm_retries_to_success(spark, tmp_path):
+    """Several appends landing during ONE mutation's commit window:
+    the retry loop absorbs each (bounded by max_retries) and every
+    writer's rows land exactly once."""
+    root = str(tmp_path / "t")
+    TxTable.create(spark, root, _df(spark, BASE))
+
+    class StormTable(TxTable):
+        _storms = 3
+
+        def _commit(self, *a, **kw):
+            if self._storms > 0:
+                self._storms -= 1
+                TxTable(self.spark, self.root).append(
+                    _df(self.spark, [(900 + self._storms, "race", 9.0)])
+                )
+            return super()._commit(*a, **kw)
+
+    rt = StormTable(spark, root)
+    assert rt.delete_dv(F.col("k") == 2) == 1
+    got = sorted(r.k for r in TxTable(spark, root).read().collect())
+    assert got == [1, 3, 900, 901, 902]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_interleavings_linearize(spark, data, tmp_path_factory):
+    """Randomized (mutation, racer) pairs: whatever the interleaving,
+    the outcome is one of the two serial orders — auto-resolved
+    winners equal racer-then-mutation, refusals equal racer-only —
+    and never a torn state."""
+    root = str(tmp_path_factory.mktemp("txcc") / "t")
+    rows = [(i, f"n{i}", float(i)) for i in range(6)]
+    TxTable.create(spark, root, _df(spark, rows))
+    model = {k: n for k, n, _ in rows}
+
+    mut_kind = data.draw(
+        st.sampled_from(["delete", "delete_dv", "update_dv", "merge"]),
+        label="mut",
+    )
+    racer_kind = data.draw(
+        st.sampled_from(["append", "delete", "delete_dv"]), label="racer"
+    )
+    key = data.draw(st.integers(0, 5), label="key")
+    rkey = data.draw(st.integers(0, 5), label="rkey")
+
+    def racer(t):
+        if racer_kind == "append":
+            t.append(_df(spark, [(99, "r", 9.0)]))
+            model[99] = "r"
+        elif racer_kind == "delete":
+            t.delete(F.col("k") == rkey)
+            model.pop(rkey, None)
+        else:
+            t.delete_dv(F.col("k") == rkey)
+            model.pop(rkey, None)
+
+    rt = _raced(spark, root, racer)
+
+    def mutate(t):
+        if mut_kind == "delete":
+            t.delete(F.col("k") == key)
+            model.pop(key, None)
+        elif mut_kind == "delete_dv":
+            t.delete_dv(F.col("k") == key)
+            model.pop(key, None)
+        elif mut_kind == "update_dv":
+            t.update_dv(F.col("k") == key, {"name": F.lit("U")})
+            if key in model:
+                model[key] = "U"
+        else:
+            t.merge(_df(spark, [(key, "M", 0.0)]), "k")
+            model[key] = "M"
+
+    try:
+        mutate(rt)  # racer fires inside; may auto-resolve or refuse
+    except TxConflictError:
+        mutate(TxTable(spark, root))  # serial re-invoke must succeed
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got == model, (mut_kind, racer_kind, key, rkey, got, model)
