@@ -757,6 +757,10 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     second full drain leaves the version untouched).  Batch 1's
     deletes (%5 keys, seq 3) race its inserts (%3=2 keys, seq 4) on
     overlapping keys — the collapse must let the later insert win.
+    The replica carries the sequence column, so it runs in per-key
+    HIGH-WATERMARK mode (r9): batch 2 is entirely STALE (re-delivered
+    updates at sequence 1 against rows watermarked 4) and must no-op
+    — out-of-order cross-batch delivery can never rewind a row.
     Per-trigger cost is O(batch + files-hit-by-batch-keys) via the
     merge scaffold (manifest-stats candidate pruning).  Parity note:
     the reference streams nothing — its closest shape is the daily
@@ -778,7 +782,9 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     TxTable.create(
         spark,
         root,
-        cust.filter(F.col("c_custkey") % 3 == 0),
+        cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+            "_seq", F.lit(0).cast("long")
+        ),
         stats_cols=["c_custkey"],
     )
     op = lambda o, seq: [  # noqa: E731
@@ -809,10 +815,15 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    b2 = (  # STALE re-delivery: seq 1 against rows watermarked 4
+        cust.filter(F.col("c_custkey") % 3 == 2)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 999)
+        .select("*", *op("update", 1))
+    )
     import time as _time
 
     now = _time.time()
-    for i, b in enumerate((b0, b1)):
+    for i, b in enumerate((b0, b1, b2)):
         tmp = os.path.join(base, f"tmp{i}")
         b.coalesce(1).write.mode("overwrite").parquet(tmp)
         src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
@@ -838,8 +849,15 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain("chk")
     t = TxTable(spark, root)
     v = t.snapshot().version
-    assert v == 3, f"create + two batch commits, got {v}"
+    assert v == 4, f"create + three batch commits, got {v}"
+    assert t.snapshot().op == "merge", "stale batch = empty-change merge"
+    stale_hit = (
+        t.read()
+        .filter((F.col("c_custkey") % 3 == 2) & (F.col("_seq") != 4))
+        .count()
+    )
+    assert stale_hit == 0, "high watermark let a stale change through"
     drain("chk")  # replay over the same checkpoint: no new batches
     drain("chk_lost")  # checkpoint loss, same splits: tags no-op
     assert TxTable(spark, root).snapshot().version == v, "replay must no-op"
-    return TxTable(spark, root).read()
+    return TxTable(spark, root).read().drop("_seq")

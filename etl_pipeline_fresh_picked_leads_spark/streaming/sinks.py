@@ -231,11 +231,28 @@ def cdc_apply_batch(
     - unmatched & op <> delete -> INSERT
     - unmatched deletes no-op (deleting a row that never existed)
 
-    The op/order flags ride as ``extra_source_cols`` — consulted by
-    the clauses, never written.  Cost per trigger is O(batch +
+    Cross-batch ordering (r9, ADVICE/VERDICT r8): when the REPLICA's
+    schema carries ``order_col``, it becomes a per-key high-watermark
+    — every matched clause is additionally gated on ``s.seq >=
+    t.seq``, so a STALE change (an older sequence landing in a LATER
+    batch — source re-delivery, partition lag) no-ops instead of
+    silently winning; updates refresh the watermark automatically
+    (whole-row update includes the sequence column).  Create the
+    replica with the order column (backfill 0 on the initial load) to
+    opt in; a replica without it keeps the legacy contract, which
+    REQUIRES per-key monotone sequences across batches.  Known limit
+    (Delta CDC shares it): a delete removes the row AND its
+    watermark, so a stale pre-delete change arriving later
+    re-inserts — retain tombstones upstream if the source re-delivers
+    across deletes.
+
+    The op flag rides as ``extra_source_cols`` — consulted by the
+    clauses, never written.  Cost per trigger is O(batch +
     files-hit-by-batch-keys) via the merge scaffold's manifest-stats
     pruning; exactly-once under ``txn`` (a replayed batch no-ops
     against its committed tag)."""
+    import json as _json
+
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(key).orderBy(
@@ -254,7 +271,31 @@ def cdc_apply_batch(
         .filter(F.col(rn) == 1)
         .drop(rn)
     )
-    return TxTable(spark, target_dir).merge(
+    target = TxTable(spark, target_dir)
+    snap = target.snapshot()
+    replica_cols = (
+        [f["name"] for f in _json.loads(snap.schema_json)["fields"]]
+        if snap is not None and snap.schema_json
+        else []
+    )
+    if order_col in replica_cols:
+        # high-watermark mode: the sequence column lives in the
+        # replica; stale cross-batch changes no-op at the clause gate
+        guard = (
+            f" AND (t.{order_col} IS NULL"
+            f" OR s.{order_col} >= t.{order_col})"
+        )
+        return target.merge(
+            last,
+            key,
+            update="all",
+            update_condition=f"s.{op_col} <> 'delete'" + guard,
+            delete_condition=f"s.{op_col} = 'delete'" + guard,
+            insert_condition=f"s.{op_col} <> 'delete'",
+            extra_source_cols=[op_col],
+            txn=txn,
+        )
+    return target.merge(
         last.drop(order_col),
         key,
         update="all",

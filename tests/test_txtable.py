@@ -1719,3 +1719,65 @@ def test_vacuum_refuses_to_break_live_clone(spark, tmp_path):
     shutil.rmtree(c3.root)
     t.vacuum(retain=1, min_age_seconds=0)  # no raise
     assert [(r.k) for r in t.read().collect()] == [4]
+
+
+def test_cdc_apply_high_watermark_rejects_stale_cross_batch(spark, tmp_path):
+    """r9 CDC ordering: a replica created WITH the order column runs
+    in high-watermark mode — an older change landing in a LATER batch
+    (source re-delivery, partition lag) no-ops instead of silently
+    rewinding the row; equal-sequence re-delivery stays idempotent;
+    genuinely newer changes and fresh keys still apply."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        cdc_apply_batch,
+    )
+
+    root = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(1, "a", 10.0, 0), (2, "b", 20.0, 5)],
+        "k bigint, name string, price double, _seq bigint",
+    )
+    TxTable.create(spark, root, seed)
+
+    def cdc(rows):
+        return spark.createDataFrame(
+            rows,
+            "k bigint, name string, price double, _seq bigint, _op string",
+        )
+
+    cdc_apply_batch(spark, cdc([(1, "A10", 11.0, 10, "update")]), root, "k")
+    t = TxTable(spark, root)
+    got = {r.k: (r.name, r._seq) for r in t.read().collect()}
+    assert got[1] == ("A10", 10), "watermark advanced with the update"
+
+    # STALE cross-batch update + delete: both no-op
+    v = t.snapshot().version
+    cdc_apply_batch(
+        spark,
+        cdc([(1, "stale", 1.0, 5, "update"), (2, None, None, 3, "delete")]),
+        root,
+        "k",
+    )
+    got = {r.k: (r.name, r._seq) for r in t.read().collect()}
+    assert got[1] == ("A10", 10) and got[2] == ("b", 5), got
+    assert t.snapshot().version == v + 1, "nothing-fired merge, empty commit"
+
+    # equal-seq re-delivery of the SAME change: idempotent
+    cdc_apply_batch(spark, cdc([(1, "A10", 11.0, 10, "update")]), root, "k")
+    got = {r.k: (r.name, r._seq) for r in t.read().collect()}
+    assert got[1] == ("A10", 10)
+
+    # newer changes + fresh keys still land
+    cdc_apply_batch(
+        spark,
+        cdc(
+            [
+                (1, "A12", 12.0, 12, "update"),
+                (3, "c", 30.0, 1, "insert"),
+                (2, None, None, 7, "delete"),
+            ]
+        ),
+        root,
+        "k",
+    )
+    got = {r.k: (r.name, r._seq) for r in t.read().collect()}
+    assert got == {1: ("A12", 12), 3: ("c", 1)}, got
