@@ -1584,7 +1584,12 @@ class TxTable:
         return scanned.filter(where)
 
     def _dv_commit(
-        self, base: TxSnapshot, op: str, matched: DataFrame, new: list[str]
+        self,
+        base: TxSnapshot,
+        op: str,
+        matched: DataFrame,
+        new: list[str],
+        txn: str | None = None,
     ) -> int:
         """Write the DV sidecar for ``matched`` (persisted, non-empty)
         and commit: same data files (+ optionally ``new`` appended
@@ -1602,7 +1607,9 @@ class TxTable:
         dvs = self._dvs_of(base) or {}
         for f in affected:
             dvs[f] = list(dvs.get(f, [])) + dv_files
-        return self._commit_vs_appends(base, op, set(), new, dvs=dvs)
+        return self._commit_vs_appends(
+            base, op, set(), new, txn=txn, dvs=dvs
+        )
 
     def delete_dv(self, where: Column) -> int:
         """Merge-on-read DELETE (Delta deletion vectors): matching rows
@@ -1748,6 +1755,7 @@ class TxTable:
         insert_condition: "Column | str | None" = None,
         extra_source_cols: "list[str] | None" = None,
         txn: str | None = None,
+        mode: str = "cow",
     ) -> dict:
         """``MERGE INTO`` with full Delta clause semantics, the general
         form of ``upsert``:
@@ -1788,6 +1796,16 @@ class TxTable:
         pure-append commits auto-resolves (r9, ``_commit_vs_appends``);
         any other conflict raises — the survivor list derives from the
         snapshot, so callers re-invoke (the txn tag makes that safe).
+
+        ``mode="dv"`` (r9) makes the matched clauses MERGE-ON-READ:
+        instead of rewriting every affected file, fired
+        update/delete targets are deletion-vectored in place and the
+        updated images append with the inserts — cost ∝ fired rows,
+        never touched-file bytes (the Delta DV merge path; a CDC
+        trickle against wide files is the canonical use).  Same
+        clause semantics, counts, txn replay, constraint gating and
+        empty-change behavior; reclaim read-side anti-join cost with
+        ``compact()``.
 
         Returns ``{"updated", "deleted", "inserted", "version"}``.
 
@@ -1849,7 +1867,21 @@ class TxTable:
             if candidates
             else []
         )
-        if affected:
+        dv_mode = mode == "dv" and bool(affected)
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"merge mode must be 'cow' or 'dv', got {mode!r}")
+        if dv_mode and ({"_fp", "_pos"} & set(cols)):
+            raise ValueError(
+                "merge mode='dv' reserves the _fp/_pos column names"
+            )
+        if dv_mode:
+            # carry row identity through the clause join so fired
+            # targets can be deletion-vectored instead of rewritten
+            hit = self._scan_with_pos(affected, base.schema_json, cm)
+            live = self._live_dvs(affected, self._dvs_of(base))
+            if live:
+                hit = self._anti_dv(hit, live)
+        elif affected:
             hit = self._read_files(
                 affected, base.schema_json, cm, dvs=self._dvs_of(base)
             )
@@ -1937,7 +1969,11 @@ class TxTable:
                 F.count(F.when(do_insert, 1)),
             ).first()
             changed = (n_upd + n_del) > 0
-            if changed:
+            if changed and dv_mode:
+                # merge-on-read: only fired rows materialize — updated
+                # images + inserts append, fired targets DV out
+                result = j.filter(do_insert | do_update).select(*out_cols)
+            elif changed:
                 result = j.filter(keep).select(*out_cols)
             else:
                 # matched clauses fired nowhere: carry ALL base files by
@@ -1949,13 +1985,22 @@ class TxTable:
                 new = self._write_data(result, cm)
             else:
                 new = []  # empty-change version, Delta parity
-            version = self._commit_vs_appends(
-                base,
-                "merge",
-                set(affected) if changed else set(),
-                new,
-                txn=txn,
-            )
+            if changed and dv_mode:
+                fired = j.filter(do_update | do_delete).select(
+                    F.col(f"t._fp").alias("_fp"),
+                    F.col(f"t._pos").alias("_pos"),
+                )
+                version = self._dv_commit(
+                    base, "merge_dv", fired, new, txn=txn
+                )
+            else:
+                version = self._commit_vs_appends(
+                    base,
+                    "merge",
+                    set(affected) if changed else set(),
+                    new,
+                    txn=txn,
+                )
         finally:
             j.unpersist()
             src.unpersist()

@@ -210,6 +210,7 @@ def cdc_apply_batch(
     op_col: str = "_op",
     order_col: str = "_seq",
     txn: str | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Apply one micro-batch of CDC rows (op column in
     {'insert','update','delete'}, Debezium-shaped) to the TxTable at
@@ -250,7 +251,11 @@ def cdc_apply_batch(
     clauses, never written.  Cost per trigger is O(batch +
     files-hit-by-batch-keys) via the merge scaffold's manifest-stats
     pruning; exactly-once under ``txn`` (a replayed batch no-ops
-    against its committed tag)."""
+    against its committed tag).  ``mode="dv"`` routes the merge
+    merge-on-read (r9): fired rows deletion-vector out and images
+    append — per-trigger write cost ∝ batch, never touched-file
+    bytes; compact the replica on a cadence to reclaim the read-side
+    anti-join."""
     import json as _json
 
     from pyspark.sql.window import Window as W
@@ -294,6 +299,7 @@ def cdc_apply_batch(
             insert_condition=f"s.{op_col} <> 'delete'",
             extra_source_cols=[op_col],
             txn=txn,
+            mode=mode,
         )
     return target.merge(
         last.drop(order_col),
@@ -304,6 +310,7 @@ def cdc_apply_batch(
         insert_condition=f"s.{op_col} <> 'delete'",
         extra_source_cols=[op_col],
         txn=txn,
+        mode=mode,
     )
 
 
@@ -315,6 +322,7 @@ def foreach_batch_cdc_apply(
     checkpoint: str,
     op_col: str = "_op",
     order_col: str = "_seq",
+    mode: str = "cow",
 ):
     """writeStream.foreachBatch wiring for cdc_apply_batch: a change
     stream (insert/update/delete rows) maintains a queryable TxTable
@@ -337,7 +345,14 @@ def foreach_batch_cdc_apply(
         n, h = df_fingerprint(batch_df)
         tag = f"cdc|{n}:{h}"
         cdc_apply_batch(
-            spark, batch_df, target_dir, key, op_col, order_col, txn=tag
+            spark,
+            batch_df,
+            target_dir,
+            key,
+            op_col,
+            order_col,
+            txn=tag,
+            mode=mode,
         )
 
     return (

@@ -101,3 +101,45 @@ def test_two_level_assignment_recall_close_to_flat(spark, emb01):
     flat, hier = recall(None), recall(6)
     assert hier >= flat - 0.05, (flat, hier)
     assert hier >= 0.8
+
+
+def test_hierarchical_fit_recall_close_to_flat(spark, emb01, monkeypatch):
+    """r9 fit-budget cap (VERDICT r8 #5): the two-level centroid FIT
+    (coarse sqrt(nlist) k-means + parallel per-group numpy Lloyd) must
+    hold recall within 0.03 of the flat Spark-ML fit at the same
+    nlist/nprobe/replicas — the fit got sub-linear in nlist, not
+    worse at ranking."""
+    import etl_pipeline_fresh_picked_leads_spark.operators.similarity as S
+
+    qids = [
+        r.vec_id
+        for r in emb01.select("vec_id").orderBy("vec_id").limit(5).collect()
+    ]
+    exact = {
+        q: [r.vec_id for r in cosine_topk(emb01, q, k=10).collect()]
+        for q in qids
+    }
+
+    def mean_recall():
+        out = []
+        for q in qids:
+            approx = [
+                r.vec_id
+                for r in ivf_topk(
+                    emb01, q, k=10, nlist=256, nprobe=48, replicas=4
+                ).collect()
+            ]
+            out.append(len(set(exact[q]) & set(approx)) / 10)
+        return sum(out) / len(out)
+
+    # ivf_topk -> ivf_assign uses the corpus-fingerprint center cache;
+    # the two fits must not share it
+    monkeypatch.setattr(S, "_load_cached_centers", lambda *a: None)
+    monkeypatch.setattr(S, "_store_cached_centers", lambda *a: None)
+
+    monkeypatch.setattr(S, "IVF_HIER_FIT_MIN_NLIST", 10**9)  # force flat
+    flat = mean_recall()
+    monkeypatch.setattr(S, "IVF_HIER_FIT_MIN_NLIST", 256)  # force hier
+    hier = mean_recall()
+    assert hier >= flat - 0.03, (flat, hier)
+    assert hier >= 0.8, hier

@@ -211,3 +211,89 @@ def test_delete_dv_stats_minmax_pruning_still_sound(spark, tmp_path):
     hit = t.files_in_range("k", 25, 35, t.snapshot())
     assert len(hit) < len(t.snapshot().files), "pruning survives DVs"
     assert t.read_range("k", 25, 35).count() == 10
+
+
+def test_merge_dv_mode_fires_without_rewrites(spark, tmp_path):
+    """merge(mode='dv'): fired update/delete targets DV out in place,
+    updated images + inserts append — every original data file
+    survives by reference (Delta's DV merge path).  Same clause
+    semantics, counts, txn replay and empty-change behavior as CoW."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark).coalesce(2))
+    files0 = set(t.snapshot().files)
+    src = spark.createDataFrame(
+        [(5, "UPD", 5.5), (7, None, 0.0), (200, "NEW", 2.0)],
+        "k bigint, name string, price double",
+    )
+    res = t.merge(
+        src,
+        "k",
+        update="all",
+        update_condition="s.k <> 7",
+        delete_condition="s.k = 7",
+        mode="dv",
+        txn="m1",
+    )
+    assert res["updated"] == 1 and res["deleted"] == 1 and res["inserted"] == 1
+    snap = t.snapshot()
+    assert files0 < set(snap.files), "originals carried by reference"
+    assert snap.op == "merge_dv" and snap.dvs
+    got = {r.k: r.name for r in t.read().collect()}
+    assert got[5] == "UPD" and 7 not in got and got[200] == "NEW"
+    assert len(got) == 100
+    # txn replay no-ops (idempotency checked before any work)
+    res2 = t.merge(src, "k", update="all", mode="dv", txn="m1")
+    assert res2 == {
+        "updated": 0,
+        "deleted": 0,
+        "inserted": 0,
+        "version": snap.version,
+    }
+    # nothing-fired dv merge commits an empty-change version
+    v = t.snapshot().version
+    res3 = t.merge(
+        spark.createDataFrame(
+            [(5, "UPD", 5.5)], "k bigint, name string, price double"
+        ),
+        "k",
+        update="all",
+        update_condition="s.name <> t.name",
+        insert=False,
+        mode="dv",
+    )
+    assert res3["updated"] == 0 and t.snapshot().version == v + 1
+    # compact materializes the DV'd merge and equals the logical state
+    t.compact(target_bytes=1 << 30, small_frac=1.0)
+    assert not t.snapshot().dvs
+    assert {r.k: r.name for r in t.read().collect()} == got
+    with pytest.raises(ValueError, match="cow.*dv|dv.*cow"):
+        t.merge(src, "k", mode="zzz")
+
+
+def test_merge_dv_equals_cow_merge_state(spark, tmp_path):
+    """The two merge modes are semantically indistinguishable: same
+    clause matrix applied to twin tables converges on identical
+    visible rows."""
+    srcrows = [(2, "B2", 2.2), (3, None, 0.0), (300, "NEW", 3.0)]
+    src = spark.createDataFrame(
+        srcrows, "k bigint, name string, price double"
+    )
+    finals = []
+    for mode in ("cow", "dv"):
+        root = str(tmp_path / mode)
+        t = TxTable.create(spark, root, _df(spark, 20).coalesce(2))
+        t.merge(
+            src,
+            "k",
+            update="all",
+            update_condition="s.k <> 3",
+            delete_condition="s.k = 3",
+            insert_condition="s.k >= 100",
+            mode=mode,
+        )
+        finals.append(
+            sorted(
+                (r.k, r.name, r.price) for r in t.read().collect()
+            )
+        )
+    assert finals[0] == finals[1]

@@ -54,10 +54,12 @@ MODS = {
 }
 
 
-def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def build_variant(src: str, dst: str | None = None) -> str:
+    """Write the shifted-corpus variant of ``src`` and return its
+    path — shared by the CLI below and tests/test_regen_sweep.py (the
+    in-suite guard, VERDICT r8 #6)."""
     name = os.path.basename(src.rstrip("/"))
-    dst = f"/tmp/fpl_spark_scratch/regen_{name}"
+    dst = dst or f"/tmp/fpl_spark_scratch/regen_{name}"
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     con = duckdb.connect()
@@ -67,6 +69,12 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/{t}.parquet'"
         )
         con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    return dst
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = build_variant(src)
     print(f"regenerated variant written to {dst}; running gate...")
     return subprocess.call(
         [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), dst]
