@@ -861,3 +861,72 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain("chk_lost")  # checkpoint loss, same splits: tags no-op
     assert TxTable(spark, root).snapshot().version == v, "replay must no-op"
     return TxTable(spark, root).read().drop("_seq")
+
+
+@query(
+    "q_stream_txtable_source",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 19 = 5)
+    """,
+)
+def q_stream_txtable_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TxTable as a native streaming SOURCE (r9,
+    streaming/txtable_source.py — Spark 4 Python Data Source API):
+    ``readStream.format("txtable")`` tails the commit log with
+    VERSION offsets, Delta-source semantics on plain parquet.  The
+    even-key stripe lands as the table's initial snapshot (delivered
+    by the first drain), the odd-key stripe appends and is partially
+    deletion-vectored (every 19th key — modular, regeneration-proof)
+    BEFORE the second drain: the source must deliver exactly the new
+    files minus their end-snapshot DV rows, once.  A third drain over
+    the same checkpoint asserts replay delivers nothing.  Scale
+    shape: offset bookkeeping reads two manifests per trigger, one
+    partition per new file, executors stream Arrow batches from their
+    file — no O(table) work per trigger, ever.  Parity: the
+    reference's per-run directory polling (fresh_picked_leads.py)
+    with transactional exactly-once bookkeeping."""
+    from ..sources.txtable import TxTable
+    from ..streaming.txtable_source import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "txsource_q"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "t")
+    out, chk = os.path.join(base, "out"), os.path.join(base, "chk")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(spark, root, o.filter(F.col("o_orderkey") % 2 == 0))
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("txtable source stream did not finish")
+
+    drain()
+    n_initial = spark.read.parquet(out).count()
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    n_dv = t.delete_dv(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 19 == 5)
+    )
+    assert n_dv > 0, "the DV slice must be populated"
+    drain()
+    sink = spark.read.parquet(out)
+    assert sink.count() > n_initial, "append delivered"
+    drain()  # replay over the same checkpoint: nothing new
+    assert spark.read.parquet(out).count() == sink.count()
+    return spark.read.parquet(out)

@@ -1743,6 +1743,44 @@ class TxTable:
         col = F.expr(cond) if isinstance(cond, str) else cond
         return F.coalesce(col, F.lit(False))
 
+    def _evolve_for_merge(
+        self, base: TxSnapshot, source_schema, new_cols: list[str]
+    ):
+        """An in-memory snapshot with ``new_cols`` appended (source
+        types, nullable) — add_column's metadata semantics, batched
+        into the merge commit instead of one commit per column.
+        Mapping rules identical: identity tables stay identity unless
+        a dropped name returns; otherwise fresh ids + safe physical
+        names so old files can never resurrect retired values."""
+        import dataclasses
+
+        schema = self._current_schema(base)
+        needs_map = base.colmap is not None or any(
+            c in base.dropped for c in new_cols
+        )
+        cm = retired = max_id = None
+        if needs_map:
+            cm, retired, max_id = self._materialized_colmap(base)
+            for c in new_cols:
+                max_id += 1
+                cm = cm + [
+                    {
+                        "id": max_id,
+                        "name": c,
+                        "phys": self._safe_phys(c, cm, retired, max_id),
+                    }
+                ]
+        by_name = {f.name: f for f in source_schema.fields}
+        for c in new_cols:
+            schema = schema.add(c, by_name[c].dataType, True)
+        return dataclasses.replace(
+            base,
+            schema_json=json.dumps(schema.jsonValue()),
+            colmap=tuple(cm) if cm is not None else base.colmap,
+            retired=tuple(retired) if retired is not None else base.retired,
+            max_id=max_id if max_id is not None else base.max_id,
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -1756,6 +1794,7 @@ class TxTable:
         extra_source_cols: "list[str] | None" = None,
         txn: str | None = None,
         mode: str = "cow",
+        schema_evolution: bool = False,
     ) -> dict:
         """``MERGE INTO`` with full Delta clause semantics, the general
         form of ``upsert``:
@@ -1797,6 +1836,15 @@ class TxTable:
         any other conflict raises — the survivor list derives from the
         snapshot, so callers re-invoke (the txn tag makes that safe).
 
+        ``schema_evolution=True`` (r9, Delta withSchemaEvolution):
+        source columns missing from the table are ADDED to the schema
+        in the merge commit itself — existing files read NULL in them
+        (the add_column metadata mechanism, including the fresh-
+        physical-name fence when a dropped name is re-added), updated
+        and inserted rows carry the source values.  Off by default:
+        an unexpected source column is usually a bug, and Delta makes
+        the same choice.
+
         ``mode="dv"`` (r9) makes the matched clauses MERGE-ON-READ:
         instead of rewriting every affected file, fired
         update/delete targets are deletion-vectored in place and the
@@ -1835,6 +1883,21 @@ class TxTable:
             raise ValueError(
                 f"extra_source_cols collide with table columns: {clash}"
             )
+        if schema_evolution:
+            new_cols = [
+                c
+                for c in source.columns
+                if c not in set(cols) and c not in set(extra)
+            ]
+            if new_cols:
+                # evolve the snapshot IN MEMORY; the merge commit
+                # carries the extended schema (+ colmap entries when
+                # mapping is in force or a dropped name returns)
+                base = self._evolve_for_merge(base, source.schema, new_cols)
+                cols = [
+                    f["name"]
+                    for f in json.loads(base.schema_json)["fields"]
+                ]
         if extra:
             missing = sorted(set(extra) - set(source.columns))
             if missing:

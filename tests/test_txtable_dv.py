@@ -297,3 +297,69 @@ def test_merge_dv_equals_cow_merge_state(spark, tmp_path):
             )
         )
     assert finals[0] == finals[1]
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """merge(schema_evolution=True) — Delta withSchemaEvolution: new
+    source columns extend the table schema in the merge commit itself;
+    old rows read NULL; without the flag the same source is refused.
+    The dropped-name fence holds through evolution (a re-added name
+    gets a fresh physical column, old values never resurrect) — in
+    merge-on-read mode too, where old files survive verbatim."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(10)], "k bigint, name string"
+        ).coalesce(1),
+    )
+    src = spark.createDataFrame(
+        [(3, "U3", 33.0), (100, "NEW", 1.0)],
+        "k bigint, name string, score double",
+    )
+    with pytest.raises(Exception):
+        t.merge(src, "k")  # unexpected column: refused without the flag
+    res = t.merge(src, "k", schema_evolution=True)
+    assert res["updated"] == 1 and res["inserted"] == 1
+    got = {r.k: (r.name, r.score) for r in t.read().collect()}
+    assert got[3] == ("U3", 33.0) and got[100] == ("NEW", 1.0)
+    assert got[0] == ("n0", None) and len(got) == 11
+    assert "score" not in t.read(1).columns, "pre-evolution time travel"
+
+    # dropped-name re-add through evolution, merge-on-read: the old
+    # file still holds the retired physical values and survives
+    # VERBATIM (no rewrite) — only the fresh physical name saves us
+    root2 = str(tmp_path / "t2")
+    t2 = TxTable.create(
+        spark,
+        root2,
+        spark.createDataFrame(
+            [(1, "a", 9.9)], "k bigint, name string, score double"
+        ).coalesce(1),
+    )
+    t2.drop_column("score")
+    files0 = set(t2.snapshot().files)
+    src2 = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "b", 6.0)],
+        "k bigint, name string, score double",
+    )
+    t2.merge(src2, "k", schema_evolution=True, mode="dv")
+    assert files0 < set(t2.snapshot().files), "originals intact"
+    got2 = {r.k: r.score for r in t2.read().collect()}
+    assert got2 == {1: 5.0, 2: 6.0}, "dropped 9.9 must not resurrect"
+    phys = {c["name"]: c["phys"] for c in t2.snapshot().colmap}
+    assert phys["score"] != "score", "fresh physical name"
+
+    # dict-update can target the evolved column
+    root3 = str(tmp_path / "t3")
+    t3 = TxTable.create(
+        spark,
+        root3,
+        spark.createDataFrame(
+            [(3, "x"), (4, "y")], "k bigint, name string"
+        ).coalesce(1),
+    )
+    t3.merge(src, "k", update={"score": "s.score + 1"}, schema_evolution=True)
+    got3 = {r.k: r.score for r in t3.read().collect()}
+    assert got3 == {3: 34.0, 4: None, 100: 1.0}, got3

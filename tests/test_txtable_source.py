@@ -1,0 +1,137 @@
+"""TxTable as a Spark data source (streaming/txtable_source.py, r9):
+batch + streaming reads via the Python Data Source API, tailing the
+commit log with version offsets — Delta-source semantics on plain
+parquet.  Colmap projection, DV application, replay determinism and
+the add-only feed contract all pinned here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_fresh_picked_leads_spark.sources.txtable import TxTable
+from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+    register,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(lo, hi)],
+        "k bigint, name string, price double",
+    )
+
+
+@pytest.fixture()
+def reg(spark):
+    register(spark)
+    return spark
+
+
+def _drain(spark, root, out, chk):
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "stream stalled"
+
+
+def test_batch_read_head_snapshot_with_colmap_and_dvs(reg, tmp_path):
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 0, 50).coalesce(2))
+    t.delete_dv(F.col("k") < 5)
+    t.rename_column("price", "amount")
+    got = spark.read.format("txtable").option("path", root).load()
+    assert got.columns == ["k", "name", "amount"]
+    assert got.count() == 45
+    assert got.filter(F.col("k") < 5).count() == 0, "DVs applied"
+    assert got.agg(F.sum("amount")).first()[0] == float(sum(range(5, 50)))
+
+
+def test_stream_tails_commits_exactly_once(reg, tmp_path):
+    spark = reg
+    root, out, chk = (
+        str(tmp_path / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    t = TxTable.create(spark, root, _df(spark, 0, 30).coalesce(2))
+    _drain(spark, root, out, chk)
+    assert spark.read.parquet(out).count() == 30, "initial snapshot"
+    t.append(_df(spark, 100, 110).coalesce(1))
+    t.append(_df(spark, 200, 205).coalesce(1))
+    _drain(spark, root, out, chk)
+    got = spark.read.parquet(out)
+    assert got.count() == 45, "both appended commits delivered once"
+    _drain(spark, root, out, chk)  # replay: no new commits
+    assert spark.read.parquet(out).count() == 45
+    keys = {r.k for r in got.collect()}
+    assert set(range(100, 110)) <= keys and set(range(200, 205)) <= keys
+
+
+def test_stream_applies_end_snapshot_dvs_to_new_files(reg, tmp_path):
+    spark = reg
+    root, out, chk = (
+        str(tmp_path / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    t = TxTable.create(spark, root, _df(spark, 0, 10).coalesce(1))
+    _drain(spark, root, out, chk)
+    # append then DV-delete part of the APPENDED file before draining:
+    # the dead rows must never be delivered
+    t.append(_df(spark, 100, 110).coalesce(1))
+    t.delete_dv(F.col("k") == 105)
+    _drain(spark, root, out, chk)
+    keys = {r.k for r in spark.read.parquet(out).collect()}
+    assert 105 not in keys and len(keys) == 19
+    # ...and a DV on an ALREADY-delivered file is not retracted
+    t.delete_dv(F.col("k") == 3)
+    _drain(spark, root, out, chk)
+    assert 3 in {r.k for r in spark.read.parquet(out).collect()}, (
+        "add-only feed cannot retract (documented contract)"
+    )
+
+
+def test_source_requires_path_and_committed_table(reg, tmp_path):
+    spark = reg
+    with pytest.raises(Exception):
+        spark.read.format("txtable").load().count()
+    with pytest.raises(Exception):
+        spark.read.format("txtable").option(
+            "path", str(tmp_path / "nope")
+        ).load().count()
+
+
+def test_stream_delivers_evolved_schema_nulls(reg, tmp_path):
+    """A merge-evolved column reads NULL from pre-evolution files —
+    the arrow cast in the partition reader must widen, not crash."""
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a")], "k bigint, name string"
+        ).coalesce(1),
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(2, "b", 9.0)], "k bigint, name string, score double"
+        ),
+        "k",
+        schema_evolution=True,
+    )
+    got = spark.read.format("txtable").option("path", root).load()
+    rows = {r.k: r.score for r in got.collect()}
+    assert rows == {1: None, 2: 9.0}
