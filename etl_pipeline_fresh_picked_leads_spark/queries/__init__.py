@@ -96,13 +96,14 @@ _DRIVER_WINDOW = [
     "q_stream_stream_join", "q_stream_tumbling", "q_stream_watermark",
     "q_text_dup_spans", "q_time_strings", "q_udtf_lateral",
     "q_variant_json", "q_win_percent_rank",
-    # round-9 new queries: deletion-vector merge-on-read mutations +
-    # the txtable streaming source
+    # round-9 new queries: deletion-vector merge-on-read mutations,
+    # the txtable streaming source/sink, and the clone-fate guard
     "q_txtable_delete_dv", "q_txtable_update_dv",
-    "q_stream_txtable_source",
+    "q_stream_txtable_source", "q_stream_txtable_sink",
+    "q_txtable_clone",
     # r5 tail picks: behavior-reshaped / contract-oracle / at-risk
     "q_embed_quantize", "q_agg_approx_cd", "q_agg_percentile_approx",
-    "q_text_langid", "q_stream_session_timeout", "q_join_pointintime",
+    "q_text_langid",
 ]
 
 

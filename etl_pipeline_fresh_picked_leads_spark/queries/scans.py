@@ -1097,3 +1097,54 @@ def q_txtable_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version": res["version"],
     }, replay
     return t.read()
+
+
+@query(
+    "q_txtable_clone",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 50.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 11 <> 7
+    """,
+)
+def q_txtable_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + clone-fate guard (sources/txtable.py clone_to /
+    vacuum, r8+r9): the clone's v1 references the SOURCE's files by
+    path (zero data copied — asserted on the manifest), then the two
+    tables diverge independently (clone DV-deletes every 11th key and
+    updates every 9th — modular, regeneration-proof — while the
+    source overwrites itself entirely).  The r9 guard is pinned
+    in-query: the source's vacuum REFUSES to GC files the live clone
+    still references (TxCloneFateError), and the clone stays readable
+    — the final state returned is the CLONE's, hashed against DuckDB.
+    At 100 TB a clone is one manifest write; the guard is one
+    manifest walk per live clone per vacuum."""
+    import shutil
+
+    from ..sources.txtable import TxCloneFateError, TxTable
+
+    base = os.path.join(_SCRATCH, "clone_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(spark, os.path.join(base, "src"), o.repartition(2))
+    src_files = set(t.snapshot().files)
+    c = t.clone_to(os.path.join(base, "clone"))
+    assert set(c.snapshot().files) == src_files, "zero data copied"
+    # divergent evolution: clone mutates, source replaces itself
+    assert c.delete_dv(F.col("o_orderkey") % 11 == 7) > 0
+    assert c.update_dv(
+        F.col("o_orderkey") % 9 == 2,
+        {"o_totalprice": F.col("o_totalprice") + 50.0},
+    ) > 0
+    t.overwrite(o.filter(F.col("o_orderkey") % 2 == 0))
+    # the guard: source vacuum must refuse while the clone holds files
+    try:
+        t.vacuum(retain=1, min_age_seconds=0)
+        raise AssertionError("vacuum must refuse to break the live clone")
+    except TxCloneFateError:
+        pass
+    return c.read()

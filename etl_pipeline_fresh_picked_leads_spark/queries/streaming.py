@@ -930,3 +930,71 @@ def q_stream_txtable_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()  # replay over the same checkpoint: nothing new
     assert spark.read.parquet(out).count() == sink.count()
     return spark.read.parquet(out)
+
+
+@query(
+    "q_stream_txtable_sink",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def q_stream_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TxTable as a native streaming SINK (r9,
+    streaming/txtable_source.py — Spark 4 Python Data Source API
+    writer): ``writeStream.format("txtable")`` commits every
+    micro-batch's task files in ONE atomic manifest under a
+    ``txsink|<batchId>`` tag — at-least-once delivery is exactly-once
+    at the table, asserted by a same-checkpoint replay leaving the
+    version untouched.  The odd/even order stripes land as two files
+    in the landing dir (maxFilesPerTrigger=1 forces two commits);
+    the final table state hashes against full DuckDB orders.  Scale
+    shape: executors write their partition with pyarrow (no JVM
+    crossing), the driver's commit is one manifest link — per-trigger
+    cost ∝ batch, like every TxTable append."""
+    from ..sources.txtable import TxTable
+    from ..streaming.txtable_source import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "txsink_q"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "t")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for i, stripe in enumerate((0, 1)):
+        tmp = os.path.join(base, f"tmp{i}")
+        o.filter(F.col("o_orderkey") % 2 == stripe).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, src), os.path.join(landing, f"b{i}.parquet"))
+    schema = spark.read.parquet(landing).schema
+
+    def drain(chk: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+            .writeStream.format("txtable")
+            .option("path", root)
+            .option("checkpointLocation", os.path.join(base, chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("txtable sink stream did not finish")
+
+    drain("chk")
+    t = TxTable(spark, root)
+    v = t.snapshot().version
+    tags = {t2 for t2 in t.committed_txns()}
+    assert {"txsink|0", "txsink|1"} <= tags, tags
+    drain("chk")  # replay over the same checkpoint: no new batches
+    assert TxTable(spark, root).snapshot().version == v, "replay must no-op"
+    return TxTable(spark, root).read()

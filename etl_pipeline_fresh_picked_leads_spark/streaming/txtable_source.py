@@ -226,7 +226,248 @@ class TxTableDataSource(DataSource):
     def streamReader(self, schema: StructType) -> _TxStreamReader:
         return _TxStreamReader(self._root(), schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _TxBatchWriter(self._root(), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "txtable streaming sink supports append mode only"
+            )
+        return _TxStreamWriter(self._root(), schema)
+
 
 def register(spark) -> None:
     """Idempotent registration of the ``txtable`` format."""
     spark.dataSource.register(TxTableDataSource)
+
+
+# ------------------------------------------------------------------ writers
+
+from dataclasses import field as _field  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    files: list = _field(default_factory=list)
+
+
+def _write_task(root: str, schema: StructType, iterator):
+    """Executor-side: drain this task's Arrow batches into ONE fresh
+    parquet file under the table's data dir.  The directory is staged
+    before any manifest references it — exactly the writer protocol
+    TxTable.vacuum's min-age guard assumes — so an aborted batch
+    leaves only an unreferenced young dir for vacuum."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    batches = list(iterator)
+    if not batches:
+        return _WroteFiles([])
+    tbl = pa.Table.from_batches(batches)
+    want = to_arrow_schema(schema)
+    if tbl.schema != want:
+        tbl = tbl.cast(want)
+    out_dir = os.path.join(root, "data", _uuid.uuid4().hex)
+    os.makedirs(out_dir)
+    path = os.path.join(out_dir, "part-00000.parquet")
+    pq.write_table(tbl, path)
+    return _WroteFiles([path])
+
+
+def _head_version_and_manifest(log_dir: str):
+    vs = _versions(log_dir)
+    if not vs:
+        return 0, None
+    return vs[-1], _manifest(log_dir, vs[-1])
+
+
+def _sink_guards(m: dict | None, schema: StructType, op: str) -> None:
+    """The native sink is manifest-only on the driver (no Spark
+    session in the commit callback), so table features whose
+    enforcement needs a query engine are refused LOUDLY instead of
+    silently skipped."""
+    if m is None:
+        return
+    if m.get("constraints"):
+        raise ValueError(
+            f"txtable {op}: target carries CHECK constraints, which "
+            "this sink cannot validate — use foreachBatch + "
+            "TxTable.append (streaming/sinks.py) for gated tables"
+        )
+    cm = m.get("colmap")
+    if cm is not None and any(c["name"] != c["phys"] for c in cm):
+        raise ValueError(
+            f"txtable {op}: target uses column mapping (renamed "
+            "columns); the sink writes physical files under logical "
+            "names — use foreachBatch + TxTable.append"
+        )
+    if m.get("schema"):
+        want = StructType.fromJson(json.loads(m["schema"]))
+        if [
+            (f.name, f.dataType.simpleString()) for f in want.fields
+        ] != [(f.name, f.dataType.simpleString()) for f in schema.fields]:
+            raise ValueError(
+                f"txtable {op}: stream schema "
+                f"{schema.simpleString()} != table schema "
+                f"{want.simpleString()}"
+            )
+
+
+def _commit_append(
+    root: str,
+    schema: StructType,
+    files: list[str],
+    txn: str | None,
+    op: str = "stream_sink",
+    overwrite: bool = False,
+    max_retries: int = 20,
+) -> int:
+    """Driver-side manifest append — TxTable._commit's protocol
+    (fsync temp + atomic-exclusive os.link) in pure Python.  Blind
+    appends commute, so a lost race re-reads the head and re-links;
+    guards re-run each attempt (a racing add_constraint must refuse
+    us).  ``txn`` makes the commit exactly-once per tag."""
+    import uuid as _uuid
+
+    log_dir = os.path.join(root, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    for _ in range(max_retries + 1):
+        head_v, m = _head_version_and_manifest(log_dir)
+        _sink_guards(m, schema, op)
+        if txn is not None and m is not None:
+            committed = {
+                _manifest(log_dir, v).get("txn")
+                for v in _versions(log_dir)
+            }
+            if txn in committed:
+                return head_v  # replayed batch: already landed
+        carried = list(m["files"]) if (m and not overwrite) else []
+        manifest = {
+            "version": head_v + 1,
+            "op": op,
+            "files": carried + files,
+            "txn": txn,
+            "schema": json.dumps(schema.jsonValue()),
+            "stats": (
+                {
+                    f: m["stats"][f]
+                    for f in carried
+                    if m.get("stats") and f in m["stats"]
+                }
+                or None
+                if m
+                else None
+            ),
+            "dropped": list(m.get("dropped") or []) if m else [],
+        }
+        if m and m.get("stats_cols"):
+            manifest["stats_cols"] = m["stats_cols"]
+        if m and not overwrite and m.get("dvs"):
+            manifest["dvs"] = m["dvs"]  # all carried files still live
+        if m and m.get("colmap") is not None:
+            # identity-only by guard; carry the mapping metadata
+            manifest["colmap"] = m["colmap"]
+            manifest["retired_phys"] = m.get("retired_phys") or []
+            manifest["max_id"] = m.get("max_id")
+        tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(log_dir, _manifest_name(head_v + 1))
+        try:
+            os.link(tmp, final)
+            return head_v + 1
+        except FileExistsError:
+            continue  # lost the race: retry against the new head
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(f"txtable sink: lost {max_retries} commit races")
+
+
+def _abort_cleanup(messages) -> None:
+    import shutil
+
+    for msg in messages:
+        if not msg:
+            continue
+        for f in msg.files:
+            shutil.rmtree(os.path.dirname(f), ignore_errors=True)
+
+
+class _TxStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: every micro-batch commits ONE manifest
+    appending all task files, tagged ``txsink|<batchId>`` — a replayed
+    batch id no-ops, so at-least-once delivery is exactly-once at the
+    table.  Caveat (same as any batch-id-keyed sink): after CHECKPOINT
+    LOSS the engine renumbers batches from 0 over possibly different
+    splits — the content-fingerprint foreachBatch sinks
+    (streaming/sinks.py) survive that too; this sink documents it."""
+
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.schema = schema
+        # fail fast at stream start, not first commit
+        _sink_guards(
+            _head_version_and_manifest(os.path.join(root, _LOG_DIR))[1],
+            schema,
+            "stream_sink",
+        )
+
+    def write(self, iterator):
+        return _write_task(self.root, self.schema, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(f for msg in messages if msg for f in msg.files)
+        _commit_append(
+            self.root, self.schema, files, txn=f"txsink|{batchId}"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_cleanup(messages)
+
+
+class _TxBatchWriter(DataSourceArrowWriter):
+    """Batch sink: ``df.write.format("txtable").mode("append"|
+    "overwrite")`` — all task files land in ONE atomic manifest."""
+
+    def __init__(self, root: str, schema: StructType, overwrite: bool):
+        self.root = root
+        self.schema = schema
+        self.overwrite = overwrite
+        if not overwrite:  # append must match; overwrite replaces
+            _sink_guards(
+                _head_version_and_manifest(
+                    os.path.join(root, _LOG_DIR)
+                )[1],
+                schema,
+                "batch_sink",
+            )
+
+    def write(self, iterator):
+        return _write_task(self.root, self.schema, iterator)
+
+    def commit(self, messages) -> None:
+        files = sorted(f for msg in messages if msg for f in msg.files)
+        _commit_append(
+            self.root,
+            self.schema,
+            files,
+            txn=None,
+            op="overwrite" if self.overwrite else "append",
+            overwrite=self.overwrite,
+        )
+
+    def abort(self, messages) -> None:
+        _abort_cleanup(messages)

@@ -135,3 +135,92 @@ def test_stream_delivers_evolved_schema_nulls(reg, tmp_path):
     got = spark.read.format("txtable").option("path", root).load()
     rows = {r.k: r.score for r in got.collect()}
     assert rows == {1: None, 2: 9.0}
+
+
+def test_batch_writer_roundtrip_and_interop(reg, tmp_path):
+    """df.write.format('txtable'): overwrite creates, append commits
+    all task files in ONE manifest, and the TxTable API operates on
+    the sink-written table (CoW delete, history)."""
+    spark = reg
+    root = str(tmp_path / "t")
+    _df(spark, 0, 20).write.format("txtable").mode("overwrite").option(
+        "path", root
+    ).save()
+    t = TxTable(spark, root)
+    assert t.snapshot().version == 1 and t.read().count() == 20
+    _df(spark, 100, 103).write.format("txtable").mode("append").option(
+        "path", root
+    ).save()
+    assert t.read().count() == 23 and t.snapshot().op == "append"
+    assert t.delete(F.col("k") == 100) == 1
+    assert t.read().count() == 22
+    # append with a mismatched schema is refused loudly
+    with pytest.raises(Exception, match="schema"):
+        spark.createDataFrame([(1,)], "k bigint").write.format(
+            "txtable"
+        ).mode("append").option("path", root).save()
+
+
+def test_stream_writer_exactly_once_per_batch(reg, tmp_path):
+    """writeStream.format('txtable'): one atomic manifest per
+    micro-batch under a txsink|<batchId> tag; a checkpointed replay
+    delivers nothing and the version stays put."""
+    spark = reg
+    root = str(tmp_path / "t")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    TxTable.create(spark, root, _df(spark, 0, 10).coalesce(1))
+
+    def land(name, lo, hi):
+        tmp = str(tmp_path / "tmp")
+        _df(spark, lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, src), os.path.join(landing, name))
+
+    land("b0.parquet", 100, 110)
+    schema = spark.read.parquet(landing).schema
+
+    def drain(chk):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .writeStream.format("txtable")
+            .option("path", root)
+            .option("checkpointLocation", str(tmp_path / chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    drain("chk")
+    t = TxTable(spark, root)
+    assert t.read().count() == 20
+    assert t.snapshot().txn == "txsink|0"
+    v = t.snapshot().version
+    drain("chk")  # replay over same checkpoint: nothing new
+    assert t.read().count() == 20 and t.snapshot().version == v
+    land("b1.parquet", 200, 205)
+    drain("chk")
+    assert t.read().count() == 25
+
+
+def test_sink_guards_constraints_and_colmap(reg, tmp_path):
+    """Features the manifest-only sink cannot honor are refused at
+    stream/batch start — never silently skipped."""
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 0, 5).coalesce(1))
+    t.add_constraint("k_pos", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _df(spark, 5, 6).write.format("txtable").mode("append").option(
+            "path", root
+        ).save()
+    t.drop_constraint("k_pos")
+    t.rename_column("price", "amount")
+    df2 = spark.createDataFrame(
+        [(9, "z", 9.0)], "k bigint, name string, amount double"
+    )
+    with pytest.raises(Exception, match="column mapping"):
+        df2.write.format("txtable").mode("append").option(
+            "path", root
+        ).save()
