@@ -1781,3 +1781,37 @@ def test_cdc_apply_high_watermark_rejects_stale_cross_batch(spark, tmp_path):
     )
     got = {r.k: (r.name, r._seq) for r in t.read().collect()}
     assert got == {1: ("A12", 12), 3: ("c", 1)}, got
+
+
+def test_cdc_apply_batch_dv_mode_no_rewrites(spark, tmp_path):
+    """CDC apply with mode='dv' (r9): the per-trigger merge fires
+    merge-on-read — original replica files survive every batch by
+    reference; final state identical to CoW mode."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        cdc_apply_batch,
+    )
+
+    batch = _cdc(
+        spark,
+        [
+            (1, "A", 11.0, "update", 2),
+            (2, None, None, "delete", 1),
+            (3, "c", 30.0, "insert", 1),
+        ],
+    )
+    finals = []
+    for mode in ("cow", "dv"):
+        root = str(tmp_path / mode)
+        t = TxTable.create(
+            spark, root, _pdf(spark, [(1, "a", 10.0), (2, "b", 20.0)])
+        )
+        files0 = set(t.snapshot().files)
+        res = cdc_apply_batch(spark, batch, root, "k", mode=mode)
+        assert res["updated"] == 1 and res["deleted"] == 1
+        if mode == "dv":
+            assert files0 < set(t.snapshot().files), "originals intact"
+            assert t.snapshot().dvs
+        finals.append(
+            sorted((r.k, r.name, r.price) for r in t.read().collect())
+        )
+    assert finals[0] == finals[1]
