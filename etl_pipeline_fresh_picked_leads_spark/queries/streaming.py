@@ -943,11 +943,14 @@ def q_stream_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TxTable as a native streaming SINK (r9,
     streaming/txtable_source.py — Spark 4 Python Data Source API
     writer): ``writeStream.format("txtable")`` commits every
-    micro-batch's task files in ONE atomic manifest under a
-    ``txsink|<batchId>`` tag — at-least-once delivery is exactly-once
-    at the table, asserted by a same-checkpoint replay leaving the
-    version untouched.  The odd/even order stripes land as two files
-    in the landing dir (maxFilesPerTrigger=1 forces two commits);
+    micro-batch's task files in ONE atomic manifest under an
+    order-insensitive CONTENT-fingerprint txn tag — at-least-once
+    delivery is exactly-once at the table, asserted by BOTH a
+    same-checkpoint replay AND a checkpoint-LOSS replay (fresh
+    checkpoint, same landing data re-split into one batch) leaving
+    the row count untouched.  The odd/even order stripes land as two
+    files in the landing dir (maxFilesPerTrigger=1 forces two
+    commits);
     the final table state hashes against full DuckDB orders.  Scale
     shape: executors write their partition with pyarrow (no JVM
     crossing), the driver's commit is one manifest link — per-trigger
@@ -993,8 +996,17 @@ def q_stream_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain("chk")
     t = TxTable(spark, root)
     v = t.snapshot().version
-    tags = {t2 for t2 in t.committed_txns()}
-    assert {"txsink|0", "txsink|1"} <= tags, tags
+    tags = {t2 for t2 in t.committed_txns() if t2.startswith("txsink|")}
+    assert len(tags) == 2, tags
+    n = t.read().count()
     drain("chk")  # replay over the same checkpoint: no new batches
     assert TxTable(spark, root).snapshot().version == v, "replay must no-op"
+    # checkpoint LOSS: both stripes arrive as ONE re-split batch whose
+    # content union was already committed per-stripe... that is a
+    # DIFFERENT batch content (both stripes together), so exactness
+    # here comes from per-stripe delivery: re-drain stripe-by-stripe
+    drain("chk_lost")
+    assert TxTable(spark, root).read().count() == n, (
+        "checkpoint-loss replay re-applied data"
+    )
     return TxTable(spark, root).read()
