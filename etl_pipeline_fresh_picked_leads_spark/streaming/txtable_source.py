@@ -136,21 +136,52 @@ def _partitions_for(
 
 
 class _TxStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        starting_version: "int | str | None" = None,
+        max_versions_per_trigger: int | None = None,
+    ):
         self.root = root
         self.log_dir = os.path.join(root, _LOG_DIR)
         self.logical = schema
+        self.starting_version = starting_version
+        self.max_versions = max_versions_per_trigger
+        self._seen: int | None = None  # newest end handed to partitions()
 
     def initialOffset(self) -> dict:
-        # start BEFORE the first commit: the initial snapshot is
-        # delivered as the first batch (Delta source default)
-        return {"version": 0}
+        # default: start BEFORE the first commit — the initial
+        # snapshot is delivered as the first batch (Delta source
+        # default).  startingVersion="latest" skips the backfill
+        # (changes-only tailing); an integer starts after that
+        # committed version.
+        if self.starting_version is None:
+            return {"version": 0}
+        if self.starting_version == "latest":
+            vs = _versions(self.log_dir)
+            return {"version": vs[-1] if vs else 0}
+        return {"version": int(self.starting_version)}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.log_dir)
-        return {"version": vs[-1] if vs else 0}
+        head = vs[-1] if vs else 0
+        if self.max_versions is None:
+            return {"version": head}
+        # rate limiting: advance at most N versions past the newest
+        # end this reader has handed out.  After a restart the first
+        # trigger may be empty (we haven't seen the checkpoint's
+        # start yet — partitions() records it); the next trigger
+        # advances normally.  Under availableNow the run drains to
+        # the capped end only — re-trigger to continue (documented).
+        base = self._seen if self._seen is not None else 0
+        return {"version": min(head, base + self.max_versions)}
 
     def partitions(self, start: dict, end: dict):
+        self._seen = max(start["version"], end["version"])
+        return self._partitions(start, end)
+
+    def _partitions(self, start: dict, end: dict):
         sv, ev = start["version"], end["version"]
         if ev <= sv:
             return [_FilePartition("", [], [])]  # empty trigger
@@ -224,7 +255,13 @@ class TxTableDataSource(DataSource):
         return _TxBatchReader(self._root(), schema)
 
     def streamReader(self, schema: StructType) -> _TxStreamReader:
-        return _TxStreamReader(self._root(), schema)
+        mv = self.options.get("maxversionspertrigger")
+        return _TxStreamReader(
+            self._root(),
+            schema,
+            starting_version=self.options.get("startingversion"),
+            max_versions_per_trigger=int(mv) if mv else None,
+        )
 
     def writer(self, schema: StructType, overwrite: bool):
         return _TxBatchWriter(self._root(), schema, overwrite)

@@ -228,3 +228,73 @@ def test_sink_guards_constraints_and_colmap(reg, tmp_path):
         df2.write.format("txtable").mode("append").option(
             "path", root
         ).save()
+
+
+def test_source_starting_version_latest_skips_backfill(reg, tmp_path):
+    """startingVersion='latest' tails changes only: the pre-existing
+    snapshot is never delivered, later appends are."""
+    spark = reg
+    root, out, chk = (
+        str(tmp_path / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    t = TxTable.create(spark, root, _df(spark, 0, 30).coalesce(1))
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", root)
+            .option("startingVersion", "latest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    drain()
+    assert not os.path.isdir(out) or spark.read.parquet(out).count() == 0
+    t.append(_df(spark, 100, 105).coalesce(1))
+    drain()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(100, 105)), "changes only, no backfill"
+
+
+def test_source_max_versions_per_trigger_paces_batches(reg, tmp_path):
+    """maxVersionsPerTrigger=1: each availableNow run advances one
+    committed version — a 100 TB backfill paces instead of landing as
+    one giant batch."""
+    spark = reg
+    root, out, chk = (
+        str(tmp_path / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    t = TxTable.create(spark, root, _df(spark, 0, 10).coalesce(1))
+    t.append(_df(spark, 100, 110).coalesce(1))
+    t.append(_df(spark, 200, 210).coalesce(1))
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", root)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    counts = []
+    for _ in range(4):
+        drain()
+        counts.append(
+            spark.read.parquet(out).count() if os.path.isdir(out) else 0
+        )
+    assert counts == [10, 20, 30, 30], counts
