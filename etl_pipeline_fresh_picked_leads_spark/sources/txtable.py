@@ -2373,6 +2373,57 @@ class TxTable:
             stats=self._merged_stats(base, survivors, new, cm),
         )
 
+    def purge_dvs(self, min_deleted_frac: float = 0.05) -> int:
+        """``REORG TABLE ... APPLY (PURGE)`` (Delta parity): rewrite
+        ONLY the files whose deletion-vector fraction reaches
+        ``min_deleted_frac``, materializing their deletes and retiring
+        their vectors — the incremental reclaim of the DV read-side
+        anti-join.  Cost ∝ dirty files, never the table: clean files
+        and lightly-vectored files carry by reference untouched
+        (contrast ``compact``, which targets file SIZE).  Dead-row
+        counts come from one scan of the sidecars (metadata-sized:
+        deleted rows only); per-file totals from manifest stats when
+        present, else a driver footer read.  Returns the committed
+        version (unchanged when nothing crosses the threshold —
+        maintenance no-op, like compact)."""
+        base = self._head()
+        dvs = self._dvs_of(base)
+        if not dvs:
+            return base.version
+        paths = sorted({p for v in dvs.values() for p in v})
+        dead = {
+            r.file: r.dead
+            for r in self.spark.read.schema(_DV_SCHEMA)
+            .parquet(*paths)
+            .groupBy("file")
+            .agg(F.count_distinct("pos").alias("dead"))
+            .collect()
+        }
+
+        def total_rows(f: str) -> int:
+            st = (base.stats or {}).get(f)
+            if st and st.get("rows"):
+                return st["rows"]
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(f).metadata.num_rows
+
+        affected = sorted(
+            f
+            for f in dvs
+            if f in dead
+            and total_rows(f) > 0
+            and dead[f] / total_rows(f) >= min_deleted_frac
+        )
+        if not affected:
+            return base.version
+        cm = self._colmap_or_none(base)
+        rewritten = self._read_files(
+            affected, base.schema_json, cm, dvs=dvs
+        )
+        new = self._write_data(rewritten, cm)
+        return self._commit_vs_appends(base, "purge", set(affected), new)
+
     # ------------------------------------------------------- cleanup
 
     def clone_to(self, new_root: str) -> "TxTable":

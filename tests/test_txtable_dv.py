@@ -363,3 +363,37 @@ def test_merge_schema_evolution(spark, tmp_path):
     t3.merge(src, "k", update={"score": "s.score + 1"}, schema_evolution=True)
     got3 = {r.k: r.score for r in t3.read().collect()}
     assert got3 == {3: 34.0, 4: None, 100: 1.0}, got3
+
+
+def test_purge_dvs_rewrites_only_dirty_files(spark, tmp_path):
+    """REORG APPLY PURGE (r9): only files whose DV fraction crosses
+    the threshold rewrite — clean files and lightly-vectored files
+    carry by reference; their vectors survive; the purged files'
+    vectors retire; visible rows never change."""
+    root = str(tmp_path / "t")
+    # 4 files of 25 rows each (k ranges by repartitionByRange)
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark).repartitionByRange(4, "k"),
+        stats_cols=["k"],
+    )
+    t.delete_dv(F.col("k") < 10)  # ~40% of one file: dirty
+    t.delete_dv(F.col("k") == 40)  # 1 row of another: light
+    before = t.snapshot()
+    want = sorted(r.k for r in t.read().collect())
+    v = t.purge_dvs(min_deleted_frac=0.2)
+    snap = t.snapshot()
+    assert v == snap.version and snap.op == "purge"
+    carried = set(before.files) & set(snap.files)
+    assert len(set(before.files) - carried) == 1, "one dirty file rewrote"
+    assert snap.dvs and all(
+        f in carried for f in snap.dvs
+    ), "light vector survives on its carried file"
+    assert sorted(r.k for r in t.read().collect()) == want
+    # below-threshold call is a maintenance no-op: version unchanged
+    assert t.purge_dvs(min_deleted_frac=0.2) == snap.version
+    # threshold 0 purges everything vectored
+    t.purge_dvs(min_deleted_frac=0.0)
+    assert not t.snapshot().dvs
+    assert sorted(r.k for r in t.read().collect()) == want
