@@ -594,3 +594,34 @@ def test_srp_lsh_signatures_cached_before_band_explode(spark):
     finally:
         for p in pins:
             p.unpersist()
+
+
+def test_dvless_txtable_read_plan_has_no_join(spark, tmp_path):
+    """The deletion-vector None fast path (r9): a table that has never
+    had a DV commit must read with the PRE-DV plan — a bare parquet
+    scan, no anti-join, no _metadata projection — so r9 costs nothing
+    on the overwhelmingly common DV-less read."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a")], "k bigint, v string").coalesce(1),
+    )
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "_metadata" not in plan, plan
+
+    # and once a vector exists: ONE anti-join, broadcastable side
+    t.append(
+        spark.createDataFrame([(2, "b")], "k bigint, v string").coalesce(1)
+    )
+    from pyspark.sql import functions as F
+
+    t.delete_dv(F.col("k") == 1)
+    plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("LeftAnti") == 1, plan2
+    assert "BroadcastHashJoin" in plan2, "small DV side must broadcast"
