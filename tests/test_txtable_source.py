@@ -298,3 +298,42 @@ def test_source_max_versions_per_trigger_paces_batches(reg, tmp_path):
             spark.read.parquet(out).count() if os.path.isdir(out) else 0
         )
     assert counts == [10, 20, 30, 30], counts
+
+
+def test_sink_commit_retries_lost_append_race(reg, tmp_path):
+    """The sink's driver-side manifest append must absorb a racing
+    TxTable commit (blind appends commute): simulate losing the race
+    by pre-linking the next version before the sink commits."""
+    import json as _json
+
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        _commit_append,
+        _WroteFiles,
+    )
+
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 0, 5).coalesce(1))
+    # stage a sink file the manual way
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, "data", "sinkrace")
+    os.makedirs(d)
+    f = os.path.join(d, "part-00000.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([9], pa.int64()),
+             "name": pa.array(["z"]),
+             "price": pa.array([9.0])}
+        ),
+        f,
+    )
+    # racer lands version 2 first
+    t.append(_df(spark, 100, 101).coalesce(1))
+    v = _commit_append(root, t.read().schema, [f], txn="txsink|race")
+    assert v == 3, "sink re-linked against the racer's head"
+    got = sorted(r.k for r in TxTable(spark, root).read().collect())
+    assert got == [0, 1, 2, 3, 4, 9, 100]
+    # idempotent under the tag
+    assert _commit_append(root, t.read().schema, [f], txn="txsink|race") == 3
