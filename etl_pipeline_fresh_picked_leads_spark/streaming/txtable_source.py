@@ -341,11 +341,20 @@ def _head_version_and_manifest(log_dir: str):
     return vs[-1], _manifest(log_dir, vs[-1])
 
 
-def _sink_guards(m: dict | None, schema: StructType, op: str) -> None:
+def _sink_guards(
+    m: dict | None,
+    schema: StructType,
+    op: str,
+    check_schema: bool = True,
+) -> None:
     """The native sink is manifest-only on the driver (no Spark
     session in the commit callback), so table features whose
     enforcement needs a query engine are refused LOUDLY instead of
-    silently skipped."""
+    silently skipped.  ``check_schema=False`` for overwrite, which
+    legitimately replaces the schema but must still refuse
+    constraints/colmap (silently DROPPING a CHECK constraint or
+    breaking the physical-name contract would be worse than the
+    append-path refusal)."""
     if m is None:
         return
     if m.get("constraints"):
@@ -355,12 +364,17 @@ def _sink_guards(m: dict | None, schema: StructType, op: str) -> None:
             "TxTable.append (streaming/sinks.py) for gated tables"
         )
     cm = m.get("colmap")
-    if cm is not None and any(c["name"] != c["phys"] for c in cm):
+    if cm is not None and (
+        not check_schema  # overwrite: id bookkeeping needs the engine
+        or any(c["name"] != c["phys"] for c in cm)
+    ):
         raise ValueError(
-            f"txtable {op}: target uses column mapping (renamed "
-            "columns); the sink writes physical files under logical "
-            "names — use foreachBatch + TxTable.append"
+            f"txtable {op}: target uses column mapping; the sink "
+            "writes physical files under logical names and cannot do "
+            "field-id bookkeeping — use TxTable.overwrite/append"
         )
+    if not check_schema:
+        return
     if m.get("schema"):
         want = StructType.fromJson(json.loads(m["schema"]))
         if [
@@ -393,7 +407,7 @@ def _commit_append(
     os.makedirs(log_dir, exist_ok=True)
     for _ in range(max_retries + 1):
         head_v, m = _head_version_and_manifest(log_dir)
-        _sink_guards(m, schema, op)
+        _sink_guards(m, schema, op, check_schema=not overwrite)
         if txn is not None and m is not None:
             committed = {
                 _manifest(log_dir, v).get("txn")
@@ -424,7 +438,7 @@ def _commit_append(
             manifest["stats_cols"] = m["stats_cols"]
         if m and not overwrite and m.get("dvs"):
             manifest["dvs"] = m["dvs"]  # all carried files still live
-        if m and m.get("colmap") is not None:
+        if m and not overwrite and m.get("colmap") is not None:
             # identity-only by guard; carry the mapping metadata
             manifest["colmap"] = m["colmap"]
             manifest["retired_phys"] = m.get("retired_phys") or []

@@ -337,3 +337,29 @@ def test_sink_commit_retries_lost_append_race(reg, tmp_path):
     assert got == [0, 1, 2, 3, 4, 9, 100]
     # idempotent under the tag
     assert _commit_append(root, t.read().schema, [f], txn="txsink|race") == 3
+
+
+def test_sink_overwrite_refuses_constrained_or_mapped_tables(reg, tmp_path):
+    """Overwrite through the sink must not silently DROP a CHECK
+    constraint or break a column-mapped table's physical contract —
+    same loud refusal as append (r9 review fix)."""
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 0, 5).coalesce(1))
+    t.add_constraint("k_pos", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _df(spark, 0, 3).write.format("txtable").mode("overwrite").option(
+            "path", root
+        ).save()
+    assert "k_pos" in (t.snapshot().constraints or {}), "nothing dropped"
+    t.drop_constraint("k_pos")
+    t.rename_column("price", "amount")
+    df2 = spark.createDataFrame(
+        [(9, "z", 9.0)], "k bigint, name string, amount double"
+    )
+    with pytest.raises(Exception, match="column mapping"):
+        df2.write.format("txtable").mode("overwrite").option(
+            "path", root
+        ).save()
+    got = {r.k for r in t.read().collect()}
+    assert got == set(range(5)), "refused overwrite left no trace"
