@@ -100,10 +100,9 @@ _DRIVER_WINDOW = [
     # the txtable streaming source/sink, and the clone-fate guard
     "q_txtable_delete_dv", "q_txtable_update_dv",
     "q_stream_txtable_source", "q_stream_txtable_sink",
-    "q_txtable_clone",
+    "q_txtable_clone", "q_txtable_cdf",
     # r5 tail picks: behavior-reshaped / contract-oracle / at-risk
     "q_embed_quantize", "q_agg_approx_cd", "q_agg_percentile_approx",
-    "q_text_langid",
 ]
 
 

@@ -1148,3 +1148,62 @@ def q_txtable_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     except TxCloneFateError:
         pass
     return c.read()
+
+
+@query(
+    "q_txtable_cdf",
+    oracle="""
+    SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 = 4
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 6
+      AND o_orderkey % 14 <> 4
+    UNION ALL
+    SELECT 'insert', CAST(3 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice + 100.0
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 6
+      AND o_orderkey % 14 <> 4
+    UNION ALL
+    SELECT 'insert', CAST(4 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_txtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL change feed (sources/txtable.py read_changes, r9 —
+    CDF-lite): deletion-vector sidecars name exact (file, position)
+    row identities, so the feed emits PRECISE row-level deletes —
+    something the add-only changefeed (q_txtable_changefeed)
+    structurally cannot.  The table takes a DV delete (every 14th
+    even key, v2), a DV update (every 10th even key still alive —
+    emitted as a delete+insert pair with the POST-update price, v3)
+    and an append (the odd stripe, v4); the full feed hashes against
+    a DuckDB UNION ALL of the four expected change sets.  Already-
+    dead rows never re-emit (the v3 update excludes v2's victims —
+    same modular arithmetic on both sides).  Cost ∝ changed files +
+    sidecars in the window, never the table."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "cdf_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2)
+    )
+    n2 = t.delete_dv(F.col("o_orderkey") % 14 == 4)
+    n3 = t.update_dv(
+        F.col("o_orderkey") % 10 == 6,
+        {"o_totalprice": F.col("o_totalprice") + 100.0},
+    )
+    assert n2 > 0 and n3 > 0, "both DV slices must be populated"
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    return t.read_changes(1)

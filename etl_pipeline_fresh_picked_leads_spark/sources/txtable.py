@@ -1239,6 +1239,163 @@ class TxTable:
             dvs=self._dvs_of(head),
         )
 
+    def _dv_new_rows(
+        self,
+        cur: TxSnapshot,
+        prev: TxSnapshot,
+    ) -> "DataFrame | None":
+        """Rows newly deletion-vectored between two adjacent
+        snapshots: per carried file, the sidecars ``cur`` added over
+        ``prev`` name exact (file, pos) identities — a SEMI join
+        recovers the deleted rows' full images."""
+        new_paths: list[str] = []
+        files: list[str] = []
+        prev_dvs = prev.dvs or {}
+        for f, paths in (cur.dvs or {}).items():
+            fresh = [p for p in paths if p not in set(prev_dvs.get(f, []))]
+            if fresh and f in set(prev.files):
+                new_paths.extend(fresh)
+                files.append(f)
+        if not new_paths:
+            return None
+        dv = self.spark.read.schema(_DV_SCHEMA).parquet(
+            *sorted(set(new_paths))
+        )
+        scanned = self._scan_with_pos(
+            files, cur.schema_json, self._colmap_or_none(cur)
+        ).withColumn("_fpn", self._norm_fp())
+        out = (
+            scanned.alias("d")
+            .join(
+                dv.alias("v"),
+                (F.col("d._fpn") == F.col("v.file"))
+                & (F.col("d._pos") == F.col("v.pos")),
+                "left_semi",
+            )
+            .drop("_fpn", "_fp", "_pos")
+        )
+        return out
+
+    # ops that re-arrange bytes without changing table content: their
+    # file diffs are pure noise to a change consumer
+    _CONTENT_NEUTRAL_OPS = frozenset({"compact", "purge"})
+
+    def read_changes(
+        self,
+        since: int,
+        until: int | None = None,
+        skip_content_neutral: bool = True,
+    ) -> DataFrame:
+        """ROW-LEVEL change feed (r9, CDF-lite): every row change
+        committed after ``since`` up to ``until``, tagged
+        ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+        Updates appear as a delete+insert pair (the minimal CDF form;
+        Delta's pre/postimage pairing is a labeling refinement).
+
+        Precision by op class:
+        - appends / inserts: exact (rows of added files);
+        - merge-on-read mutations (delete_dv/update_dv/merge_dv):
+          EXACT row-level deletes — the new sidecar entries name the
+          (file, position) identities, something the add-only
+          ``read_since`` feed cannot express;
+        - copy-on-write rewrites (update/delete/upsert/merge/
+          replace_where/restore): file-granular — carried-along
+          unchanged rows of a rewritten file emit as a delete+insert
+          pair (an over-approximation that key-folding consumers
+          converge through; never a miss);
+        - content-neutral maintenance (compact / purge) emits NOTHING
+          by default (``skip_content_neutral``) — their diffs are
+          byte movement, not change.
+
+        Cost ∝ the changed files and sidecars in the window, never
+        the table; every version step reads under ITS schema and the
+        union NULL-fills across schema evolution."""
+        from pyspark.sql.types import StructType
+
+        versions = [
+            v
+            for v in self._versions()
+            if v > since and (until is None or v <= until)
+        ]
+        if since not in self._versions() and since != 0:
+            raise FileNotFoundError(
+                f"version {since} of {self.root} is not in the log"
+            )
+        parts: list[DataFrame] = []
+
+        def tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+            return df.select(
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+                "*",
+            )
+
+        for v in versions:
+            cur = self.snapshot(v)
+            prev = self.snapshot(v - 1) if v - 1 >= 1 else None
+            if (
+                skip_content_neutral
+                and cur.op in self._CONTENT_NEUTRAL_OPS
+            ):
+                continue
+            prev_files = set(prev.files) if prev else set()
+            added = [f for f in cur.files if f not in prev_files]
+            removed = (
+                [f for f in prev.files if f not in set(cur.files)]
+                if prev
+                else []
+            )
+            if added:
+                parts.append(
+                    tag(
+                        self._read_files(
+                            added,
+                            cur.schema_json,
+                            self._colmap_or_none(cur),
+                        ),
+                        "insert",
+                        v,
+                    )
+                )
+            if removed:
+                # rows already dead under PREV's vectors were deleted
+                # in an earlier version — do not re-emit them
+                parts.append(
+                    tag(
+                        self._read_files(
+                            removed,
+                            prev.schema_json,
+                            self._colmap_or_none(prev),
+                            dvs=self._dvs_of(prev),
+                        ),
+                        "delete",
+                        v,
+                    )
+                )
+            if prev is not None:
+                dv_rows = self._dv_new_rows(cur, prev)
+                if dv_rows is not None:
+                    parts.append(tag(dv_rows, "delete", v))
+        if not parts:
+            head = self.snapshot(until)
+            schema = StructType.fromJson(
+                json.loads(head.schema_json)
+            ).add("_change_type", "string").add("_commit_version", "long")
+            empty = self.spark.createDataFrame([], schema)
+            return empty.select(
+                "_change_type",
+                "_commit_version",
+                *[
+                    c
+                    for c in empty.columns
+                    if c not in ("_change_type", "_commit_version")
+                ],
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_, allowMissingColumns=True)
+        return out
+
     # ------------------------------------------------- file skipping
 
     @staticmethod

@@ -397,3 +397,70 @@ def test_purge_dvs_rewrites_only_dirty_files(spark, tmp_path):
     t.purge_dvs(min_deleted_frac=0.0)
     assert not t.snapshot().dvs
     assert sorted(r.k for r in t.read().collect()) == want
+
+
+def test_read_changes_row_level_cdf(spark, tmp_path):
+    """read_changes (r9 CDF-lite): exact row-level deletes from DV
+    sidecars, delete+insert pairs for update_dv, plain inserts for
+    appends, silence for content-neutral compaction, and rows already
+    dead under the previous version's vectors never re-emit."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 20).coalesce(2))
+    t.delete_dv(F.col("k") < 3)                                  # v2
+    t.update_dv(F.col("k") == 5, {"price": F.lit(555.0)})        # v3
+    t.append(
+        spark.createDataFrame(
+            [(100, "x", 1.0)], "k bigint, name string, price double"
+        ).coalesce(1)
+    )                                                            # v4
+    t.compact(target_bytes=1 << 30, small_frac=1.0)              # v5
+    got = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in t.read_changes(1).collect()
+    )
+    assert got == [
+        (2, "delete", 0), (2, "delete", 1), (2, "delete", 2),
+        (3, "delete", 5), (3, "insert", 5),
+        (4, "insert", 100),
+    ], got
+    ins5 = [
+        r
+        for r in t.read_changes(2, 3).collect()
+        if r._change_type == "insert"
+    ]
+    assert len(ins5) == 1 and ins5[0].price == 555.0, "postimage values"
+    # CoW rewrite after compact: the rewritten file's dead rows (none
+    # left — compact materialized) and live rows emit delete+insert
+    n = t.update(F.col("k") == 7, {"price": F.lit(7.7)})
+    assert n == 1
+    ch = t.read_changes(5)
+    kinds = {r._change_type for r in ch.collect()}
+    assert kinds == {"delete", "insert"}
+    # folding the full feed + untouched initial rows equals the head
+    # (the consumer contract): every key's LAST change wins
+    full = t.read_changes(1).collect()
+    last = {}
+    for r in sorted(full, key=lambda r: (r._commit_version,
+                                         r._change_type == "insert")):
+        last[r.k] = (r._change_type, r.price)
+    head = {r.k: r.price for r in t.read().collect()}
+    for k, (kind, price) in last.items():
+        if kind == "insert":
+            assert head.get(k) == price, (k, kind, price, head.get(k))
+        else:
+            assert k not in head, k
+    # the CoW rewrite emitted k=10 as a content-identical delete+insert
+    # pair (file-granular over-approximation) — folding still lands on
+    # the true value, and the v2-deleted keys stayed dead through it
+    assert last[10] == ("insert", 10.0) and head[10] == 10.0
+    assert last[0][0] == "delete" and 0 not in head
+
+
+def test_read_changes_empty_window_and_missing_since(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 5).coalesce(1))
+    ch = t.read_changes(1)
+    assert ch.count() == 0
+    assert ch.columns[:2] == ["_change_type", "_commit_version"]
+    with pytest.raises(FileNotFoundError):
+        t.read_changes(99)
