@@ -73,12 +73,17 @@ class _FilePartition(InputPartition):
     file: str
     phys_names: list[str]  # physical column name per logical field
     dv_paths: list[str]  # deletion-vector sidecars naming this file
+    keep_dv_rows: bool = False  # CDF delete partitions: the DV rows
+    # ARE the payload (semi mask) instead of being subtracted (anti)
+    change: "tuple | None" = None  # (_change_type, _commit_version)
+    # when reading as a change feed; None = plain snapshot read
 
 
 def _read_file_partition(part: _FilePartition, logical: StructType):
     """Executor-side: one parquet file -> arrow batches under LOGICAL
-    names with DV positions masked out.  Runs in the Python worker;
-    pyarrow only, no Spark."""
+    names with DV positions masked out (or, for CDF delete
+    partitions, kept — the sidecar names the payload).  Runs in the
+    Python worker; pyarrow only, no Spark."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -104,12 +109,26 @@ def _read_file_partition(part: _FilePartition, logical: StructType):
         dv = pa.concat_tables(pq.read_table(p) for p in part.dv_paths)
         dv = dv.filter(pc.equal(dv["file"], part.file))
         dead = dv["pos"].to_pylist()
-        if dead:
-            pos = pa.array(range(tbl.num_rows), type=pa.int64())
-            keep = pc.invert(
-                pc.is_in(pos, value_set=pa.array(dead, type=pa.int64()))
-            )
-            tbl = tbl.filter(keep)
+        pos = pa.array(range(tbl.num_rows), type=pa.int64())
+        mask = pc.is_in(pos, value_set=pa.array(dead, type=pa.int64()))
+        tbl = tbl.filter(mask if part.keep_dv_rows else pc.invert(mask))
+    elif part.keep_dv_rows:
+        tbl = tbl.slice(0, 0)  # defensive: no sidecar, no payload
+    if part.change is not None:
+        kind, version = part.change
+        n = tbl.num_rows
+        tbl = tbl.append_column(
+            "_change_type", pa.array([kind] * n, pa.string())
+        ).append_column(
+            "_commit_version", pa.array([version] * n, pa.int64())
+        )
+        want = pa.schema(
+            list(want)
+            + [
+                pa.field("_change_type", pa.string()),
+                pa.field("_commit_version", pa.int64()),
+            ]
+        )
     # conform arrow types to the logical schema (a file written before
     # an ANSI-widening may carry narrower physical types)
     if tbl.schema != want:
@@ -135,6 +154,52 @@ def _partitions_for(
     ]
 
 
+def _cdf_partitions_for_step(log_dir: str, root: str, v: int):
+    """Change partitions for ONE version step v-1 -> v, mirroring
+    TxTable.read_changes semantics: added files -> inserts (live rows
+    under the step's own vectors), removed files -> deletes under the
+    PREV version's vectors, fresh DV sidecar entries on carried files
+    -> exact row deletes; content-neutral compact/purge emit
+    nothing."""
+    cur = _manifest(log_dir, v)
+    if cur.get("op") in ("compact", "purge"):
+        return []
+    prev = _manifest(log_dir, v - 1) if v > 1 else None
+    prev_files = set(prev["files"]) if prev else set()
+    prev_dvs = (prev.get("dvs") or {}) if prev else {}
+    out: list[_FilePartition] = []
+    added = [f for f in cur["files"] if f not in prev_files]
+    for p in _partitions_for(root, cur, added):
+        p.change = ("insert", v)
+        out.append(p)
+    if prev:
+        removed = [f for f in prev["files"] if f not in set(cur["files"])]
+        for p in _partitions_for(root, prev, removed):
+            p.change = ("delete", v)
+            out.append(p)
+        # fresh sidecar entries on carried files: exact row deletes
+        phys = None
+        for f, paths in (cur.get("dvs") or {}).items():
+            fresh = sorted(set(paths) - set(prev_dvs.get(f, [])))
+            if not fresh or f not in prev_files:
+                continue
+            if phys is None:
+                logical = StructType.fromJson(json.loads(cur["schema"]))
+                cm = cur.get("colmap")
+                pm = (
+                    {c["name"]: c["phys"] for c in cm}
+                    if cm is not None
+                    else {}
+                )
+                phys = [pm.get(fd.name, fd.name) for fd in logical.fields]
+            out.append(
+                _FilePartition(
+                    f, phys, fresh, keep_dv_rows=True, change=("delete", v)
+                )
+            )
+    return out
+
+
 class _TxStreamReader(DataSourceStreamReader):
     def __init__(
         self,
@@ -142,12 +207,14 @@ class _TxStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: "int | str | None" = None,
         max_versions_per_trigger: int | None = None,
+        change_feed: bool = False,
     ):
         self.root = root
         self.log_dir = os.path.join(root, _LOG_DIR)
         self.logical = schema
         self.starting_version = starting_version
         self.max_versions = max_versions_per_trigger
+        self.change_feed = change_feed
         self._seen: int | None = None  # newest end handed to partitions()
 
     def initialOffset(self) -> dict:
@@ -185,10 +252,28 @@ class _TxStreamReader(DataSourceStreamReader):
         sv, ev = start["version"], end["version"]
         if ev <= sv:
             return [_FilePartition("", [], [])]  # empty trigger
-        old_files: set[str] = set()
-        if sv > 0:
-            old_files = set(_manifest(self.log_dir, sv)["files"])
-        head = _manifest(self.log_dir, ev)
+        try:
+            if self.change_feed:
+                first = 1 if sv == 0 else sv + 1
+                out = [
+                    p
+                    for v in range(first, ev + 1)
+                    for p in _cdf_partitions_for_step(
+                        self.log_dir, self.root, v
+                    )
+                ]
+                return out or [_FilePartition("", [], [])]
+            old_files: set[str] = set()
+            if sv > 0:
+                old_files = set(_manifest(self.log_dir, sv)["files"])
+            head = _manifest(self.log_dir, ev)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"txtable source at {self.root}: version {sv}..{ev} "
+                "is no longer in the log — vacuum retention passed "
+                "the stream's checkpoint (keep `retain` above the "
+                "longest consumer outage, the Delta-source contract)"
+            ) from e
         new_files = [f for f in head["files"] if f not in old_files]
         if not new_files:
             return [_FilePartition("", [], [])]
@@ -237,6 +322,11 @@ class TxTableDataSource(DataSource):
             raise ValueError("txtable source requires .option('path', root)")
         return root
 
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed", "false")
+        ).lower() in ("true", "1", "yes")
+
     def schema(self) -> StructType:
         log_dir = os.path.join(self._root(), _LOG_DIR)
         vs = _versions(log_dir)
@@ -249,18 +339,36 @@ class TxTableDataSource(DataSource):
             raise ValueError(
                 "txtable source needs a schema-bearing manifest"
             )
-        return StructType.fromJson(json.loads(m["schema"]))
+        base = StructType.fromJson(json.loads(m["schema"]))
+        if self._cdf():
+            base = base.add("_change_type", "string").add(
+                "_commit_version", "long"
+            )
+        return base
 
     def reader(self, schema: StructType) -> _TxBatchReader:
         return _TxBatchReader(self._root(), schema)
 
     def streamReader(self, schema: StructType) -> _TxStreamReader:
         mv = self.options.get("maxversionspertrigger")
+        cdf = self._cdf()
+        logical = schema
+        if cdf:  # the partition readers work on the TABLE schema
+            from pyspark.sql.types import StructType as _ST
+
+            logical = _ST(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in ("_change_type", "_commit_version")
+                ]
+            )
         return _TxStreamReader(
             self._root(),
-            schema,
+            logical,
             starting_version=self.options.get("startingversion"),
             max_versions_per_trigger=int(mv) if mv else None,
+            change_feed=cdf,
         )
 
     def writer(self, schema: StructType, overwrite: bool):

@@ -363,3 +363,63 @@ def test_sink_overwrite_refuses_constrained_or_mapped_tables(reg, tmp_path):
         ).save()
     got = {r.k for r in t.read().collect()}
     assert got == set(range(5)), "refused overwrite left no trace"
+
+
+def test_stream_read_change_feed(reg, tmp_path):
+    """readChangeFeed=true: the stream delivers row-level changes —
+    DV deletes as exact delete rows (payload = the deleted images),
+    DV updates as delete+insert pairs with postimage values, appends
+    as inserts, compaction silent; replay delivers nothing."""
+    spark = reg
+    root, out, chk = (
+        str(tmp_path / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    t = TxTable.create(spark, root, _df(spark, 0, 10).coalesce(1))
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    drain()
+    got = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "insert", k) for k in range(10)], got[:5]
+    t.delete_dv(F.col("k") < 2)                            # v2
+    t.update_dv(F.col("k") == 5, {"price": F.lit(99.0)})   # v3
+    t.compact(target_bytes=1 << 30, small_frac=1.0)        # v4: silent
+    t.append(_df(spark, 100, 102).coalesce(1))             # v5
+    drain()
+    rows = spark.read.parquet(out).collect()
+    got = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in rows
+        if r._commit_version > 1
+    )
+    assert got == [
+        (2, "delete", 0), (2, "delete", 1),
+        (3, "delete", 5), (3, "insert", 5),
+        (5, "insert", 100), (5, "insert", 101),
+    ], got
+    post = [
+        r
+        for r in rows
+        if r._commit_version == 3 and r._change_type == "insert"
+    ][0]
+    assert post.price == 99.0, "postimage value"
+    n = len(rows)
+    drain()  # replay: nothing new
+    assert len(spark.read.parquet(out).collect()) == n
