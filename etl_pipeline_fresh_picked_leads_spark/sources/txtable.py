@@ -357,7 +357,21 @@ class TxTable:
         its immutable parquet file, the stable row identity DVs key
         on).  Like ``_scan_with_fp``, metadata columns must be
         projected before any join/filter and, under a colmap, before
-        the physical->logical projection."""
+        the physical->logical projection.
+
+        ``_fp``/``_pos`` are reserved on every DV code path, not just
+        merge(mode='dv') (ADVICE r9): a table column with either name
+        would be silently overwritten here and then dropped by
+        ``_read_files``/``_anti_dv``, changing the read schema."""
+        if schema_json is not None:
+            fields = {
+                f["name"] for f in json.loads(schema_json)["fields"]
+            }
+            if {"_fp", "_pos"} & fields:
+                raise ValueError(
+                    "deletion-vector operations reserve the _fp/_pos "
+                    "column names; rename the table column first"
+                )
         if schema_json is None or self._is_identity(colmap):
             return (
                 self._read_files(files, schema_json)
@@ -1312,14 +1326,26 @@ class TxTable:
         union NULL-fills across schema evolution."""
         from pyspark.sql.types import StructType
 
+        all_versions = self._versions()
         versions = [
             v
-            for v in self._versions()
+            for v in all_versions
             if v > since and (until is None or v <= until)
         ]
-        if since not in self._versions() and since != 0:
+        if since not in all_versions and since != 0:
             raise FileNotFoundError(
                 f"version {since} of {self.root} is not in the log"
+            )
+        if since == 0 and all_versions and all_versions[0] > 1:
+            # the change feed's first step needs snapshot(since) as the
+            # base; a vacuum-truncated log cannot reconstruct changes
+            # from the beginning (ADVICE r9 — mirror the streaming
+            # source's retention error, not a bare version-missing one)
+            raise FileNotFoundError(
+                f"read_changes(since=0) on {self.root}: versions "
+                f"1..{all_versions[0] - 1} are no longer in the log — "
+                "vacuum retention passed the requested window (start "
+                f"from a retained version, earliest {all_versions[0]})"
             )
         parts: list[DataFrame] = []
 
@@ -1346,12 +1372,19 @@ class TxTable:
                 else []
             )
             if added:
+                # read added files under CUR's deletion vectors: a
+                # commit that (re-)adds DV-carrying files — restore()
+                # to a DV'd version — must not emit DV-dead rows as
+                # 'insert' (ADVICE r9: the feed would resurrect rows
+                # absent from read()).  _live_dvs keeps every DV-less
+                # step on the identity fast path.
                 parts.append(
                     tag(
                         self._read_files(
                             added,
                             cur.schema_json,
                             self._colmap_or_none(cur),
+                            dvs=self._dvs_of(cur),
                         ),
                         "insert",
                         v,

@@ -464,3 +464,65 @@ def test_read_changes_empty_window_and_missing_since(spark, tmp_path):
     assert ch.columns[:2] == ["_change_type", "_commit_version"]
     with pytest.raises(FileNotFoundError):
         t.read_changes(99)
+
+def test_read_changes_restore_applies_dvs_to_added_files(spark, tmp_path):
+    """ADVICE r9 (medium): a commit that (re-)adds DV-carrying files —
+    restore() to a DV'd version — must read the added files under the
+    restored snapshot's vectors, or DV-dead rows resurrect as 'insert'
+    in the feed while absent from read()."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 20).coalesce(2))  # v1
+    t.delete_dv(F.col("k") < 5)                                  # v2 (DV'd)
+    t.overwrite(
+        spark.createDataFrame(
+            [(100, "x", 1.0)], "k bigint, name string, price double"
+        ).coalesce(1)
+    )                                                            # v3
+    t.restore(2)                                                 # v4: RE-ADDS
+    snap = t.snapshot()
+    assert snap.op == "restore" and snap.dvs, "restored state carries DVs"
+    prev_files = set(t.snapshot(3).files)
+    assert set(snap.files) - prev_files, "restore re-added data files"
+    feed = t.read_changes(3).collect()
+    ins = sorted(r.k for r in feed if r._change_type == "insert")
+    assert ins == list(range(5, 20)), (
+        f"DV-dead rows resurrected as insert: {[k for k in ins if k < 5]}"
+    )
+    # fold-equals-head through the restore step
+    head = sorted(r.k for r in t.read().collect())
+    assert head == list(range(5, 20)), head
+    # the keys restored away (k=100) emit as delete
+    dels = sorted(r.k for r in feed if r._change_type == "delete")
+    assert 100 in dels
+
+
+def test_scan_with_pos_reserved_names_guard(spark, tmp_path):
+    """ADVICE r9 (low): _fp/_pos are reserved on EVERY DV path, not
+    just merge(mode='dv') — delete_dv on a table whose schema contains
+    either name must refuse instead of silently dropping the column."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a")], "k bigint, _pos string"
+    )
+    t = TxTable.create(spark, root, df.coalesce(1))
+    with pytest.raises(ValueError, match="_fp/_pos"):
+        t.delete_dv(F.col("k") == 1)
+    # a clean table is unaffected
+    t2 = TxTable.create(
+        spark, str(tmp_path / "u"), _df(spark, 5).coalesce(1)
+    )
+    assert t2.delete_dv(F.col("k") == 0) == 1
+
+
+def test_read_changes_since_zero_vacuumed_log(spark, tmp_path):
+    """ADVICE r9 (low): since=0 on a vacuum-truncated log raises a
+    retention-oriented error, not a bare 'version N does not exist'."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 10).coalesce(1))
+    t.append(_df(spark, 3).coalesce(1))
+    t.append(_df(spark, 2).coalesce(1))
+    t.vacuum(retain=1, min_age_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        t.read_changes(0)
+    # a retained-window read still works
+    assert t.read_changes(t.snapshot().version).count() == 0
