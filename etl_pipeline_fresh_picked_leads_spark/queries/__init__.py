@@ -79,30 +79,40 @@ from . import tpch  # noqa: E402,F401
 # newest driver row predates r5.
 # tests/test_registry_drift.py enforces that nothing registered sits
 # outside both this window and the historical CORRECTNESS record.
+# Round-10 rotation (VERDICT r9 #1): the ENTIRE 36-query cohort whose
+# newest driver-green row is r5 — the scalar-function H-tier, the UDF
+# I-tier, the q_tpch_q3/q5/q10 composites, and the r5 leftovers
+# (salted/point-in-time/null-safe joins, time bars, fill-forward,
+# sketch rollup, temperature mix, session timeout, audio/video,
+# langid/chunk-overlap, embed pool, unpivot, skew two-phase) — plus 5
+# canaries fills 41 slots.  The rest go to r10's new queries and
+# the most-churned r6-tail picks.  After a green r10 run no
+# registered query's newest driver row predates r6.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # r4-last-verified cohort, complete (36)
-    "q_agg_global", "q_agg_histogram", "q_dedup_apply",
-    "q_dedup_cluster", "q_dedup_cluster_star", "q_geo_wkt",
-    "q_join_anti", "q_join_asof", "q_join_broadcast",
-    "q_join_bucketed", "q_join_cross", "q_join_full", "q_join_left",
-    "q_join_multikey", "q_join_range", "q_join_right", "q_join_semi",
-    "q_join_theta", "q_map_in_arrow", "q_multimodal_features",
-    "q_sample_pergroup", "q_scan_binaryfile",
-    "q_sketch_quantile_rollup", "q_stream_dedup", "q_stream_session",
-    "q_stream_sliding", "q_stream_stateful", "q_stream_static_join",
-    "q_stream_stream_join", "q_stream_tumbling", "q_stream_watermark",
-    "q_text_dup_spans", "q_time_strings", "q_udtf_lateral",
-    "q_variant_json", "q_win_percent_rank",
-    # round-9 new queries: deletion-vector merge-on-read mutations,
-    # the txtable streaming source/sink, and the clone-fate guard
-    "q_txtable_delete_dv", "q_txtable_update_dv",
-    "q_stream_txtable_source", "q_stream_txtable_sink",
-    "q_txtable_clone", "q_txtable_cdf",
-    # r5 tail picks: behavior-reshaped / contract-oracle / at-risk
-    "q_embed_quantize", "q_agg_approx_cd", "q_agg_percentile_approx",
+    # r5-last-verified cohort, complete (36)
+    "q_str_basic", "q_str_split", "q_str_regex", "q_date_fmt",
+    "q_date_arith", "q_date_parts", "q_date_trunc", "q_math",
+    "q_cond", "q_arr_basic", "q_arr_explode", "q_arr_transform",
+    "q_map_json", "q_map_ops",
+    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas",
+    "q_udtf_mapinpandas",
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+    "q_join_salted", "q_join_pointintime", "q_join_nullsafe",
+    "q_time_bars", "q_win_fill_forward", "q_sketch_rollup",
+    "q_mix_temperature", "q_stream_session_timeout",
+    "q_audio_features", "q_video_frames", "q_text_langid",
+    "q_text_chunk_overlap", "q_embed_pool", "q_unpivot",
+    "q_agg_skew_twophase",
+    # round-10 new queries
+    "q_txtable_timetravel_ts",
+    # r6 tail picks: most churned by the r9/r10 txtable work
+    "q_txtable_delete", "q_matview_minmax",
+    "q_stream_dedup_incremental", "q_dedup_incremental",
+    "q_dedup_simhash", "q_join_bloom", "q_join_interval",
+    "q_sim_ann_ivf",
 ]
 
 

@@ -297,6 +297,55 @@ def q_txtable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_txtable_timetravel_ts",
+    oracle="""
+    SELECT n_nationkey, 'EDITED_' || n_name AS n_name, n_regionkey
+    FROM nation WHERE n_nationkey < 13
+    """,
+)
+def q_txtable_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF (r10): land nation, upsert-mangle the names
+    (v2), then append the rest (v3) — ``read(timestamp=ts(v2))`` must
+    return exactly v2's state while the head differs.  Every commit
+    stamps a monotone epoch-µs timestamp (max(parent+1, now), the
+    Delta clock-skew adjustment), so ts order == version order and
+    resolution is the newest commit <= the bound.  Probe timestamps
+    are DATA-DERIVED from history() (regen-proof: no wall-clock
+    literals can go stale).  Parity note: the reference's store gives
+    this away as BigQuery ``FOR SYSTEM_TIME AS OF``
+    (big_uery_handler.py:124-165 targets); version-only travel
+    (q_txtable_timetravel) is the engine-internal form — "as of
+    yesterday 09:00" is what a daily-cadence operator actually types.
+    At 100 TB the resolution cost is a metadata-only log walk; the
+    read is the same old-file-set parquet scan as version travel."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "timetravel_ts_nation")
+    shutil.rmtree(root, ignore_errors=True)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = TxTable.create(spark, root, nation.filter(F.col("n_nationkey") < 13))
+    t.upsert(
+        nation.filter(F.col("n_nationkey") < 13).withColumn(
+            "n_name", F.concat(F.lit("EDITED_"), F.col("n_name"))
+        ),
+        key="n_nationkey",
+    )
+    v2 = t.snapshot().version
+    t.append(nation.filter(F.col("n_nationkey") >= 13))
+    ts = {e["version"]: e["timestamp"] for e in t.history()}
+    # monotone stamps; a midpoint bound resolves DOWN to the older commit
+    assert ts[v2 - 1] < ts[v2] < ts[v2 + 1]
+    mid = ts[v2] + (ts[v2 + 1] - ts[v2]) / 2
+    assert t.version_at(mid) == v2
+    assert t.version_at(ts[v2 + 1]) == v2 + 1
+    return t.read(timestamp=ts[v2])
+
+
+@query(
     "q_txtable_zorder",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

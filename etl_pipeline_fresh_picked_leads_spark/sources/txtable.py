@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -115,6 +116,11 @@ class TxSnapshot:
     # data files; every committed read anti-joins them out.  None/{} =
     # no deletes pending (the identity fast path: plans and manifests
     # stay bit-identical to the pre-DV era)
+    ts: int | None = None  # commit timestamp, epoch MICROSECONDS (r10).
+    # Monotonic per table: _commit stamps max(parent_ts + 1, now) — the
+    # Delta clock-skew adjustment — so ts order == version order and
+    # TIMESTAMP AS OF resolution is well-defined.  None on pre-r10
+    # manifests (time travel falls back to the manifest file's mtime)
 
 
 def _manifest_name(version: int) -> str:
@@ -213,17 +219,28 @@ class TxTable:
             m.get("constraints"),
             tuple(m["stats_cols"]) if m.get("stats_cols") else None,
             m.get("dvs"),
+            ts=m.get("ts"),
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, timestamp=None
+    ) -> DataFrame:
         """Snapshot scan under the MANIFEST's schema, not the files'
         (``version`` time-travels to an older un-vacuumed commit —
         immutable data files make old snapshots readable for free).
-        Parquet NULL-fills columns a file lacks when the read schema
-        is supplied, which is what makes ``add_column`` a metadata
-        operation: old files are never rewritten, they just read as
-        NULL in the new column (the same mechanism Delta/Iceberg
-        schema evolution rides on)."""
+        ``timestamp`` is TIMESTAMP AS OF (r10): the newest commit at or
+        before the bound — datetime / ISO string / epoch seconds; see
+        ``version_at``.  Parquet NULL-fills columns a file lacks when
+        the read schema is supplied, which is what makes ``add_column``
+        a metadata operation: old files are never rewritten, they just
+        read as NULL in the new column (the same mechanism
+        Delta/Iceberg schema evolution rides on)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "read: pass version OR timestamp, not both"
+                )
+            version = self.version_at(timestamp)
         snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
@@ -339,6 +356,75 @@ class TxTable:
     @staticmethod
     def _dvs_of(snap: "TxSnapshot | None") -> dict | None:
         return dict(snap.dvs) if snap is not None and snap.dvs else None
+
+    # ------------------------------------------------ commit timestamps
+
+    def _ts_of(self, snap: "TxSnapshot") -> int | None:
+        """Commit timestamp (epoch µs) of a snapshot; pre-r10 manifests
+        carry none, so fall back to the manifest FILE's mtime — the
+        same legacy source Delta uses for versions without
+        commitInfo.timestamp.  mtimes are not guaranteed monotone
+        across versions; the first post-upgrade commit re-anchors
+        monotonicity via max(parent + 1, now)."""
+        if snap.ts is not None:
+            return snap.ts
+        path = os.path.join(self.log_dir, _manifest_name(snap.version))
+        try:
+            return int(os.path.getmtime(path) * 1_000_000)
+        except OSError:
+            return None
+
+    @staticmethod
+    def _to_epoch_us(timestamp) -> int:
+        """Normalize a user TIMESTAMP AS OF bound to epoch µs.
+        Accepts datetime (naive = UTC, the engine's session timezone),
+        ISO-8601 string, or epoch seconds (int/float)."""
+        import datetime as _dt
+
+        if isinstance(timestamp, str):
+            timestamp = _dt.datetime.fromisoformat(timestamp)
+        if isinstance(timestamp, _dt.datetime):
+            if timestamp.tzinfo is None:
+                timestamp = timestamp.replace(tzinfo=_dt.timezone.utc)
+            return int(timestamp.timestamp() * 1_000_000)
+        if isinstance(timestamp, (int, float)):
+            return int(timestamp * 1_000_000)
+        raise TypeError(
+            "timestamp must be a datetime, ISO-8601 string, or epoch "
+            f"seconds; got {type(timestamp).__name__}"
+        )
+
+    def version_at(self, timestamp) -> int:
+        """TIMESTAMP AS OF resolution: the newest retained version
+        whose commit timestamp is <= ``timestamp``.  Raises when the
+        bound predates the earliest retained commit (reading an
+        unknown older state would be silently wrong) — the Delta
+        contract."""
+        bound = self._to_epoch_us(timestamp)
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        chosen = None
+        for v in versions:  # ts monotone over versions: last match wins
+            # manifests loaded directly — snapshot(v) would re-list the
+            # log dir per version (quadratic on long logs, cf. history)
+            path = os.path.join(self.log_dir, _manifest_name(v))
+            with open(path) as f:
+                ts = json.load(f).get("ts")
+            if ts is None:  # pre-r10 manifest: mtime fallback
+                try:
+                    ts = int(os.path.getmtime(path) * 1_000_000)
+                except OSError:
+                    ts = None
+            if ts is not None and ts <= bound:
+                chosen = v
+        if chosen is None:
+            raise FileNotFoundError(
+                f"timestamp {timestamp!r} predates the earliest retained "
+                f"commit of {self.root} (earliest version {versions[0]}); "
+                "older history may have been vacuumed"
+            )
+        return chosen
 
     @staticmethod
     def _norm_fp() -> Column:
@@ -707,6 +793,13 @@ class TxTable:
             if colmap is not None:
                 retired = list(base.retired)
                 max_id = base.max_id
+        # commit timestamp (r10): epoch µs, monotone over versions —
+        # max(parent + 1, wall clock) is the Delta-style clock-skew
+        # adjustment that keeps ts order == version order even when a
+        # replica's clock runs behind the previous committer's.
+        parent_ts = self._ts_of(base) if base is not None else None
+        now_us = int(time.time() * 1_000_000)
+        ts = now_us if parent_ts is None else max(parent_ts + 1, now_us)
         manifest = {
             "version": version,
             "op": op,
@@ -715,6 +808,7 @@ class TxTable:
             "schema": schema_json,
             "stats": stats,
             "dropped": dropped,
+            "ts": ts,
         }
         prop = (
             list(self.stats_cols)
@@ -1094,16 +1188,27 @@ class TxTable:
         )
 
     def history(self) -> list[dict]:
-        """Commit log, newest first: version / op / txn / file count /
-        row count (when stats exist) per manifest — the DESCRIBE
-        HISTORY observability surface.  Reads manifests only; never
-        touches data files."""
+        """Commit log, newest first: version / op / txn / timestamp /
+        file count / row count (when stats exist) per manifest — the
+        DESCRIBE HISTORY observability surface.  Reads manifests only;
+        never touches data files.  ``timestamp`` is a tz-aware UTC
+        datetime (pre-r10 manifests: the manifest file's mtime, the
+        same fallback time travel uses)."""
+        import datetime as _dt
+
         out = []
         for v in reversed(self._versions()):  # ONE log listing, then
             # manifests loaded directly — snapshot(v) per version would
             # re-list the log dir each time (quadratic on long logs)
-            with open(os.path.join(self.log_dir, _manifest_name(v))) as f:
+            path = os.path.join(self.log_dir, _manifest_name(v))
+            with open(path) as f:
                 m = json.load(f)
+            ts_us = m.get("ts")
+            if ts_us is None:
+                try:
+                    ts_us = int(os.path.getmtime(path) * 1_000_000)
+                except OSError:
+                    ts_us = None
             stats, files = m.get("stats"), m["files"]
             rows = (
                 sum(s.get("rows", 0) for s in stats.values())
@@ -1117,6 +1222,13 @@ class TxTable:
                     "version": m["version"],
                     "op": m["op"],
                     "txn": m.get("txn"),
+                    "timestamp": (
+                        _dt.datetime.fromtimestamp(
+                            ts_us / 1_000_000, tz=_dt.timezone.utc
+                        )
+                        if ts_us is not None
+                        else None
+                    ),
                     "n_files": len(files),
                     "n_rows": rows,
                 }
@@ -2711,9 +2823,15 @@ class TxTable:
         retain: int = 1,
         min_age_seconds: float = 3600.0,
         force: bool = False,
+        retain_hours: float | None = None,
     ) -> list[str]:
         """Delete data files unreferenced by the newest ``retain``
-        manifests and drop older manifests.  Crash-orphaned commit
+        manifests and drop older manifests.  ``retain_hours`` (r10)
+        adds a TIME window: every manifest whose commit timestamp is
+        within the last ``retain_hours`` is ALSO kept (union with the
+        count — "keep 7 days" composes with "keep at least N").
+        Commit timestamps are monotone over versions, so both criteria
+        select a contiguous log suffix.  Crash-orphaned commit
         directories (written but never referenced) go too — but only
         once older than ``min_age_seconds`` (dir mtime): every writer
         stages its data directory BEFORE linking the manifest, so an
@@ -2739,6 +2857,23 @@ class TxTable:
         if not versions:
             return []
         keep_versions = versions[-retain:]
+        if retain_hours is not None:
+            cutoff = (time.time() - retain_hours * 3600.0) * 1_000_000
+            kept = set(keep_versions)
+            for v in versions:
+                if v in kept:
+                    continue
+                path = os.path.join(self.log_dir, _manifest_name(v))
+                with open(path) as f:
+                    ts = json.load(f).get("ts")
+                if ts is None:  # pre-r10 manifest: mtime fallback
+                    try:
+                        ts = os.path.getmtime(path) * 1_000_000
+                    except OSError:
+                        ts = None
+                if ts is not None and ts >= cutoff:
+                    kept.add(v)
+            keep_versions = sorted(kept)
         referenced: set[str] = set()
         for v in keep_versions:
             with open(os.path.join(self.log_dir, _manifest_name(v))) as f:
@@ -2795,6 +2930,8 @@ class TxTable:
         for cdir, members in doomed:
             shutil.rmtree(cdir)
             removed.extend(sorted(members))
-        for v in versions[:-retain]:
-            os.unlink(os.path.join(self.log_dir, _manifest_name(v)))
+        keep_set = set(keep_versions)
+        for v in versions:
+            if v not in keep_set:
+                os.unlink(os.path.join(self.log_dir, _manifest_name(v)))
         return removed

@@ -1815,3 +1815,79 @@ def test_cdc_apply_batch_dv_mode_no_rewrites(spark, tmp_path):
             sorted((r.k, r.name, r.price) for r in t.read().collect())
         )
     assert finals[0] == finals[1]
+
+# ------------------------------------------------ commit timestamps (r10)
+
+
+def test_commit_timestamps_monotone_and_in_history(spark, tmp_path):
+    """Every commit stamps a monotone epoch-µs timestamp; history()
+    exposes it as a tz-aware UTC datetime."""
+    from datetime import timezone
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]))
+    t.append(_mkdf(spark, [(2, "b")]))
+    t.append(_mkdf(spark, [(3, "c")]))
+    snaps = [t.snapshot(v) for v in (1, 2, 3)]
+    tss = [s.ts for s in snaps]
+    assert all(isinstance(ts, int) for ts in tss)
+    assert tss[0] < tss[1] < tss[2], "strictly monotone over versions"
+    h = t.history()
+    assert [e["version"] for e in h] == [3, 2, 1]
+    for e in h:
+        assert e["timestamp"].tzinfo == timezone.utc
+    assert h[0]["timestamp"] > h[2]["timestamp"]
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    """read(timestamp=...) resolves to the newest commit <= the bound;
+    bounds between commits land on the earlier one; a bound before the
+    first commit raises; version+timestamp together is an error."""
+    from datetime import timedelta
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]))      # v1
+    t.append(_mkdf(spark, [(2, "b")]))                             # v2
+    t.overwrite(_mkdf(spark, [(9, "z")]))                          # v3
+    h = {e["version"]: e["timestamp"] for e in t.history()}
+    # exact bounds hit their version
+    assert sorted(r.k for r in t.read(timestamp=h[2]).collect()) == [1, 2]
+    assert [r.k for r in t.read(timestamp=h[3]).collect()] == [9]
+    # between v1 and v2 resolves to v1 (ts are µs-granular, midpoint works)
+    mid = h[1] + (h[2] - h[1]) / 2
+    assert [r.k for r in t.read(timestamp=mid).collect()] == [1]
+    # ISO string and epoch-seconds forms accepted
+    assert t.version_at(h[3].isoformat()) == 3
+    assert t.version_at(h[3].timestamp()) == 3
+    with pytest.raises(FileNotFoundError, match="predates"):
+        t.read(timestamp=h[1] - timedelta(seconds=1))
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=h[1])
+
+
+def test_vacuum_retain_hours_time_window(spark, tmp_path):
+    """vacuum(retain_hours=...) keeps every manifest committed within
+    the window (union with the count criterion) and GCs the rest."""
+    import json as _json
+    import os as _os
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(1, "a")]))      # v1
+    t.overwrite(_mkdf(spark, [(2, "b")]))                         # v2
+    t.overwrite(_mkdf(spark, [(3, "c")]))                         # v3
+    t.overwrite(_mkdf(spark, [(4, "d")]))                         # v4
+    # age v1/v2 artificially: rewrite their manifests with old ts
+    for v in (1, 2):
+        p = _os.path.join(t.log_dir, f"v{v:010d}.json")
+        m = _json.load(open(p))
+        m["ts"] = m["ts"] - 10 * 3600 * 1_000_000  # 10h ago
+        _json.dump(m, open(p, "w"))
+    removed = t.vacuum(retain=1, retain_hours=1.0, min_age_seconds=0.0)
+    assert t._versions() == [3, 4], "recent window kept, old GC'd"
+    assert removed, "v1/v2 data files deleted"
+    assert [r.k for r in t.read().collect()] == [4]
+    assert [r.k for r in t.read(version=3).collect()] == [3]
+    # count criterion still floors retention: retain=2 keeps v3+v4
+    # even with a zero-width time window
+    removed2 = t.vacuum(retain=2, retain_hours=0.0, min_age_seconds=0.0)
+    assert t._versions() == [3, 4] and removed2 == []
