@@ -1256,3 +1256,85 @@ def q_txtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n2 > 0 and n3 > 0, "both DV slices must be populated"
     t.append(o.filter(F.col("o_orderkey") % 2 == 1))
     return t.read_changes(1)
+
+
+@query(
+    "q_txtable_cdf_cow",
+    oracle="""
+    SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 12 IN (2, 8)
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice + 100.0
+    FROM orders WHERE o_orderkey % 12 = 2
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 6 = 5
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT 'insert', CAST(3 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice + 7.0
+    FROM orders WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT 'delete', CAST(4 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 6 = 4
+    UNION ALL
+    SELECT 'insert', CAST(4 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 12 = 10
+    """,
+)
+def q_txtable_cdf_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT row-level change feed for COPY-ON-WRITE mutations (r10):
+    each CoW commit (merge / update / replace_where) records its exact
+    changeset in a ``_cdf`` sidecar (Delta's _change_data idea), so
+    ``read_changes`` emits ONLY the rows that actually changed — never
+    the rewritten files' carried-along rows, which the pre-r10
+    file-granular diff re-emitted as spurious delete+insert pairs.
+    The oracle ENUMERATES every change exactly: a feed with even one
+    carried-along row hash-mismatches.  All predicates are modular on
+    the dense orderkey (regen-proof).  v2 = full-clause MERGE (update
+    +100 on k%12=2, delete on k%12=8, odd-key inserts), v3 = CoW
+    UPDATE (+7 on k%6=0, disjoint from v2 by construction), v4 =
+    replace_where on the k%3=1 slice.  Cost of the sidecar write ∝
+    fired rows; at 100 TB a CDC consumer reads KBs per merge instead
+    of re-processing whole rewritten files."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "cdf_cow_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2)
+    )
+    res = t.merge(                                               # v2
+        o.filter(F.col("o_orderkey") % 3 == 2),
+        on="o_orderkey",
+        update={"o_totalprice": "s.o_totalprice + 100.0"},
+        update_condition="s.o_orderkey % 12 = 2",
+        delete_condition="s.o_orderkey % 12 = 8",
+    )
+    assert res["updated"] > 0 and res["deleted"] > 0 and res["inserted"] > 0
+    n3 = t.update(                                               # v3
+        F.col("o_orderkey") % 6 == 0,
+        {"o_totalprice": F.col("o_totalprice") + 7.0},
+    )
+    assert n3 > 0
+    r4 = t.replace_where(                                        # v4
+        o.filter(F.col("o_orderkey") % 12 == 10),
+        F.col("o_orderkey") % 3 == 1,
+    )
+    assert r4["deleted"] > 0 and r4["inserted"] > 0
+    # exactness proof: every CoW commit carries its sidecar
+    assert all(t.snapshot(v).cdf for v in (2, 3, 4))
+    return t.read_changes(1)

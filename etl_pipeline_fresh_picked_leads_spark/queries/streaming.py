@@ -1010,3 +1010,71 @@ def q_stream_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checkpoint-loss replay re-applied data"
     )
     return TxTable(spark, root).read()
+
+
+@query(
+    "q_stream_txtable_sink_colmap",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS o_price
+    FROM orders
+    """,
+)
+def q_stream_txtable_sink_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink into a COLUMN-MAPPED table (r10, VERDICT r9 #5):
+    the table renames o_totalprice -> o_price, then the odd order
+    stripe streams in via ``writeStream.format("txtable")`` — the
+    writer renames each Arrow batch to the snapshot's PHYSICAL names
+    before writing (files keep speaking o_totalprice; the in-query
+    assert opens one sink-written file raw to prove it), so the
+    engine's colmap projection reads them back under the logical name
+    and pre-rename files stay readable.  Pre-r10 this combination was
+    refused and forced a foreachBatch rewrite of the pipeline
+    (correct-by-refusal); constraints still refuse — they genuinely
+    need an engine.  A mid-stream rename is refused at commit
+    (stale-named staged files never link).  Final state hashes
+    against full DuckDB orders under the renamed column."""
+    from ..sources.txtable import TxTable
+    from ..streaming.txtable_source import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "txsink_colmap_q"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "t")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(spark, root, o.filter(F.col("o_orderkey") % 2 == 0))
+    t.rename_column("o_totalprice", "o_price")
+    files_before = set(t.snapshot().files)
+    tmp = os.path.join(base, "tmp")
+    odd = o.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+        "o_totalprice", "o_price"
+    )
+    odd.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src), os.path.join(landing, "b0.parquet"))
+    q = (
+        spark.readStream.schema(odd.schema)
+        .parquet(landing)
+        .writeStream.format("txtable")
+        .option("path", root)
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("txtable colmap sink stream did not finish")
+    snap = t.snapshot()
+    assert any(c["name"] != c["phys"] for c in snap.colmap or ())
+    new_files = sorted(set(snap.files) - files_before)
+    assert new_files, "stream committed its files"
+    raw_cols = spark.read.parquet(new_files[0]).columns
+    assert "o_totalprice" in raw_cols and "o_price" not in raw_cols, (
+        "sink must write PHYSICAL names"
+    )
+    return t.read()

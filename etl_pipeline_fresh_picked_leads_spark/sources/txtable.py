@@ -116,6 +116,15 @@ class TxSnapshot:
     # data files; every committed read anti-joins them out.  None/{} =
     # no deletes pending (the identity fast path: plans and manifests
     # stay bit-identical to the pre-DV era)
+    cdf: tuple[str, ...] | None = None  # exact change-data sidecar
+    # (r10): parquet paths holding THIS commit's exact row-level
+    # changes (_change_type + logical columns at commit time).  Written
+    # by copy-on-write mutations (merge/update/delete/upsert/
+    # replace_where), whose file diffs otherwise over-approximate
+    # (carried-along rows of rewritten files).  Per-commit artifact:
+    # never rides to later commits.  None = read_changes falls back to
+    # the file-diff (exact for appends, over-approximate for pre-r10
+    # CoW commits and restore)
     ts: int | None = None  # commit timestamp, epoch MICROSECONDS (r10).
     # Monotonic per table: _commit stamps max(parent_ts + 1, now) — the
     # Delta clock-skew adjustment — so ts order == version order and
@@ -219,6 +228,7 @@ class TxTable:
             m.get("constraints"),
             tuple(m["stats_cols"]) if m.get("stats_cols") else None,
             m.get("dvs"),
+            cdf=tuple(m["cdf"]) if m.get("cdf") else None,
             ts=m.get("ts"),
         )
 
@@ -772,6 +782,7 @@ class TxTable:
         max_id: int | None = None,
         constraints: dict | None = None,
         dvs: dict | None = None,
+        cdf: list[str] | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
         if dropped is None:  # dropped-name history rides every commit
@@ -824,6 +835,9 @@ class TxTable:
             manifest["constraints"] = constraints
         if dvs:
             manifest["dvs"] = dvs
+        if cdf:
+            # exact changeset of THIS commit — never inherited from base
+            manifest["cdf"] = cdf
         if colmap is not None:
             manifest["colmap"] = colmap
             manifest["retired_phys"] = retired or []
@@ -1424,11 +1438,15 @@ class TxTable:
           EXACT row-level deletes — the new sidecar entries name the
           (file, position) identities, something the add-only
           ``read_since`` feed cannot express;
-        - copy-on-write rewrites (update/delete/upsert/merge/
-          replace_where/restore): file-granular — carried-along
-          unchanged rows of a rewritten file emit as a delete+insert
-          pair (an over-approximation that key-folding consumers
-          converge through; never a miss);
+        - copy-on-write mutations (update/delete/upsert/merge/
+          replace_where) committed since r10: EXACT — the commit
+          carries a ``_cdf`` sidecar (Delta's _change_data directory
+          idea) naming only the rows that actually changed, and this
+          feed reads it INSTEAD of the file diff;
+        - pre-r10 CoW commits and restore(): file-granular —
+          carried-along unchanged rows of a rewritten file emit as a
+          delete+insert pair (an over-approximation that key-folding
+          consumers converge through; never a miss);
         - content-neutral maintenance (compact / purge) emits NOTHING
           by default (``skip_content_neutral``) — their diffs are
           byte movement, not change.
@@ -1475,6 +1493,19 @@ class TxTable:
                 skip_content_neutral
                 and cur.op in self._CONTENT_NEUTRAL_OPS
             ):
+                continue
+            if cur.cdf:
+                # the commit recorded its exact changeset — emit it and
+                # skip the (over-approximate) file diff entirely
+                ch = self.spark.read.parquet(*cur.cdf)
+                data_cols = [c for c in ch.columns if c != "_change_type"]
+                parts.append(
+                    ch.select(
+                        F.col("_change_type"),
+                        F.lit(v).cast("long").alias("_commit_version"),
+                        *data_cols,
+                    )
+                )
                 continue
             prev_files = set(prev.files) if prev else set()
             added = [f for f in cur.files if f not in prev_files]
@@ -1722,22 +1753,57 @@ class TxTable:
         return sorted(urlparse(r._fp).path for r in rows)
 
     @staticmethod
-    def _pure_append_between(old: TxSnapshot, new: TxSnapshot) -> bool:
-        """True when the commits separating two snapshots only ADDED
-        data files: nothing removed, schema / constraints / column
-        mapping / deletion vectors untouched.  That is the one
-        interleaving a snapshot-derived mutation can safely replay
-        against — the appended rows simply don't participate in a
-        mutation whose read set predates them (Delta's
-        WriteSerializable conflict matrix: blind appends don't
-        conflict with update/delete/merge)."""
-        return (
-            set(old.files) <= set(new.files)
-            and new.schema_json == old.schema_json
+    def _rebaseable_between(
+        old: TxSnapshot,
+        new: TxSnapshot,
+        read_files: "set[str] | None",
+    ) -> bool:
+        """Can a mutation whose read set was ``read_files`` (the
+        manifest-pruned candidate files it scanned for matches; None =
+        it read the whole table) safely re-commit against ``new``
+        after losing the race to the commits separating ``old`` from
+        ``new``?  Two admissible interleavings (r10, widened from
+        pure-append-only per VERDICT r9 #4 — Delta's disjoint-file
+        admission):
+
+        - PURE APPENDS (the r9 rule): nothing removed, no metadata or
+          DV change — appended rows don't participate in a mutation
+          whose read set predates them (documented WriteSerializable
+          caveat: a racing blind append CAN land rows a merge would
+          have claimed).
+        - DISJOINT REWRITES: the racer removed/rewrote/DV'd only files
+          OUTSIDE my read set.  My pruning already proved those files
+          can contain no row my keys/range match (their stats exclude
+          my bounds), so re-serializing my mutation after the racer
+          reads the same rows and writes the same result; the racer's
+          file swaps carry into my survivor list by rebasing.  Two
+          merges on different key ranges of a clustered table compose
+          this way; two touching the same FILE still conflict (each
+          survivor list derives from its snapshot).
+
+        Schema / constraint / colmap changes always conflict
+        (metadata governs how my outputs were written and validated)."""
+        if not (
+            new.schema_json == old.schema_json
             and (new.constraints or {}) == (old.constraints or {})
             and new.colmap == old.colmap
-            and (new.dvs or {}) == (old.dvs or {})
-        )
+        ):
+            return False
+        removed = set(old.files) - set(new.files)
+        odvs, ndvs = old.dvs or {}, new.dvs or {}
+        if not removed and odvs == ndvs:
+            return True  # pure appends
+        if read_files is None:
+            return False  # whole-table read: any rewrite is a conflict
+        if removed & read_files:
+            return False
+        # a racer DV-ing rows inside my read set is a rewrite of it
+        dv_changed = {
+            f
+            for f in set(odvs) | set(ndvs)
+            if odvs.get(f) != ndvs.get(f)
+        }
+        return not (dv_changed & read_files)
 
     def _commit_vs_appends(
         self,
@@ -1746,24 +1812,35 @@ class TxTable:
         affected: set,
         new: list[str],
         txn: str | None = None,
-        dvs: dict | None = None,
+        dv_delta: dict | None = None,
         max_retries: int = 5,
+        cdf: list[str] | None = None,
+        read_files: "set[str] | None" = None,
     ) -> int:
         """Commit a snapshot-derived mutation (survivors = base.files
         minus ``affected``, plus ``new``), auto-resolving lost races
-        against PURE-APPEND commits: the racing appends' files join
-        the survivor list and the same already-written outputs
-        re-commit — no recomputation, because ``_pure_append_between``
-        guarantees everything the mutation derived from (its read
-        set, the schema, constraints, colmap, DVs) is untouched.  Any
-        other interleaving still raises TxConflictError for the
-        caller to re-invoke (their survivor/DV decisions would be
-        stale).  Delta caveat mirrored: a racing blind append CAN
-        land rows a just-committed upsert/merge would have claimed
-        (duplicate keys) — WriteSerializable, not Serializable."""
+        against ADMISSIBLE interleavings (``_rebaseable_between``):
+        pure appends always, and — when the caller declares the
+        ``read_files`` its decisions derived from (the manifest-pruned
+        candidate set) — racers that removed/DV'd only files OUTSIDE
+        that read set.  The racing commits' files join the survivor
+        list and the same already-written outputs re-commit, no
+        recomputation.  Any other interleaving raises TxConflictError
+        for the caller to re-invoke (their survivor/DV decisions would
+        be stale).  ``dv_delta`` ({file: new sidecar paths}) composes
+        against EACH retry base's vectors, so a DV mutation rebased
+        over a racer's unrelated DV change keeps both.  Delta caveat
+        mirrored: a racing blind append CAN land rows a just-committed
+        upsert/merge would have claimed (duplicate keys) —
+        WriteSerializable, not Serializable."""
         cm = self._colmap_or_none(base)
         for attempt in range(max_retries + 1):
             survivors = [f for f in base.files if f not in affected]
+            dvs = None
+            if dv_delta is not None:
+                dvs = self._dvs_of(base) or {}
+                for f, paths in dv_delta.items():
+                    dvs[f] = list(dvs.get(f, [])) + list(paths)
             try:
                 return self._commit(
                     survivors + new,
@@ -1773,19 +1850,25 @@ class TxTable:
                     schema_json=base.schema_json,
                     stats=self._merged_stats(base, survivors, new, cm),
                     dvs=dvs,
+                    cdf=cdf,
                 )
             except TxConflictError:
                 nb = self.snapshot()
                 if txn is not None and txn in self._committed_txns():
                     return nb.version  # our twin's replay landed it
-                if attempt == max_retries or not self._pure_append_between(
-                    base, nb
+                if attempt == max_retries or not self._rebaseable_between(
+                    base, nb, read_files
                 ):
                     raise
                 base = nb
 
     def _rewrite_affected(
-        self, where: Column, op: str, transform, validate: bool = False
+        self,
+        where: Column,
+        op: str,
+        transform,
+        validate: bool = False,
+        post_of=None,
     ) -> int:
         """File-granular copy-on-write scaffold shared by
         UPDATE/DELETE: find the files containing ``where`` matches,
@@ -1804,7 +1887,13 @@ class TxTable:
         Any other interleaving raises TxConflictError: the survivor
         list derives FROM the snapshot, so a safe retry would have to
         redo the affected-file scan against the new base — callers
-        re-invoke."""
+        re-invoke.
+
+        Exact CDF (r10): when rows matched, the commit carries a
+        ``_cdf`` sidecar naming the exact preimages (tag 'delete') and
+        — via ``post_of(matched)``, UPDATE's transformed images — the
+        exact postimages (tag 'insert'), so ``read_changes`` never
+        re-emits the rewritten files' carried-along rows."""
         base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
@@ -1825,7 +1914,18 @@ class TxTable:
         if validate:  # UPDATE can move rows INTO violation; DELETE can't
             self._validate_constraints(rewritten, base, op)
         new = self._write_data(rewritten, cm)
-        self._commit_vs_appends(base, op, set(affected), new)
+        cdf = None
+        if n > 0:
+            matched = hit.filter(where)
+            changes = matched.withColumn("_change_type", F.lit("delete"))
+            if post_of is not None:
+                changes = changes.unionByName(
+                    post_of(matched).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            cdf = self._write_cdf(changes)
+        self._commit_vs_appends(base, op, set(affected), new, cdf=cdf)
         return n
 
     def update(self, where: Column, set_map: dict[str, Column]) -> int:
@@ -1843,7 +1943,9 @@ class TxTable:
                 )
             return hit
 
-        return self._rewrite_affected(where, "update", transform, validate=True)
+        return self._rewrite_affected(
+            where, "update", transform, validate=True, post_of=transform
+        )
 
     def delete(self, where: Column) -> int:
         """``DELETE FROM <table> WHERE ...`` as file-granular
@@ -1874,6 +1976,22 @@ class TxTable:
             if n.endswith(".parquet")
         )
 
+    def _write_cdf(self, changes: DataFrame) -> list[str]:
+        """Materialize an exact per-commit changeset (``_change_type``
+        'insert'|'delete' + the table's logical columns at commit time)
+        as an immutable sidecar directory; returns its parquet paths.
+        Cost ∝ changed rows, never the table — the whole point: a CoW
+        merge's file diff re-emits every carried-along row of a
+        rewritten file, the sidecar names only what actually changed
+        (Delta CDF's _change_data directory, same idea)."""
+        out = os.path.join(self.data_dir, uuid.uuid4().hex)
+        changes.write.mode("error").parquet(out)
+        return sorted(
+            os.path.join(out, n)
+            for n in os.listdir(out)
+            if n.endswith(".parquet")
+        )
+
     def _matches_with_pos(self, base: TxSnapshot, where: Column) -> DataFrame:
         """Live (not-already-deleted) rows matching ``where``, carrying
         ``_fp``/``_pos`` row identity — the shared front half of the
@@ -1892,6 +2010,7 @@ class TxTable:
         matched: DataFrame,
         new: list[str],
         txn: str | None = None,
+        read_files: "set[str] | None" = None,
     ) -> int:
         """Write the DV sidecar for ``matched`` (persisted, non-empty)
         and commit: same data files (+ optionally ``new`` appended
@@ -1906,11 +2025,18 @@ class TxTable:
         affected = sorted(
             r.file for r in dv_rows.select("file").distinct().collect()
         )
-        dvs = self._dvs_of(base) or {}
-        for f in affected:
-            dvs[f] = list(dvs.get(f, [])) + dv_files
+        # a DELTA, not the composed dict: _commit_vs_appends re-applies
+        # it over each retry base, so a rebase over a racer's unrelated
+        # DV change keeps both writers' vectors
+        dv_delta = {f: list(dv_files) for f in affected}
         return self._commit_vs_appends(
-            base, op, set(), new, txn=txn, dvs=dvs
+            base,
+            op,
+            set(),
+            new,
+            txn=txn,
+            dv_delta=dv_delta,
+            read_files=read_files,
         )
 
     def delete_dv(self, where: Column) -> int:
@@ -2002,15 +2128,38 @@ class TxTable:
             if candidates
             else []
         )
+        cdf = None
         if affected:
-            kept = self._read_files(
+            hit = self._read_files(
                 affected, base.schema_json, cm, dvs=self._dvs_of(base)
-            ).join(keys, key, "left_anti")
+            )
+            kept = hit.join(keys, key, "left_anti")
             new_data = kept.unionByName(batch.select(*kept.columns))
+            # exact CDF (r10): replaced rows are the semi-join of the
+            # affected files with the batch keys; every batch row is a
+            # postimage.  A no-collision upsert (affected == []) needs
+            # no sidecar — its added files are exactly the batch.
+            replaced = hit.join(keys, key, "left_semi")
+            cdf = self._write_cdf(
+                replaced.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    batch.select(*kept.columns).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            )
         else:
             new_data = batch
         new = self._write_data(new_data, cm)
-        return self._commit_vs_appends(base, "upsert", set(affected), new)
+        return self._commit_vs_appends(
+            base,
+            "upsert",
+            set(affected),
+            new,
+            cdf=cdf,
+            read_files=set(candidates),
+        )
 
     @staticmethod
     def _conform_types(df: DataFrame, base: "TxSnapshot") -> DataFrame:
@@ -2356,15 +2505,46 @@ class TxTable:
                     F.col(f"t._pos").alias("_pos"),
                 )
                 version = self._dv_commit(
-                    base, "merge_dv", fired, new, txn=txn
+                    base,
+                    "merge_dv",
+                    fired,
+                    new,
+                    txn=txn,
+                    read_files=set(candidates),
                 )
             else:
+                cdf = None
+                if changed:
+                    # exact CDF (r10): the joined frame knows exactly
+                    # which rows fired — preimages of updates/deletes
+                    # tag 'delete', postimages of updates + inserts tag
+                    # 'insert'; read_changes then skips the file diff
+                    # (which would re-emit every carried-along row of
+                    # the rewritten files).  Insert-only merges need no
+                    # sidecar: their added files are exactly the
+                    # inserts.
+                    pre = j.filter(do_update | do_delete).select(
+                        *[F.col(f"t.{c}").alias(c) for c in cols]
+                    )
+                    post = self._conform_types(
+                        j.filter(do_update | do_insert).select(*out_cols),
+                        base,
+                    )
+                    cdf = self._write_cdf(
+                        pre.withColumn(
+                            "_change_type", F.lit("delete")
+                        ).unionByName(
+                            post.withColumn("_change_type", F.lit("insert"))
+                        )
+                    )
                 version = self._commit_vs_appends(
                     base,
                     "merge",
                     set(affected) if changed else set(),
                     new,
                     txn=txn,
+                    cdf=cdf,
+                    read_files=set(candidates),
                 )
         finally:
             j.unpersist()
@@ -2475,6 +2655,7 @@ class TxTable:
             if search
             else []
         )
+        cdf = None
         if affected:
             hit = self._read_files(
                 affected, base.schema_json, cm, dvs=self._dvs_of(base)
@@ -2482,12 +2663,29 @@ class TxTable:
             n_del = hit.filter(pred).count()
             kept = hit.filter(~pred.eqNullSafe(F.lit(True)))
             new_data = kept.unionByName(df)
+            # exact CDF (r10): the replaced slice's rows tag 'delete',
+            # the incoming frame tags 'insert' — the rewritten files'
+            # kept rows never re-emit.  A no-overlap replace
+            # (affected == []) needs no sidecar: added files == df.
+            cdf = self._write_cdf(
+                hit.filter(pred)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    df.withColumn("_change_type", F.lit("insert"))
+                )
+            )
         else:
             n_del = 0
             new_data = df
         new = self._write_data(new_data, cm) if (affected or n_ins) else []
         version = self._commit_vs_appends(
-            base, "replace_where", set(affected), new, txn=txn
+            base,
+            "replace_where",
+            set(affected),
+            new,
+            txn=txn,
+            cdf=cdf,
+            read_files=set(search),
         )
         return {"deleted": n_del, "inserted": n_ins, "version": version}
 
@@ -2724,7 +2922,11 @@ class TxTable:
             affected, base.schema_json, cm, dvs=dvs
         )
         new = self._write_data(rewritten, cm)
-        return self._commit_vs_appends(base, "purge", set(affected), new)
+        # purge reads only the files it rewrites — a racer touching
+        # OTHER files rebases cleanly (disjoint-rewrite admission)
+        return self._commit_vs_appends(
+            base, "purge", set(affected), new, read_files=set(affected)
+        )
 
     # ------------------------------------------------------- cleanup
 
@@ -2881,6 +3083,7 @@ class TxTable:
                 referenced.update(m["files"])
                 for dv_paths in (m.get("dvs") or {}).values():
                     referenced.update(dv_paths)
+                referenced.update(m.get("cdf") or [])
         clone_refs: dict[str, str] = {}  # file -> clone root holding it
         if not force:
             for croot in self._clone_roots():
@@ -2895,6 +3098,8 @@ class TxTable:
                     for dvp in (cman.get("dvs") or {}).values():
                         for fp in dvp:
                             clone_refs.setdefault(fp, croot)
+                    for fp in cman.get("cdf") or []:
+                        clone_refs.setdefault(fp, croot)
         now = time.time()
         removed: list[str] = []
         doomed: list[tuple[str, set[str]]] = []

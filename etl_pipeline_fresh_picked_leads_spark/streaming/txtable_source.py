@@ -77,6 +77,10 @@ class _FilePartition(InputPartition):
     # ARE the payload (semi mask) instead of being subtracted (anti)
     change: "tuple | None" = None  # (_change_type, _commit_version)
     # when reading as a change feed; None = plain snapshot read
+    cdf_version: "int | None" = None  # when set, ``file`` is an exact
+    # per-commit CDF sidecar (r10): logical columns + its own
+    # _change_type column; read verbatim, NULL-filling columns the
+    # commit's schema predates, tagging this _commit_version
 
 
 def _read_file_partition(part: _FilePartition, logical: StructType):
@@ -91,6 +95,36 @@ def _read_file_partition(part: _FilePartition, logical: StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     want = to_arrow_schema(logical)
+    if part.cdf_version is not None:
+        # exact CDF sidecar: logical names at commit time + a per-row
+        # _change_type column.  NULL-fill columns added after the
+        # commit, cast narrower types up to the stream's schema.
+        raw = pq.read_table(part.file)
+        n = raw.num_rows
+        avail = set(raw.schema.names)
+        arrays = [
+            raw.column(f.name) if f.name in avail else pa.nulls(n, f.type)
+            for f in want
+        ]
+        out_schema = pa.schema(
+            list(want)
+            + [
+                pa.field("_change_type", pa.string()),
+                pa.field("_commit_version", pa.int64()),
+            ]
+        )
+        tbl = pa.Table.from_arrays(
+            arrays
+            + [
+                raw.column("_change_type"),
+                pa.array([part.cdf_version] * n, pa.int64()),
+            ],
+            names=out_schema.names,
+        )
+        if tbl.schema != out_schema:
+            tbl = tbl.cast(out_schema)
+        yield from tbl.to_batches(max_chunksize=1 << 16)
+        return
     pf = pq.ParquetFile(part.file)
     avail = set(pf.schema_arrow.names)
     present = [c for c in part.phys_names if c in avail]
@@ -164,6 +198,13 @@ def _cdf_partitions_for_step(log_dir: str, root: str, v: int):
     cur = _manifest(log_dir, v)
     if cur.get("op") in ("compact", "purge"):
         return []
+    if cur.get("cdf"):
+        # the commit recorded its exact changeset (r10) — read the
+        # sidecar instead of diffing files, exactly like read_changes
+        return [
+            _FilePartition(p, [], [], cdf_version=v)
+            for p in cur["cdf"]
+        ]
     prev = _manifest(log_dir, v - 1) if v > 1 else None
     prev_files = set(prev["files"]) if prev else set()
     prev_dvs = (prev.get("dvs") or {}) if prev else {}
@@ -405,12 +446,19 @@ class _WroteFiles(WriterCommitMessage):
     row_hash_sum: int = 0  # order/partition-insensitive content term
 
 
-def _write_task(root: str, schema: StructType, iterator):
+def _write_task(root: str, schema: StructType, iterator, colmap=None):
     """Executor-side: drain this task's Arrow batches into ONE fresh
     parquet file under the table's data dir.  The directory is staged
     before any manifest references it — exactly the writer protocol
     TxTable.vacuum's min-age guard assumes — so an aborted batch
-    leaves only an unreferenced young dir for vacuum."""
+    leaves only an unreferenced young dir for vacuum.
+
+    ``colmap`` (r10): the target's column mapping at stream start —
+    files must speak PHYSICAL names (every other writer/reader of the
+    table does; a logical-named file would silently read as all-NULL
+    after the colmap projection).  The fingerprint is computed on the
+    logical frame BEFORE the rename: content identity is invariant
+    under physical naming."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -425,10 +473,6 @@ def _write_task(root: str, schema: StructType, iterator):
     want = to_arrow_schema(schema)
     if tbl.schema != want:
         tbl = tbl.cast(want)
-    out_dir = os.path.join(root, "data", _uuid.uuid4().hex)
-    os.makedirs(out_dir)
-    path = os.path.join(out_dir, "part-00000.parquet")
-    pq.write_table(tbl, path)
     # order-insensitive row fingerprint (vectorized): summed row
     # hashes are invariant under any re-partitioning, so the driver's
     # txn tag survives a checkpoint-loss re-split replay — the same
@@ -439,6 +483,15 @@ def _write_task(root: str, schema: StructType, iterator):
         tbl.to_pandas(), index=False
     ).to_numpy()
     hsum = int(hashes.astype("uint64").sum() % (1 << 64))
+    if colmap is not None:
+        phys = {c["name"]: c["phys"] for c in colmap}
+        tbl = tbl.rename_columns(
+            [phys.get(n, n) for n in tbl.column_names]
+        )
+    out_dir = os.path.join(root, "data", _uuid.uuid4().hex)
+    os.makedirs(out_dir)
+    path = os.path.join(out_dir, "part-00000.parquet")
+    pq.write_table(tbl, path)
     return _WroteFiles([path], tbl.num_rows, hsum)
 
 
@@ -471,15 +524,14 @@ def _sink_guards(
             "this sink cannot validate — use foreachBatch + "
             "TxTable.append (streaming/sinks.py) for gated tables"
         )
-    cm = m.get("colmap")
-    if cm is not None and (
-        not check_schema  # overwrite: id bookkeeping needs the engine
-        or any(c["name"] != c["phys"] for c in cm)
-    ):
+    if m.get("colmap") is not None and not check_schema:
+        # overwrite replaces the schema: the retired-name fence and
+        # field-id bookkeeping need the engine — refuse.  Appends into
+        # column-mapped tables are supported since r10: the writer
+        # renames to physical names per the snapshot's colmap.
         raise ValueError(
-            f"txtable {op}: target uses column mapping; the sink "
-            "writes physical files under logical names and cannot do "
-            "field-id bookkeeping — use TxTable.overwrite/append"
+            f"txtable {op}: target uses column mapping; overwrite "
+            "needs field-id bookkeeping — use TxTable.overwrite"
         )
     if not check_schema:
         return
@@ -503,12 +555,17 @@ def _commit_append(
     op: str = "stream_sink",
     overwrite: bool = False,
     max_retries: int = 20,
+    wrote_colmap=None,
 ) -> int:
     """Driver-side manifest append — TxTable._commit's protocol
     (fsync temp + atomic-exclusive os.link) in pure Python.  Blind
     appends commute, so a lost race re-reads the head and re-links;
     guards re-run each attempt (a racing add_constraint must refuse
-    us).  ``txn`` makes the commit exactly-once per tag."""
+    us).  ``txn`` makes the commit exactly-once per tag.
+    ``wrote_colmap`` is the mapping the TASKS renamed under (captured
+    at stream start): a rename landing mid-stream makes the staged
+    files speak stale physical names, so the commit refuses instead
+    of linking them (restart the stream to adopt the new mapping)."""
     import uuid as _uuid
 
     log_dir = os.path.join(root, _LOG_DIR)
@@ -516,6 +573,13 @@ def _commit_append(
     for _ in range(max_retries + 1):
         head_v, m = _head_version_and_manifest(log_dir)
         _sink_guards(m, schema, op, check_schema=not overwrite)
+        head_cm = m.get("colmap") if (m and not overwrite) else None
+        if head_cm != wrote_colmap:
+            raise ValueError(
+                f"txtable {op}: the table's column mapping changed "
+                "since this stream started (files were written under "
+                "the old physical names) — restart the stream"
+            )
         if txn is not None and m is not None:
             committed = {
                 _manifest(log_dir, v).get("txn")
@@ -590,21 +654,25 @@ class _TxStreamWriter(DataSourceStreamArrowWriter):
         self.root = root
         self.schema = schema
         # fail fast at stream start, not first commit
-        _sink_guards(
-            _head_version_and_manifest(os.path.join(root, _LOG_DIR))[1],
-            schema,
-            "stream_sink",
-        )
+        m = _head_version_and_manifest(os.path.join(root, _LOG_DIR))[1]
+        _sink_guards(m, schema, "stream_sink")
+        # the mapping every task writes under for the stream's life;
+        # a mid-stream rename is refused at commit (_commit_append)
+        self.colmap = m.get("colmap") if m else None
 
     def write(self, iterator):
-        return _write_task(self.root, self.schema, iterator)
+        return _write_task(self.root, self.schema, iterator, self.colmap)
 
     def commit(self, messages, batchId: int) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
         n = sum(msg.n_rows for msg in messages if msg)
         h = sum(msg.row_hash_sum for msg in messages if msg) % (1 << 64)
         _commit_append(
-            self.root, self.schema, files, txn=f"txsink|{n}:{h}"
+            self.root,
+            self.schema,
+            files,
+            txn=f"txsink|{n}:{h}",
+            wrote_colmap=self.colmap,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -619,17 +687,16 @@ class _TxBatchWriter(DataSourceArrowWriter):
         self.root = root
         self.schema = schema
         self.overwrite = overwrite
+        self.colmap = None
         if not overwrite:  # append must match; overwrite replaces
-            _sink_guards(
-                _head_version_and_manifest(
-                    os.path.join(root, _LOG_DIR)
-                )[1],
-                schema,
-                "batch_sink",
-            )
+            m = _head_version_and_manifest(
+                os.path.join(root, _LOG_DIR)
+            )[1]
+            _sink_guards(m, schema, "batch_sink")
+            self.colmap = m.get("colmap") if m else None
 
     def write(self, iterator):
-        return _write_task(self.root, self.schema, iterator)
+        return _write_task(self.root, self.schema, iterator, self.colmap)
 
     def commit(self, messages) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
@@ -640,6 +707,7 @@ class _TxBatchWriter(DataSourceArrowWriter):
             txn=None,
             op="overwrite" if self.overwrite else "append",
             overwrite=self.overwrite,
+            wrote_colmap=self.colmap,
         )
 
     def abort(self, messages) -> None:

@@ -272,3 +272,119 @@ def test_random_interleavings_linearize(spark, data, tmp_path_factory):
         mutate(TxTable(spark, root))  # serial re-invoke must succeed
     got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
     assert got == model, (mut_kind, racer_kind, key, rkey, got, model)
+
+def _two_file_table(spark, root):
+    """Keys 0-9 in file A, 100-109 in file B, k-stats recorded — so a
+    merge keyed inside one range prunes its candidate set to ONE file."""
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, f"a{i}", float(i)) for i in range(10)]),
+        stats_cols=["k"],
+    )
+    t.append(_df(spark, [(i, f"b{i}", float(i)) for i in range(100, 110)]))
+    return t
+
+
+def test_merge_vs_file_disjoint_merge_both_succeed(spark, tmp_path):
+    """r10 widened conflict matrix: merge ∥ merge on DISJOINT FILES
+    auto-rebases — the racer rewrote only files outside my pruned read
+    set, so both merges land exactly once with no caller retry."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        res = t.merge(_df(spark, [(105, "R", 1.0)]), "k")
+        assert res["updated"] == 1
+
+    rt = _raced(spark, root, racer)
+    res = rt.merge(_df(spark, [(5, "M", 2.0)]), "k")  # no raise
+    assert res["updated"] == 1
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got[5] == "M" and got[105] == "R", got
+    assert len(got) == 20, "no row lost or duplicated"
+
+
+def test_merge_vs_overlapping_file_merge_still_refuses(spark, tmp_path):
+    """Two merges whose candidate sets share a file still conflict:
+    each survivor list derives from its snapshot."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        t.merge(_df(spark, [(3, "R", 1.0)]), "k")
+
+    rt = _raced(spark, root, racer)
+    with pytest.raises(TxConflictError):
+        rt.merge(_df(spark, [(5, "M", 2.0)]), "k")
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got[3] == "R" and got[5] == "a5", "racer won, loser no trace"
+
+
+def test_merge_dv_vs_disjoint_merge_dv_composes_vectors(spark, tmp_path):
+    """DV-mode merges on disjoint files rebase AND compose deletion
+    vectors: the dv_delta re-applies over the racer's base, keeping
+    both writers' sidecars."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        res = t.merge(
+            _df(spark, [(105, "x", 0.0)]),
+            "k",
+            update=None,
+            delete_condition="true",
+            insert=False,
+            mode="dv",
+        )
+        assert res["deleted"] == 1
+
+    rt = _raced(spark, root, racer)
+    res = rt.merge(
+        _df(spark, [(5, "x", 0.0)]),
+        "k",
+        update=None,
+        delete_condition="true",
+        insert=False,
+        mode="dv",
+    )
+    assert res["deleted"] == 1
+    final = TxTable(spark, root)
+    got = sorted(r.k for r in final.read().collect())
+    assert 5 not in got and 105 not in got and len(got) == 18, got
+    assert len(final.snapshot().dvs or {}) == 2, "both vectors carried"
+
+
+def test_replace_range_vs_disjoint_replace_range_both_land(spark, tmp_path):
+    """Slice overwrites of different key ranges (different files)
+    compose without caller retry — the 100 TB daily-partition-recompute
+    pattern with two concurrent backfills."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        t.replace_range(_df(spark, [(101, "RR", 1.0)]), "k", 100, 109)
+
+    rt = _raced(spark, root, racer)
+    rt.replace_range(_df(spark, [(1, "MM", 2.0)]), "k", 0, 9)
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got == {1: "MM", 101: "RR"}, got
+
+
+def test_update_whole_table_read_still_refuses_rewrites(spark, tmp_path):
+    """update/delete scan every file for matches (no key pruning), so
+    ANY racing rewrite — even of a file with no matching rows —
+    conflicts (the loser's decisions covered the whole table)."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        t.delete(F.col("k") == 105)
+
+    rt = _raced(spark, root, racer)
+    with pytest.raises(TxConflictError):
+        rt.update(F.col("k") == 5, {"name": F.lit("M")})
+    # re-invoke composes
+    assert TxTable(spark, root).update(
+        F.col("k") == 5, {"name": F.lit("M")}
+    ) == 1

@@ -429,13 +429,15 @@ def test_read_changes_row_level_cdf(spark, tmp_path):
         if r._change_type == "insert"
     ]
     assert len(ins5) == 1 and ins5[0].price == 555.0, "postimage values"
-    # CoW rewrite after compact: the rewritten file's dead rows (none
-    # left — compact materialized) and live rows emit delete+insert
+    # CoW rewrite after compact: with the exact _cdf sidecar (r10) the
+    # update emits ONLY the changed row's delete+insert pair — the
+    # rewritten file's carried-along rows never re-emit
     n = t.update(F.col("k") == 7, {"price": F.lit(7.7)})
     assert n == 1
-    ch = t.read_changes(5)
-    kinds = {r._change_type for r in ch.collect()}
-    assert kinds == {"delete", "insert"}
+    ch = sorted(
+        (r._change_type, r.k, r.price) for r in t.read_changes(5).collect()
+    )
+    assert ch == [("delete", 7, 7.0), ("insert", 7, 7.7)], ch
     # folding the full feed + untouched initial rows equals the head
     # (the consumer contract): every key's LAST change wins
     full = t.read_changes(1).collect()
@@ -449,10 +451,10 @@ def test_read_changes_row_level_cdf(spark, tmp_path):
             assert head.get(k) == price, (k, kind, price, head.get(k))
         else:
             assert k not in head, k
-    # the CoW rewrite emitted k=10 as a content-identical delete+insert
-    # pair (file-granular over-approximation) — folding still lands on
-    # the true value, and the v2-deleted keys stayed dead through it
-    assert last[10] == ("insert", 10.0) and head[10] == 10.0
+    # exactness (r10): the untouched key 10 never appears in the feed
+    # at all (pre-r10 the CoW rewrite re-emitted it file-granularly),
+    # and the v2-deleted keys stayed dead through the rewrite
+    assert 10 not in last and head[10] == 10.0
     assert last[0][0] == "delete" and 0 not in head
 
 
@@ -526,3 +528,124 @@ def test_read_changes_since_zero_vacuumed_log(spark, tmp_path):
         t.read_changes(0)
     # a retained-window read still works
     assert t.read_changes(t.snapshot().version).count() == 0
+
+def test_exact_cow_cdf_merge_upsert_replace(spark, tmp_path):
+    """Exact CoW CDF (r10): merge/upsert/replace_where commits carry a
+    _cdf sidecar, so read_changes emits ONLY the rows that actually
+    changed — never the rewritten files' carried-along rows."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 20).coalesce(2))  # v1
+    src = spark.createDataFrame(
+        [(3, "u3", 33.0), (7, "gone", 0.0), (100, "new", 1.0)],
+        "k bigint, name string, price double",
+    )
+    res = t.merge(                                               # v2
+        src,
+        on="k",
+        update={"price": "s.price"},
+        update_condition="s.name like 'u%'",
+        delete_condition="s.name = 'gone'",
+    )
+    assert (res["updated"], res["deleted"], res["inserted"]) == (1, 1, 1)
+    assert t.snapshot().cdf, "merge commit carries the sidecar"
+    ch = sorted(
+        (r._change_type, r.k, r.price) for r in t.read_changes(1).collect()
+    )
+    assert ch == [
+        ("delete", 3, 3.0), ("delete", 7, 7.0),
+        ("insert", 3, 33.0), ("insert", 100, 1.0),
+    ], ch
+    # upsert: replaced key emits delete+insert, fresh key insert-only,
+    # carried rows of the rewritten file silent
+    t.upsert(
+        spark.createDataFrame(
+            [(4, "up", 44.0), (200, "ins", 2.0)],
+            "k bigint, name string, price double",
+        ),
+        key="k",
+    )                                                            # v3
+    ch3 = sorted(
+        (r._change_type, r.k) for r in t.read_changes(2).collect()
+    )
+    assert ch3 == [("delete", 4), ("insert", 4), ("insert", 200)], ch3
+    # replace_where: slice preimages delete, incoming frame inserts
+    t.replace_where(
+        spark.createDataFrame(
+            [(5, "r5", 55.0)], "k bigint, name string, price double"
+        ),
+        (F.col("k") >= 5) & (F.col("k") <= 6),
+    )                                                            # v4
+    ch4 = sorted(
+        (r._change_type, r.k) for r in t.read_changes(3).collect()
+    )
+    assert ch4 == [("delete", 5), ("delete", 6), ("insert", 5)], ch4
+    # fold-equals-head across the mixed history
+    full = t.read_changes(1).collect()
+    last = {}
+    for r in sorted(full, key=lambda r: (r._commit_version,
+                                         r._change_type == "insert")):
+        last[r.k] = (r._change_type, r.price)
+    head = {r.k: r.price for r in t.read().collect()}
+    for k, (kind, price) in last.items():
+        if kind == "insert":
+            assert head.get(k) == price, (k, kind, price)
+        else:
+            assert k not in head, k
+    # vacuum keeps sidecars referenced by retained manifests
+    t.vacuum(retain=len(t._versions()), min_age_seconds=0.0)
+    assert t.read_changes(1).count() == len(full), "sidecars survive"
+    # dropping history GCs the now-unreferenced sidecars
+    old_cdf = [p for v_ in (2, 3) for p in t.snapshot(v_).cdf]
+    t.vacuum(retain=1, min_age_seconds=0.0)
+    assert all(not os.path.exists(p) for p in old_cdf)
+
+
+def test_stream_cdf_matches_batch_for_cow_merge(spark, tmp_path):
+    """The streaming readChangeFeed and batch read_changes must agree
+    on an exact-CDF CoW merge commit (ADVICE r9: the two feeds once
+    disagreed on DV handling; pin parity for the r10 sidecar too)."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        register,
+    )
+
+    register(spark)
+    root, out, chk = (
+        str(tmp_path / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    t = TxTable.create(spark, root, _df(spark, 10).coalesce(1))
+    t.merge(
+        spark.createDataFrame(
+            [(2, "u", 22.0), (300, "i", 3.0)],
+            "k bigint, name string, price double",
+        ),
+        on="k",
+        update={"price": "s.price"},
+    )
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    stream_rows = sorted(
+        (r._commit_version, r._change_type, r.k, r.price)
+        for r in spark.read.parquet(out).collect()
+        if r._commit_version == 2
+    )
+    batch_rows = sorted(
+        (r._commit_version, r._change_type, r.k, r.price)
+        for r in t.read_changes(1).collect()
+    )
+    assert stream_rows == [
+        (2, "delete", 2, 2.0), (2, "insert", 2, 22.0),
+        (2, "insert", 300, 3.0),
+    ], stream_rows
+    assert stream_rows == batch_rows

@@ -208,9 +208,11 @@ def test_stream_writer_exactly_once_per_batch(reg, tmp_path):
     assert t.read().count() == 25
 
 
-def test_sink_guards_constraints_and_colmap(reg, tmp_path):
+def test_sink_guards_constraints_and_colmap_overwrite(reg, tmp_path):
     """Features the manifest-only sink cannot honor are refused at
-    stream/batch start — never silently skipped."""
+    stream/batch start — never silently skipped.  Since r10 only
+    constraints and colmap OVERWRITE refuse; colmap appends write
+    physical names (see test_sink_append_into_column_mapped_table)."""
     spark = reg
     root = str(tmp_path / "t")
     t = TxTable.create(spark, root, _df(spark, 0, 5).coalesce(1))
@@ -225,9 +227,58 @@ def test_sink_guards_constraints_and_colmap(reg, tmp_path):
         [(9, "z", 9.0)], "k bigint, name string, amount double"
     )
     with pytest.raises(Exception, match="column mapping"):
-        df2.write.format("txtable").mode("append").option(
+        df2.write.format("txtable").mode("overwrite").option(
             "path", root
         ).save()
+
+
+def test_sink_append_into_column_mapped_table(reg, tmp_path):
+    """r10: batch and streaming appends into a RENAMED table write
+    files under PHYSICAL names per the snapshot's colmap — the engine
+    reads them back under logical names; a mid-stream rename refuses
+    at commit instead of linking stale-named files."""
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 0, 3).coalesce(1))
+    t.rename_column("price", "amount")
+    df2 = spark.createDataFrame(
+        [(9, "z", 99.0)], "k bigint, name string, amount double"
+    )
+    df2.write.format("txtable").mode("append").option("path", root).save()
+    got = {r.k: r.amount for r in t.read().collect()}
+    assert got[9] == 99.0 and len(got) == 4
+    # the new file physically speaks the pre-rename name
+    new_file = [
+        f for f in t.snapshot().files if "part-00000.parquet" in f
+    ]
+    assert new_file, "sink-written file present"
+    raw = spark.read.parquet(new_file[0])
+    assert "price" in raw.columns and "amount" not in raw.columns
+    # streaming append works the same way
+    landing = str(tmp_path / "landing")
+    df2.withColumn("k", df2.k + 1).coalesce(1).write.parquet(landing)
+    q = (
+        spark.readStream.schema(df2.schema)
+        .parquet(landing)
+        .writeStream.format("txtable")
+        .option("path", root)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = {r.k: r.amount for r in t.read().collect()}
+    assert got[10] == 99.0 and len(got) == 5
+    # a rename landing after files were staged refuses at commit
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        _commit_append,
+    )
+
+    with pytest.raises(ValueError, match="column mapping changed"):
+        _commit_append(
+            root, t._current_schema(t.snapshot()), [], txn=None,
+            wrote_colmap=None,
+        )
 
 
 def test_source_starting_version_latest_skips_backfill(reg, tmp_path):
