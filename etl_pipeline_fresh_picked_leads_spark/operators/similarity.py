@@ -284,6 +284,190 @@ def _store_cached_centers(spark, key: tuple, centers: list[list[float]]) -> None
         pass  # just means the other writer's identical fit landed
 
 
+_IVF_FIT_N: dict[tuple, int] = {}  # key -> corpus size at LAST k-means
+# fit (drift accounting for ivf_append; carried forward on appends)
+
+
+def _meta_index_root() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "ivf_index_meta"
+    )
+
+
+def _load_fit_n(spark, key: tuple) -> "int | None":
+    from ..sources.txtable import TxTable
+
+    if key in _IVF_FIT_N:
+        return _IVF_FIT_N[key]
+    root = _meta_index_root()
+    if not TxTable.is_table(root):
+        return None
+    fp_n, fp_s, nlist, seed, sample_cap = key
+    rows = (
+        TxTable(spark, root)
+        .read()
+        .filter(
+            (F.col("fp_n") == fp_n)
+            & (F.col("fp_s") == str(fp_s))
+            & (F.col("nlist") == nlist)
+            & (F.col("seed") == seed)
+            & (F.col("sample_cap") == sample_cap)
+        )
+        .select("fit_n")
+        .collect()
+    )
+    if not rows:
+        return None
+    _IVF_FIT_N[key] = int(rows[0].fit_n)
+    return _IVF_FIT_N[key]
+
+
+def _store_fit_n(spark, key: tuple, fit_n: int) -> None:
+    from ..sources.txtable import TxConflictError, TxTable
+
+    _IVF_FIT_N[key] = fit_n
+    fp_n, fp_s, nlist, seed, sample_cap = key
+    df = spark.createDataFrame(
+        [(fp_n, str(fp_s), nlist, seed, sample_cap, fit_n)],
+        "fp_n long, fp_s string, nlist int, seed int, sample_cap long, "
+        "fit_n long",
+    )
+    root = _meta_index_root()
+    try:
+        if TxTable.is_table(root):
+            TxTable(spark, root).append(
+                df, txn=f"ivfm-{fp_n}-{fp_s}-{nlist}-{seed}-{sample_cap}"
+            )
+        else:
+            TxTable.create(spark, root, df)
+    except (TxConflictError, OSError):
+        pass  # losing the race means the twin's identical row landed
+
+
+def ivf_append(
+    spark,
+    batch: DataFrame,
+    base_fp: tuple,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int = 100_000,
+    drift_frac: float = 0.2,
+    hot_cell_factor: float = 8.0,
+    refit_with: "DataFrame | None" = None,
+) -> dict:
+    """INDEX MAINTENANCE for a growing corpus (r10, VERDICT r9 #6):
+    register the existing centroids under the APPENDED corpus's
+    fingerprint so the next ivf query skips the k-means — cost ∝ the
+    batch, never the corpus.  The corpus fingerprint (count + summed
+    xxhash64) is ADDITIVE, so the grown corpus's key is computed from
+    ``base_fp`` + the batch's own fingerprint without touching the
+    base data; pre-r10 ANY append refit from scratch (a full k-means
+    per day for <1% drift on a daily-append embedding table).
+
+    Drift accounting: ``fit_n`` (corpus size at the last real fit)
+    rides every append; a refit is triggered when EITHER
+    - total appended since the fit exceeds ``drift_frac * fit_n``, or
+    - the batch is hot-spotted: one cell absorbs more than
+      ``hot_cell_factor`` times the average batch share (per-cell
+      assignment counts over the batch — a new data mode is pouring
+      into one cell, where recall degrades first).
+    With ``refit_with`` (the full grown corpus) the refit runs
+    immediately and resets the accounting; without it NOTHING is
+    registered under the grown key (stale centers must not serve a
+    drifted corpus) — ``refit_recommended`` is returned for the
+    maintenance job, and the next ivf query on the grown corpus
+    refits implicitly via its cache miss.
+
+    Returns {"fp", "batch_rows", "appended_since_fit", "refit",
+    "refit_recommended", "hot_cell_frac"}."""
+    key_old = (base_fp[0], base_fp[1], nlist, seed, sample_cap)
+    centers = _load_cached_centers(spark, key_old)
+    if centers is None:
+        raise ValueError(
+            "ivf_append: no cached index for base_fp — run "
+            "ivf_assign/ivf_topk on the base corpus first"
+        )
+    nb, sb = _corpus_fingerprint(batch, vec_col)
+    new_fp = (base_fp[0] + nb, base_fp[1] + sb)
+    key_new = (new_fp[0], new_fp[1], nlist, seed, sample_cap)
+    fit_n = _load_fit_n(spark, key_old) or base_fp[0]
+    appended = new_fp[0] - fit_n
+    # per-cell drift: assign the BATCH (map-only, batch-sized) and
+    # look for a hot cell
+    hot_frac = 0.0
+    if nb > 0:
+        cvs = F.lit([[float(x) for x in c] for c in centers])
+        cns = F.lit(
+            [float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers]
+        )
+        scores = F.transform(
+            cvs,
+            lambda cv, i: _dot(_as_double(F.col(vec_col)), cv)
+            / (
+                F.greatest(_norm(_as_double(F.col(vec_col))), F.lit(1e-12))
+                * F.element_at(cns, i + 1)
+            ),
+        )
+        cell = (
+            F.array_position(scores, F.array_max(scores)).cast("int") - 1
+        )
+        counts = (
+            batch.select(cell.alias("cell"))
+            .groupBy("cell")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        hot_frac = float(counts or 0) / nb
+    hot = nb > 0 and hot_frac > min(1.0, hot_cell_factor / len(centers))
+    drifted = appended > drift_frac * fit_n
+    recommend = drifted or hot
+    if recommend:
+        if refit_with is not None:
+            # full refit on the grown corpus: ivf_assign misses the
+            # cache under key_new and fits fresh, resetting fit_n
+            ivf_assign(
+                refit_with,
+                nlist=nlist,
+                vec_col=vec_col,
+                seed=seed,
+                sample_cap=sample_cap,
+            )
+            return {
+                "fp": new_fp,
+                "batch_rows": nb,
+                "appended_since_fit": 0,
+                "refit": True,
+                "refit_recommended": False,
+                "hot_cell_frac": hot_frac,
+            }
+        # drifted and no corpus handle: register NOTHING (stale
+        # centers must not serve a drifted corpus) — the next query
+        # refits implicitly via its cache miss
+        return {
+            "fp": new_fp,
+            "batch_rows": nb,
+            "appended_since_fit": appended,
+            "refit": False,
+            "refit_recommended": True,
+            "hot_cell_frac": hot_frac,
+        }
+    _store_cached_centers(spark, key_new, centers)
+    _store_fit_n(spark, key_new, fit_n)
+    return {
+        "fp": new_fp,
+        "batch_rows": nb,
+        "appended_since_fit": appended,
+        "refit": False,
+        "refit_recommended": False,
+        "hot_cell_frac": hot_frac,
+    }
+
+
 def _coarse_groups(centers: list, kc: int, seed: int = 7):
     """Tiny driver-side Lloyd k-means over the FINE centroids (nlist
     points, numpy) — builds the two-level routing table.  Deterministic
@@ -484,6 +668,9 @@ def ivf_assign(
             ]
         if use_index and key is not None:
             _store_cached_centers(spark, key, centers)
+            # drift accounting for ivf_append: this IS a real fit, so
+            # the corpus size at fit == the fingerprint count
+            _store_fit_n(spark, key, key[0])
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)],
         "centroid_id int, cv array<double>",

@@ -513,6 +513,50 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(rec))
 
 
+_ANN_IVF_APPEND_ORACLE = _ANN_IVF_ORACLE.replace(
+    "TRUE AS recall_ok FROM topk",
+    "TRUE AS recall_ok, TRUE AS append_ok FROM topk",
+)
+
+
+@query("q_sim_ann_ivf_append", oracle=_ANN_IVF_APPEND_ORACLE)
+def q_sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE under appends (r10, VERDICT r9 #6 —
+    operators/similarity.ivf_append): the corpus is indexed minus a 2%
+    batch (vec_id % 50 == 0, modular = regen-proof), the batch is then
+    appended via ``ivf_append`` — which re-registers the existing
+    centers under the grown corpus's ADDITIVE fingerprint at
+    batch-only cost — and the top-10 query on the FULL corpus must be
+    a cache hit: ``append_ok`` certifies zero k-means fits ran between
+    the append and the query (pre-r10, any append refit from scratch:
+    a full k-means per day on a daily-append embedding table).
+    ``recall_ok`` keeps the q_sim_ann_ivf contract: the IVF candidate
+    set recovers >= 8 of the exact top-10 even though the index was
+    fitted WITHOUT the appended vectors (2% drift, below the refit
+    threshold).  The emitted rows are the exact top-10, DuckDB
+    recomputes them; both flags are TRUE on the oracle side."""
+    from ..operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 50 == 0)
+    base = emb.filter(F.col("vec_id") % 50 != 0)
+    S.ivf_assign(base, nlist=12)  # fit (or warm-cache hit) on the base
+    base_fp = S._corpus_fingerprint(base, "embedding")
+    res = S.ivf_append(spark, batch, base_fp, nlist=12)
+    assert not res["refit"] and not res["refit_recommended"], res
+    fits_after_append = S.IVF_FIT_COUNTER["fits"]
+    exact = cosine_topk(emb, 0, k=10)
+    approx = ivf_topk(emb, 0, k=10, nlist=12, nprobe=4).select("vec_id")
+    rec = exact.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) >= F.lit(8)).alias("recall_ok")
+    )
+    out = exact.crossJoin(F.broadcast(rec)).withColumn(
+        "append_ok",
+        F.lit(S.IVF_FIT_COUNTER["fits"] == fits_after_append),
+    )
+    return out
+
+
 _EMBED_NORM_ORACLE = """
 WITH flat AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -1054,3 +1054,60 @@ def test_decontaminate_bloom_prune_rate(spark, docs):
     # FP overhead bounded: survivors are within 5% of the true hits
     # OR the corpus is so contaminated the prune is moot (not this one)
     assert survivors <= true_hits + max(10, int(0.05 * total))
+
+
+def test_ivf_append_registers_without_refit(embeddings, monkeypatch, tmp_path):
+    """ivf_append (r10, VERDICT r9 #6): appending a small batch
+    re-registers the existing centers under the grown corpus's
+    fingerprint — NO refit (cost ∝ batch), the next query on the full
+    corpus is a cache hit, and recall against exact cosine stays
+    within the contract.  Exceeding the drift threshold refits."""
+    from etl_pipeline_fresh_picked_leads_spark.operators import (
+        similarity as S,
+    )
+
+    monkeypatch.setattr(
+        S, "_ivf_index_root", lambda: str(tmp_path / "ivf_index")
+    )
+    monkeypatch.setattr(
+        S, "_meta_index_root", lambda: str(tmp_path / "ivf_meta")
+    )
+    S._IVF_CENTER_CACHE.clear()
+    S._IVF_FIT_N.clear()
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    batch = embeddings.orderBy(F.desc("vec_id")).limit(max(2, n // 100))
+    nb = batch.count()
+    base = embeddings.join(batch.select("vec_id"), "vec_id", "left_anti")
+
+    before = S.IVF_FIT_COUNTER["fits"]
+    S.ivf_assign(base, nlist=8)  # fit the base index
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1
+    base_fp = S._corpus_fingerprint(base, "embedding")
+
+    res = S.ivf_append(spark, batch, base_fp, nlist=8)
+    assert not res["refit"] and not res["refit_recommended"], res
+    assert res["batch_rows"] == nb
+    assert res["appended_since_fit"] == nb
+    # the grown corpus's fingerprint matches the registered key
+    full_fp = S._corpus_fingerprint(embeddings, "embedding")
+    assert res["fp"] == full_fp, "fingerprint additivity"
+    # querying the FULL corpus now hits the cache: zero new fits
+    got = S.ivf_topk(embeddings, 0, k=5, nlist=8, nprobe=4).collect()
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1, "append must not refit"
+    # recall vs exact top-k stays in the contract regime
+    exact = {
+        r.vec_id
+        for r in S.cosine_topk(embeddings, 0, k=5).collect()
+    }
+    assert len({r.vec_id for r in got} & exact) >= 3, "recall >= 0.6 at k=5"
+    # a second small append accumulates; a HUGE batch trips the drift
+    # threshold and recommends (here: performs nothing — no refit_with)
+    res2 = S.ivf_append(spark, batch, full_fp, nlist=8, drift_frac=0.0001)
+    assert res2["refit_recommended"] and not res2["refit"]
+    # with refit_with the refit actually runs and resets accounting
+    res3 = S.ivf_append(
+        spark, batch, full_fp, nlist=8, drift_frac=0.0001,
+        refit_with=embeddings.unionByName(batch),
+    )
+    assert res3["refit"] and S.IVF_FIT_COUNTER["fits"] == before + 2
