@@ -107,12 +107,12 @@ _DRIVER_WINDOW = [
     "q_text_chunk_overlap", "q_embed_pool", "q_unpivot",
     "q_agg_skew_twophase",
     # round-10 new queries
-    "q_txtable_timetravel_ts",
+    "q_txtable_timetravel_ts", "q_txtable_cdf_cow",
+    "q_stream_txtable_sink_colmap", "q_sim_ann_ivf_append",
     # r6 tail picks: most churned by the r9/r10 txtable work
     "q_txtable_delete", "q_matview_minmax",
     "q_stream_dedup_incremental", "q_dedup_incremental",
-    "q_dedup_simhash", "q_join_bloom", "q_join_interval",
-    "q_sim_ann_ivf",
+    "q_dedup_simhash",
 ]
 
 
