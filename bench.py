@@ -103,6 +103,9 @@ HEADLINE = [
     # r9: merge-on-read mutations — sidecar write + anti-join read,
     # the DV lifecycle (delete->compact->vacuum) end to end
     "q_txtable_delete_dv",
+    # r10: exact CoW change feed — merge/update/replace_where each
+    # writing its _cdf sidecar, then the full-window feed read
+    "q_txtable_cdf_cow",
 ]
 
 # The BENCH_r01 query set — a FIXED cross-round subtotal (VERDICT r8
@@ -118,10 +121,19 @@ BASELINE15 = [
     "q_win_running",
 ]
 
-# Last round's headline set (BENCH_r08), for the other fixed
+# Last round's headline set (BENCH_r09), for the other fixed
 # comparison: common_prev_total isolates "did anything we both ran
 # get slower" from "we added 3 expensive new queries".
-PREV_HEADLINE = [q for q in HEADLINE if q != "q_txtable_delete_dv"]
+PREV_HEADLINE = [q for q in HEADLINE if q != "q_txtable_cdf_cow"]
+
+# Fixed TxTable-tier subtotal (VERDICT r9 #7): the transactional tier
+# is the fastest-growing slice of the headline; like BASELINE15 this
+# set is PINNED as of r10 so later rounds' DV/CDF/conflict work has a
+# stable cross-round regression guard.
+TXTABLE_TIER = [
+    "q_txtable_zorder", "q_txtable_constraint", "q_txtable_merge",
+    "q_txtable_delete_dv", "q_txtable_cdf_cow",
+]
 
 
 def build_outputs(
@@ -192,6 +204,9 @@ def build_outputs(
         ),
         "common_prev_total": round(
             sum(steady.get(q, 0.0) for q in PREV_HEADLINE), 3
+        ),
+        "txtable_total": round(
+            sum(steady.get(q, 0.0) for q in TXTABLE_TIER), 3
         ),
         "n_queries": len(steady),
         "n_errors": len(errors),

@@ -588,9 +588,27 @@ def _commit_append(
             if txn in committed:
                 return head_v  # replayed batch: already landed
         carried = list(m["files"]) if (m and not overwrite) else []
+        # commit timestamp parity with TxTable._commit (r10): monotone
+        # epoch µs so TIMESTAMP AS OF / retain_hours see sink commits
+        import time as _time
+
+        parent_ts = m.get("ts") if m else None
+        if parent_ts is None and m is not None:
+            try:
+                parent_ts = int(
+                    os.path.getmtime(
+                        os.path.join(log_dir, _manifest_name(head_v))
+                    )
+                    * 1_000_000
+                )
+            except OSError:
+                parent_ts = None
+        now_us = int(_time.time() * 1_000_000)
+        ts = now_us if parent_ts is None else max(parent_ts + 1, now_us)
         manifest = {
             "version": head_v + 1,
             "op": op,
+            "ts": ts,
             "files": carried + files,
             "txn": txn,
             "schema": json.dumps(schema.jsonValue()),
