@@ -68,6 +68,55 @@ def _manifest(log_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _manifest_ts_us(log_dir: str, version: int) -> "int | None":
+    """Commit timestamp (epoch µs) of a version: the r10 manifest
+    field, falling back to the manifest file's mtime for pre-r10
+    commits — the same rule as TxTable._ts_of."""
+    m = _manifest(log_dir, version)
+    if m.get("ts") is not None:
+        return int(m["ts"])
+    try:
+        return int(
+            os.path.getmtime(os.path.join(log_dir, _manifest_name(version)))
+            * 1_000_000
+        )
+    except OSError:
+        return None
+
+
+def _parse_ts_us(value) -> int:
+    """User timestamp option -> epoch µs (ISO-8601 string, naive = UTC
+    like the engine session, or epoch seconds)."""
+    import datetime as _dt
+
+    s = str(value)
+    try:
+        return int(float(s) * 1_000_000)
+    except ValueError:
+        pass
+    dt = _dt.datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def _version_at_ts(log_dir: str, bound_us: int, root: str) -> int:
+    """Newest retained version committed at or before the bound —
+    TIMESTAMP AS OF resolution (ts is monotone over versions)."""
+    vs = _versions(log_dir)
+    chosen = None
+    for v in vs:
+        ts = _manifest_ts_us(log_dir, v)
+        if ts is not None and ts <= bound_us:
+            chosen = v
+    if chosen is None:
+        raise FileNotFoundError(
+            f"timestampAsOf predates the earliest retained commit of "
+            f"{root}" + (f" (earliest version {vs[0]})" if vs else "")
+        )
+    return chosen
+
+
 @dataclass
 class _FilePartition(InputPartition):
     file: str
@@ -249,11 +298,13 @@ class _TxStreamReader(DataSourceStreamReader):
         starting_version: "int | str | None" = None,
         max_versions_per_trigger: int | None = None,
         change_feed: bool = False,
+        starting_timestamp=None,
     ):
         self.root = root
         self.log_dir = os.path.join(root, _LOG_DIR)
         self.logical = schema
         self.starting_version = starting_version
+        self.starting_timestamp = starting_timestamp
         self.max_versions = max_versions_per_trigger
         self.change_feed = change_feed
         self._seen: int | None = None  # newest end handed to partitions()
@@ -263,7 +314,23 @@ class _TxStreamReader(DataSourceStreamReader):
         # snapshot is delivered as the first batch (Delta source
         # default).  startingVersion="latest" skips the backfill
         # (changes-only tailing); an integer starts after that
-        # committed version.
+        # committed version.  startingTimestamp (r10, Delta parity):
+        # deliver every commit AT OR AFTER the bound — the offset is
+        # (first version with ts >= bound) - 1; a future bound tails
+        # only commits that land after it.
+        if self.starting_timestamp is not None:
+            if self.starting_version is not None:
+                raise ValueError(
+                    "txtable source: pass startingVersion OR "
+                    "startingTimestamp, not both"
+                )
+            bound = _parse_ts_us(self.starting_timestamp)
+            vs = _versions(self.log_dir)
+            for v in vs:  # ts monotone: first match wins
+                ts = _manifest_ts_us(self.log_dir, v)
+                if ts is not None and ts >= bound:
+                    return {"version": v - 1}
+            return {"version": vs[-1] if vs else 0}
         if self.starting_version is None:
             return {"version": 0}
         if self.starting_version == "latest":
@@ -330,16 +397,19 @@ class _TxStreamReader(DataSourceStreamReader):
 
 
 class _TxBatchReader(DataSourceReader):
-    def __init__(self, root: str, schema: StructType):
+    def __init__(
+        self, root: str, schema: StructType, version: "int | None" = None
+    ):
         self.root = root
         self.log_dir = os.path.join(root, _LOG_DIR)
         self.logical = schema
+        self.version = version  # pinned by versionAsOf / timestampAsOf
 
     def partitions(self):
         vs = _versions(self.log_dir)
         if not vs:
             return [_FilePartition("", [], [])]
-        head = _manifest(self.log_dir, vs[-1])
+        head = _manifest(self.log_dir, self.version or vs[-1])
         return _partitions_for(self.root, head, list(head["files"]))
 
     def read(self, partition: _FilePartition):
@@ -368,6 +438,32 @@ class TxTableDataSource(DataSource):
             self.options.get("readchangefeed", "false")
         ).lower() in ("true", "1", "yes")
 
+    def _pinned_version(self) -> "int | None":
+        """Batch time travel (r10): versionAsOf / timestampAsOf pin a
+        committed version; None = the head.  Mutually exclusive, like
+        Delta's reader options."""
+        v_opt = self.options.get("versionasof")
+        ts_opt = self.options.get("timestampasof")
+        if v_opt is not None and ts_opt is not None:
+            raise ValueError(
+                "txtable: pass versionAsOf OR timestampAsOf, not both"
+            )
+        log_dir = os.path.join(self._root(), _LOG_DIR)
+        if v_opt is not None:
+            v = int(v_opt)
+            vs = _versions(log_dir)
+            if v not in vs:
+                raise FileNotFoundError(
+                    f"version {v} of {self._root()} does not exist "
+                    + (f"(live: {vs[0]}..{vs[-1]})" if vs else "(empty log)")
+                )
+            return v
+        if ts_opt is not None:
+            return _version_at_ts(
+                log_dir, _parse_ts_us(ts_opt), self._root()
+            )
+        return None
+
     def schema(self) -> StructType:
         log_dir = os.path.join(self._root(), _LOG_DIR)
         vs = _versions(log_dir)
@@ -375,7 +471,9 @@ class TxTableDataSource(DataSource):
             raise FileNotFoundError(
                 f"no committed version under {self._root()}"
             )
-        m = _manifest(log_dir, vs[-1])
+        # a pinned read carries the PINNED version's schema — time
+        # travel across an add_column must not NULL-fill forward
+        m = _manifest(log_dir, self._pinned_version() or vs[-1])
         if not m.get("schema"):
             raise ValueError(
                 "txtable source needs a schema-bearing manifest"
@@ -388,7 +486,9 @@ class TxTableDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType) -> _TxBatchReader:
-        return _TxBatchReader(self._root(), schema)
+        return _TxBatchReader(
+            self._root(), schema, version=self._pinned_version()
+        )
 
     def streamReader(self, schema: StructType) -> _TxStreamReader:
         mv = self.options.get("maxversionspertrigger")
@@ -410,6 +510,7 @@ class TxTableDataSource(DataSource):
             starting_version=self.options.get("startingversion"),
             max_versions_per_trigger=int(mv) if mv else None,
             change_feed=cdf,
+            starting_timestamp=self.options.get("startingtimestamp"),
         )
 
     def writer(self, schema: StructType, overwrite: bool):

@@ -518,3 +518,82 @@ def test_stream_source_interleaved_with_mutations(reg, tmp_path):
     ever_committed |= set(range(200, 202))
     seen3 = drain()
     assert set(seen3) <= ever_committed, set(seen3) - ever_committed
+
+
+def test_batch_version_and_timestamp_as_of_options(reg, tmp_path):
+    """Batch reader time travel (r10): versionAsOf pins a committed
+    version (with ITS schema), timestampAsOf resolves the newest
+    commit <= the bound via the r10 manifest timestamps; both refuse
+    out-of-range bounds and cannot be combined."""
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 0, 5).coalesce(1))   # v1
+    t.append(_df(spark, 5, 8).coalesce(1))                          # v2
+    t.add_column("flag", "integer")                                 # v3
+    t.overwrite(_df(spark, 100, 102).coalesce(1))                   # v4
+
+    def rd(**opts):
+        r = spark.read.format("txtable").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert sorted(r.k for r in rd(versionAsOf=1).collect()) == [0, 1, 2, 3, 4]
+    assert rd(versionAsOf=2).count() == 8
+    # pinned schema: v2 predates add_column — no flag column
+    assert "flag" not in rd(versionAsOf=2).columns
+    assert "flag" in rd(versionAsOf=3).columns
+    ts = {e["version"]: e["timestamp"] for e in t.history()}
+    got = rd(timestampAsOf=ts[2].isoformat()).count()
+    assert got == 8
+    # epoch-seconds form; midpoint resolves DOWN
+    mid = (ts[1].timestamp() + ts[2].timestamp()) / 2
+    assert rd(timestampAsOf=str(mid)).count() == 5
+    with pytest.raises(Exception, match="predates"):
+        rd(timestampAsOf=str(ts[1].timestamp() - 10)).count()
+    with pytest.raises(Exception, match="not both"):
+        rd(versionAsOf=1, timestampAsOf=str(mid)).count()
+    with pytest.raises(Exception, match="does not exist"):
+        rd(versionAsOf=99).count()
+
+
+def test_stream_starting_timestamp(reg, tmp_path):
+    """startingTimestamp (r10, Delta parity): deliver every commit AT
+    OR AFTER the bound; a future bound backfills nothing and tails
+    later commits only."""
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 0, 10).coalesce(1))  # v1
+    t.append(_df(spark, 100, 103).coalesce(1))                      # v2
+    ts = {e["version"]: e["timestamp"] for e in t.history()}
+
+    def drain(out, chk, bound):
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", root)
+            .option("startingTimestamp", bound)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        p = str(tmp_path / out)
+        if not os.path.isdir(p):
+            return []
+        return sorted(r.k for r in spark.read.parquet(p).collect())
+
+    # bound at v2's timestamp: only v2's rows
+    assert drain("o1", "c1", ts[2].isoformat()) == [100, 101, 102]
+    # bound before v1: everything
+    assert len(drain("o2", "c2", str(ts[1].timestamp() - 10))) == 13
+    # future bound: nothing yet; a later append IS delivered
+    future = str(ts[2].timestamp() + 3600)
+    assert drain("o3", "c3", future) == []
+    t.append(_df(spark, 200, 201).coalesce(1))
+    # the checkpoint pinned the start offset at the then-head, so the
+    # re-drain tails exactly the commits that landed after stream
+    # start — the "start a consumer now, from now" production shape
+    assert drain("o3", "c3", future) == [200]
