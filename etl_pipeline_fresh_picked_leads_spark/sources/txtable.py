@@ -1869,6 +1869,7 @@ class TxTable:
         transform,
         validate: bool = False,
         post_of=None,
+        candidates_of=None,
     ) -> int:
         """File-granular copy-on-write scaffold shared by
         UPDATE/DELETE: find the files containing ``where`` matches,
@@ -1881,13 +1882,16 @@ class TxTable:
         Delta Lake commits an empty transaction here for the same
         reason).  Returns the number of matching rows.
 
-        Concurrency (r9 conflict matrix): a lost race against
-        PURE-APPEND commits auto-resolves — the appended files join
-        the survivor list, nothing recomputes (``_commit_vs_appends``).
-        Any other interleaving raises TxConflictError: the survivor
-        list derives FROM the snapshot, so a safe retry would have to
-        redo the affected-file scan against the new base — callers
-        re-invoke.
+        Concurrency (r9 conflict matrix, widened r10): a lost race
+        against PURE-APPEND commits auto-resolves — the appended files
+        join the survivor list, nothing recomputes
+        (``_commit_vs_appends``).  With ``candidates_of`` (a callable
+        base -> stats-pruned file list, the range forms) the mutation
+        also declares its READ SET, so racers that rewrote only files
+        outside it rebase too (``_rebaseable_between``).  Any other
+        interleaving raises TxConflictError: the survivor list derives
+        FROM the snapshot, so a safe retry would have to redo the
+        affected-file scan against the new base — callers re-invoke.
 
         Exact CDF (r10): when rows matched, the commit carries a
         ``_cdf`` sidecar naming the exact preimages (tag 'delete') and
@@ -1898,13 +1902,25 @@ class TxTable:
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         cm = self._colmap_or_none(base)
-        affected = self._affected_files(
-            self._scan_with_fp(
-                base.files, base.schema_json, cm, dvs=self._dvs_of(base)
-            ).filter(where)
+        search = (
+            list(base.files)
+            if candidates_of is None
+            else candidates_of(base)
+        )
+        read_files = set(search) if candidates_of is not None else None
+        affected = (
+            self._affected_files(
+                self._scan_with_fp(
+                    search, base.schema_json, cm, dvs=self._dvs_of(base)
+                ).filter(where)
+            )
+            if search
+            else []
         )
         if not affected:
-            self._commit_vs_appends(base, op, set(), [])
+            self._commit_vs_appends(
+                base, op, set(), [], read_files=read_files
+            )
             return 0
         hit = self._read_files(
             affected, base.schema_json, cm, dvs=self._dvs_of(base)
@@ -1925,7 +1941,9 @@ class TxTable:
                     )
                 )
             cdf = self._write_cdf(changes)
-        self._commit_vs_appends(base, op, set(affected), new, cdf=cdf)
+        self._commit_vs_appends(
+            base, op, set(affected), new, cdf=cdf, read_files=read_files
+        )
         return n
 
     def update(self, where: Column, set_map: dict[str, Column]) -> int:
@@ -1960,6 +1978,67 @@ class TxTable:
             where,
             "delete",
             lambda hit: hit.filter(~where.eqNullSafe(F.lit(True))),
+        )
+
+    @staticmethod
+    def _range_pred(col: str, lo, hi) -> Column:
+        if lo is None and hi is None:
+            raise ValueError("range mutation needs at least one bound")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = F.col(col) >= F.lit(lo)
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return pred
+
+    def delete_range(self, col: str, lo=None, hi=None) -> int:
+        """``delete`` specialized to a key range (``lo <= col <= hi``,
+        bounds optional) — the affected-file search opens ONLY files
+        whose manifest [min, max] for ``col`` can intersect the range
+        (``files_in_range``; ``replace_range``'s pruning, r10), so on
+        a date-clustered 100 TB table deleting a day costs one slice.
+        Because the read set is declared, two range deletes on
+        DISJOINT file sets compose without caller retry
+        (``_rebaseable_between``) — the concurrent-retention-job
+        shape; the generic ``delete`` scans every file and stays
+        conservative."""
+        return self._rewrite_affected(
+            self._range_pred(col, lo, hi),
+            "delete",
+            lambda hit: hit.filter(
+                ~self._range_pred(col, lo, hi).eqNullSafe(F.lit(True))
+            ),
+            candidates_of=lambda base: self.files_in_range(
+                col, lo, hi, snap=base
+            ),
+        )
+
+    def update_range(
+        self, col: str, lo, hi, set_map: dict[str, Column]
+    ) -> int:
+        """``update`` specialized to a key range — stats-pruned
+        affected-file search plus disjoint-writer admission, like
+        ``delete_range``.  CHECK constraints gate the rewritten
+        rows."""
+        where = self._range_pred(col, lo, hi)
+
+        def transform(hit: DataFrame) -> DataFrame:
+            for col_name, value in set_map.items():
+                hit = hit.withColumn(
+                    col_name,
+                    F.when(where, value).otherwise(F.col(col_name)),
+                )
+            return hit
+
+        return self._rewrite_affected(
+            where,
+            "update",
+            transform,
+            validate=True,
+            post_of=transform,
+            candidates_of=lambda base: self.files_in_range(
+                col, lo, hi, snap=base
+            ),
         )
 
     def _write_dv(self, dv_df: DataFrame) -> list[str]:

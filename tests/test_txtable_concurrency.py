@@ -388,3 +388,42 @@ def test_update_whole_table_read_still_refuses_rewrites(spark, tmp_path):
     assert TxTable(spark, root).update(
         F.col("k") == 5, {"name": F.lit("M")}
     ) == 1
+
+def test_delete_range_vs_disjoint_delete_range_both_land(spark, tmp_path):
+    """Range deletes of disjoint slices (different files) compose —
+    the concurrent-retention-job shape (r10 delete_range: stats-pruned
+    read set => disjoint-writer admission)."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        assert t.delete_range("k", 100, 104) == 5
+
+    rt = _raced(spark, root, racer)
+    assert rt.delete_range("k", 0, 4) == 5
+    got = sorted(r.k for r in TxTable(spark, root).read().collect())
+    assert got == [5, 6, 7, 8, 9, 105, 106, 107, 108, 109], got
+
+
+def test_update_range_matches_update_and_prunes(spark, tmp_path):
+    """update_range equals the generic update on the same predicate
+    and exposes the same exact CDF."""
+    root = str(tmp_path / "t")
+    t = _two_file_table(spark, root)
+    n = t.update_range("k", 100, 102, {"price": F.lit(1.5)})
+    assert n == 3
+    got = {r.k: r.price for r in t.read().collect()}
+    assert all(got[k] == 1.5 for k in (100, 101, 102))
+    assert got[0] == 0.0 and len(got) == 20
+    ch = sorted(
+        (r._change_type, r.k)
+        for r in t.read_changes(t.snapshot().version - 1).collect()
+    )
+    assert ch == [
+        ("delete", 100), ("delete", 101), ("delete", 102),
+        ("insert", 100), ("insert", 101), ("insert", 102),
+    ], ch
+    # zero-match range still commits an empty-change version
+    v = t.snapshot().version
+    assert t.delete_range("k", 500, 600) == 0
+    assert t.snapshot().version == v + 1
