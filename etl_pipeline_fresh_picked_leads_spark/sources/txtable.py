@@ -1940,7 +1940,7 @@ class TxTable:
                         "_change_type", F.lit("insert")
                     )
                 )
-            cdf = self._write_cdf(changes)
+            cdf = self._write_cdf(changes, parts=len(affected))
         self._commit_vs_appends(
             base, op, set(affected), new, cdf=cdf, read_files=read_files
         )
@@ -2055,16 +2055,25 @@ class TxTable:
             if n.endswith(".parquet")
         )
 
-    def _write_cdf(self, changes: DataFrame) -> list[str]:
+    def _write_cdf(self, changes: DataFrame, parts: int = 1) -> list[str]:
         """Materialize an exact per-commit changeset (``_change_type``
         'insert'|'delete' + the table's logical columns at commit time)
         as an immutable sidecar directory; returns its parquet paths.
         Cost ∝ changed rows, never the table — the whole point: a CoW
         merge's file diff re-emits every carried-along row of a
         rewritten file, the sidecar names only what actually changed
-        (Delta CDF's _change_data directory, same idea)."""
+        (Delta CDF's _change_data directory, same idea).
+
+        ``parts`` right-sizes the sidecar: callers pass the AFFECTED
+        file count, so a 1-file trickle merge writes one sidecar file
+        and a 1000-file backfill writes ~1000 in parallel (Delta's
+        per-rewritten-file _change_data layout).  The plan's natural
+        partitioning (shuffle width of the clause join) wrote 64 tiny
+        files per commit — measured ~0.5 s of pure task/commit
+        overhead per mutation at local scale, and 64 footer opens per
+        feed step forever after."""
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
-        changes.write.mode("error").parquet(out)
+        changes.coalesce(max(1, parts)).write.mode("error").parquet(out)
         return sorted(
             os.path.join(out, n)
             for n in os.listdir(out)
@@ -2226,7 +2235,8 @@ class TxTable:
                     batch.select(*kept.columns).withColumn(
                         "_change_type", F.lit("insert")
                     )
-                )
+                ),
+                parts=len(affected),
             )
         else:
             new_data = batch
@@ -2614,7 +2624,8 @@ class TxTable:
                             "_change_type", F.lit("delete")
                         ).unionByName(
                             post.withColumn("_change_type", F.lit("insert"))
-                        )
+                        ),
+                        parts=len(affected),
                     )
                 version = self._commit_vs_appends(
                     base,
@@ -2751,7 +2762,8 @@ class TxTable:
                 .withColumn("_change_type", F.lit("delete"))
                 .unionByName(
                     df.withColumn("_change_type", F.lit("insert"))
-                )
+                ),
+                parts=len(affected),
             )
         else:
             n_del = 0
