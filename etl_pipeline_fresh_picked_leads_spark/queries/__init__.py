@@ -109,10 +109,10 @@ _DRIVER_WINDOW = [
     # round-10 new queries
     "q_txtable_timetravel_ts", "q_txtable_cdf_cow",
     "q_stream_txtable_sink_colmap", "q_sim_ann_ivf_append",
+    "q_txtable_generated",
     # r6 tail picks: most churned by the r9/r10 txtable work
     "q_txtable_delete", "q_matview_minmax",
     "q_stream_dedup_incremental", "q_dedup_incremental",
-    "q_dedup_simhash",
 ]
 
 

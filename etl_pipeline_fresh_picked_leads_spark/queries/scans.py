@@ -346,6 +346,60 @@ def q_txtable_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_txtable_generated",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderdate,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year
+    FROM orders
+    """,
+)
+def q_txtable_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (r10, Delta generation expressions): the
+    table declares ``o_year = year(o_orderdate)`` at create; the even
+    order stripe lands WITHOUT the column (the engine computes it),
+    the odd stripe lands WITH consistent values (validated
+    row-for-row), and an append carrying a wrong value must raise and
+    commit nothing (asserted in-query, version pinned).  Final state
+    hashes against DuckDB recomputing the expression over full orders.
+    At 100 TB generation expressions are what make derived partition/
+    cluster keys trustworthy: the engine, not pipeline discipline,
+    guarantees column = f(inputs) on every write path (append/upsert/
+    merge/replace; UPDATE of the column itself refuses)."""
+    import shutil
+
+    from ..sources.txtable import TxGeneratedColumnViolation, TxTable
+
+    root = os.path.join(_SCRATCH, "generated_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    t = TxTable.create(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    t.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+    )
+    v = t.snapshot().version
+    try:
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .limit(1)
+            .withColumn("o_year", F.lit(1900))
+        )
+        raise AssertionError("inconsistent generated value must refuse")
+    except TxGeneratedColumnViolation:
+        pass
+    assert t.snapshot().version == v, "refused write committed nothing"
+    return t.read()
+
+
+@query(
     "q_txtable_zorder",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -71,6 +71,11 @@ class TxCloneFateError(RuntimeError):
     references (silent data loss in Delta; loud here)."""
 
 
+class TxGeneratedColumnViolation(RuntimeError):
+    """A write provided a generated column whose values do not match
+    the table's generation expression (Delta rejects these too)."""
+
+
 class TxConstraintViolation(RuntimeError):
     """A write contained rows for which a table CHECK constraint
     evaluated to FALSE (Delta semantics: NULL passes).  Nothing was
@@ -125,6 +130,12 @@ class TxSnapshot:
     # never rides to later commits.  None = read_changes falls back to
     # the file-diff (exact for appends, over-approximate for pre-r10
     # CoW commits and restore)
+    generated: dict | None = None  # generated columns (r10, Delta
+    # generation expressions): {col: sql_expr}, declared at CREATE.
+    # A write that omits the column gets it computed; a write that
+    # provides it is validated value == expr (mismatch raises, commits
+    # nothing).  Rides every commit like constraints; restore adopts
+    # the target's map with the state.
     ts: int | None = None  # commit timestamp, epoch MICROSECONDS (r10).
     # Monotonic per table: _commit stamps max(parent_ts + 1, now) — the
     # Delta clock-skew adjustment — so ts order == version order and
@@ -178,8 +189,14 @@ class TxTable:
         root: str,
         df: DataFrame,
         stats_cols: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "TxTable":
+        """``generated`` (r10): {col: sql_expr} generation
+        expressions, declared at CREATE like Delta's — every later
+        write computes omitted generated columns and validates
+        provided ones."""
         t = cls(spark, root, stats_cols=stats_cols)
+        t._create_generated = dict(generated) if generated else None
         t.overwrite(df)
         return t
 
@@ -229,6 +246,7 @@ class TxTable:
             tuple(m["stats_cols"]) if m.get("stats_cols") else None,
             m.get("dvs"),
             cdf=tuple(m["cdf"]) if m.get("cdf") else None,
+            generated=m.get("generated"),
             ts=m.get("ts"),
         )
 
@@ -640,6 +658,96 @@ class TxTable:
                 )
             )
 
+    def _refuse_generated_targets(
+        self, set_map: dict, op: str, base: "TxSnapshot | None" = None
+    ) -> None:
+        """UPDATE may not SET a generated column directly (Delta
+        refuses too — its value is the expression's business); updates
+        of the expression's INPUTS are validated post-rewrite."""
+        if base is None:
+            base = self.snapshot()
+        hit = sorted(set(set_map) & set((base.generated or {}) if base else {}))
+        if hit:
+            raise ValueError(
+                f"{op} cannot set generated column(s) {hit}; their "
+                "values are derived from the generation expression"
+            )
+
+    def _guard_generated_schema(self, fields, gen, op: str) -> None:
+        """Block a schema change that would leave a generation
+        expression unresolvable — probe-analyze each expr against the
+        POST-change schema (the constraint-guard pattern)."""
+        if not gen:
+            return
+        from pyspark.sql.types import StructType
+
+        probe = self.spark.createDataFrame([], StructType(list(fields)))
+        for name, e in gen.items():
+            try:
+                probe.select(F.expr(e)).schema
+            except Exception:
+                raise ValueError(
+                    f"{op} would break generated column {name!r} "
+                    f"({e}); drop the generated column first"
+                ) from None
+
+    @staticmethod
+    def _gen_of(base: "TxSnapshot | None") -> dict | None:
+        return dict(base.generated) if base and base.generated else None
+
+    def _apply_generated(self, df: DataFrame, gen: dict | None, op: str):
+        """Generated-column write contract (r10, Delta generation
+        expressions): compute each generated column the write OMITTED,
+        then validate every one it PROVIDED — value must equal the
+        expression row-for-row (NULL-safe), else the write raises and
+        commits nothing.  One added projection + one aggregate pass,
+        cost ∝ the commit."""
+        if not gen:
+            return df
+        try:
+            for c, e in gen.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(e))
+        except Exception as exc:
+            raise ValueError(
+                f"{op} schema cannot compute generated column(s) "
+                f"{sorted(gen)}: {exc.__class__.__name__}"
+            ) from None
+        self._validate_generated(df, gen, op)
+        return df
+
+    @staticmethod
+    def _validate_generated(df: DataFrame, gen: dict | None, op: str):
+        gen = {c: e for c, e in (gen or {}).items() if c in df.columns}
+        if not gen:
+            return
+        try:
+            counts = df.agg(
+                *[
+                    F.count(
+                        F.when(
+                            ~F.col(c).eqNullSafe(F.expr(e)), F.lit(1)
+                        )
+                    ).alias(c)
+                    for c, e in gen.items()
+                ]
+            ).first()
+        except Exception as exc:
+            raise ValueError(
+                f"{op} schema cannot resolve generated column "
+                f"expression(s) {sorted(gen)}: {exc.__class__.__name__}"
+            ) from None
+        bad = {c: counts[c] for c in gen if counts[c]}
+        if bad:
+            raise TxGeneratedColumnViolation(
+                f"{op} provides generated column(s) whose values "
+                "disagree with their generation expression: "
+                + ", ".join(
+                    f"{c!r} ({gen[c]}): {n} row(s)"
+                    for c, n in bad.items()
+                )
+            )
+
     def _guard_constraint_schema(self, fields, cons, op: str) -> None:
         """Block a schema change that would leave a live CHECK
         constraint unresolvable (Delta refuses rename/drop of
@@ -783,6 +891,7 @@ class TxTable:
         constraints: dict | None = None,
         dvs: dict | None = None,
         cdf: list[str] | None = None,
+        generated: dict | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
         if dropped is None:  # dropped-name history rides every commit
@@ -798,6 +907,8 @@ class TxTable:
             dvs = {f: v for f, v in dvs.items() if f in live} or None
         if constraints is None and base is not None:
             constraints = base.constraints  # constraints ride every commit
+        if generated is None and base is not None:
+            generated = base.generated  # generation exprs ride every commit
         if colmap is None and base is not None:
             # column-mapping state rides every commit once materialized
             colmap = self._colmap_or_none(base)
@@ -833,6 +944,8 @@ class TxTable:
             manifest["stats_cols"] = prop
         if constraints is not None:
             manifest["constraints"] = constraints
+        if generated is not None:
+            manifest["generated"] = generated
         if dvs:
             manifest["dvs"] = dvs
         if cdf:
@@ -884,6 +997,12 @@ class TxTable:
         base = self.snapshot()
         if txn is not None and txn in self._committed_txns():
             return base.version  # replayed refresh: already applied
+        gen = (
+            self._gen_of(base)
+            if base is not None
+            else getattr(self, "_create_generated", None)
+        )
+        df = self._apply_generated(df, gen, "overwrite")
         self._validate_constraints(df, base, "overwrite")
         cm, retired, max_id = self._overwrite_colmap(base, df.columns)
         new = self._write_data(df, cm)
@@ -899,6 +1018,7 @@ class TxTable:
                     colmap=cm,
                     retired=retired,
                     max_id=max_id,
+                    generated=gen if base is None else None,
                 )
             except TxConflictError:
                 if attempt == max_retries:
@@ -966,6 +1086,7 @@ class TxTable:
         attempt in case the conflicting commit was our own replayed
         tag)."""
         base = self.snapshot()
+        df = self._apply_generated(df, self._gen_of(base), "append")
         self._check_columns(df, base, "append")
         if txn is not None and txn in self._committed_txns():
             return base.version if base else 0
@@ -1102,6 +1223,9 @@ class TxTable:
         self._guard_constraint_schema(
             remaining.fields, base.constraints, "drop_column"
         )
+        gen = dict(base.generated or {})
+        gen.pop(name, None)  # dropping the generated col drops its expr
+        self._guard_generated_schema(remaining.fields, gen, "drop_column")
         if self.stats_cols and name in self.stats_cols:
             # this writer must stop collecting bounds for the dropped
             # column or its next write crashes on the missing field
@@ -1137,6 +1261,7 @@ class TxTable:
             schema_json=json.dumps(remaining.jsonValue()),
             stats=stats,
             dropped=[*base.dropped, name],
+            generated=gen if base.generated is not None else None,
             **kwargs,
         )
 
@@ -1175,6 +1300,13 @@ class TxTable:
         )
         self._guard_constraint_schema(
             renamed.fields, base.constraints, "rename_column"
+        )
+        if old in (base.generated or {}):
+            raise ValueError(
+                f"cannot rename generated column {old!r}; drop it first"
+            )
+        self._guard_generated_schema(
+            renamed.fields, base.generated, "rename_column"
         )
         if self.stats_cols and old in self.stats_cols:
             self.stats_cols = [
@@ -1326,6 +1458,7 @@ class TxTable:
             # when the target predates constraints, else _commit would
             # re-inherit the head's.
             constraints=dict(target.constraints or {}),
+            generated=dict(target.generated or {}),
             # deletion vectors are STATE, not policy: the target's
             # vectors restore with its file list ({} when it had none
             # — _commit would otherwise re-inherit the head's)
@@ -1929,6 +2062,12 @@ class TxTable:
         rewritten = transform(hit)
         if validate:  # UPDATE can move rows INTO violation; DELETE can't
             self._validate_constraints(rewritten, base, op)
+            # an update of a generation INPUT must keep the generated
+            # column consistent (stricter than Delta's recompute:
+            # callers update both; documented)
+            self._validate_generated(
+                rewritten, self._gen_of(base), op
+            )
         new = self._write_data(rewritten, cm)
         cdf = None
         if n > 0:
@@ -1953,6 +2092,8 @@ class TxTable:
         zero-match update still commits an empty-change version
         (Delta parity — see ``_rewrite_affected``).  Returns the
         number of rows updated."""
+
+        self._refuse_generated_targets(set_map, "update")
 
         def transform(hit: DataFrame) -> DataFrame:
             for col_name, value in set_map.items():
@@ -2021,6 +2162,7 @@ class TxTable:
         ``delete_range``.  CHECK constraints gate the rewritten
         rows."""
         where = self._range_pred(col, lo, hi)
+        self._refuse_generated_targets(set_map, "update_range")
 
         def transform(hit: DataFrame) -> DataFrame:
             for col_name, value in set_map.items():
@@ -2163,6 +2305,7 @@ class TxTable:
         violation); a zero-match call commits an empty-change version
         BEFORE validation, like ``update``.  Returns rows updated."""
         base = self._head()
+        self._refuse_generated_targets(set_map, "update_dv", base=base)
         cols = [f["name"] for f in json.loads(base.schema_json)["fields"]]
         bad = sorted(set(set_map) - set(cols))
         if bad:
@@ -2178,6 +2321,9 @@ class TxTable:
                 updated = updated.withColumn(col_name, value)
             updated = self._conform_types(updated.select(*cols), base)
             self._validate_constraints(updated, base, "update_dv")
+            self._validate_generated(
+                updated, self._gen_of(base), "update_dv"
+            )
             new = self._write_data(updated, self._colmap_or_none(base))
             self._dv_commit(base, "update_dv", matched, new)
             return n
@@ -2192,6 +2338,9 @@ class TxTable:
         per commit' holds.  Returns the committed version."""
         batch = batch.dropDuplicates([key])
         base = self.snapshot()
+        batch = self._apply_generated(
+            batch, self._gen_of(base), "upsert"
+        )
         self._check_columns(batch, base, "upsert")
         # kept rows already passed at their own commit; gate the batch
         self._validate_constraints(batch, base, "upsert")
@@ -2585,6 +2734,9 @@ class TxTable:
             if changed or n_ins > 0:
                 result = self._conform_types(result, base)
                 self._validate_constraints(result, base, "merge")
+                self._validate_generated(
+                    result, self._gen_of(base), "merge"
+                )
                 new = self._write_data(result, cm)
             else:
                 new = []  # empty-change version, Delta parity
@@ -2721,6 +2873,9 @@ class TxTable:
             raise FileNotFoundError(f"no committed version under {self.root}")
         if txn is not None and txn in self._committed_txns():
             return {"deleted": 0, "inserted": 0, "version": base.version}
+        df = self._apply_generated(
+            df, self._gen_of(base), "replace_where"
+        )
         self._check_columns(df, base, "replace_where")
         df = self._conform_types(df, base)
         n_ins, n_outside = df.agg(

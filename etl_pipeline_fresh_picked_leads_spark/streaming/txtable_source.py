@@ -625,6 +625,12 @@ def _sink_guards(
             "this sink cannot validate — use foreachBatch + "
             "TxTable.append (streaming/sinks.py) for gated tables"
         )
+    if m.get("generated"):
+        raise ValueError(
+            f"txtable {op}: target declares generated columns, which "
+            "this sink cannot compute/validate — use foreachBatch + "
+            "TxTable.append"
+        )
     if m.get("colmap") is not None and not check_schema:
         # overwrite replaces the schema: the retired-name fence and
         # field-id bookkeeping need the engine — refuse.  Appends into

@@ -1891,3 +1891,111 @@ def test_vacuum_retain_hours_time_window(spark, tmp_path):
     # even with a zero-width time window
     removed2 = t.vacuum(retain=2, retain_hours=0.0, min_age_seconds=0.0)
     assert t._versions() == [3, 4] and removed2 == []
+
+# --------------------------------------------- generated columns (r10)
+
+
+def test_generated_columns_compute_validate_and_guard(spark, tmp_path):
+    """Delta generation expressions: writes that omit the column get
+    it computed, provided values are validated row-for-row, direct
+    UPDATEs of a generated column refuse, schema changes that would
+    break the expression refuse, restore adopts the target's map."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxGeneratedColumnViolation,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "xyz")], "k int, name string"
+    )
+    t = TxTable.create(
+        spark, root, df.coalesce(1),
+        generated={"name_len": "length(name)"},
+    )
+    got = {r.k: r.name_len for r in t.read().collect()}
+    assert got == {1: 2, 2: 3}, "create computed the omitted column"
+    # append omitting the column: computed
+    t.append(
+        spark.createDataFrame([(3, "hello")], "k int, name string")
+        .coalesce(1)
+    )
+    assert {r.name_len for r in t.read().filter(F.col("k") == 3).collect()} == {5}
+    # append PROVIDING consistent values: accepted
+    t.append(
+        spark.createDataFrame(
+            [(4, "xx", 2)], "k int, name string, name_len int"
+        ).coalesce(1)
+    )
+    # ...and inconsistent values: refused, nothing committed
+    v = t.snapshot().version
+    with pytest.raises(TxGeneratedColumnViolation, match="name_len"):
+        t.append(
+            spark.createDataFrame(
+                [(5, "xx", 99)], "k int, name string, name_len int"
+            ).coalesce(1)
+        )
+    assert t.snapshot().version == v
+    # upsert and merge validate too (merge via result frame)
+    with pytest.raises(TxGeneratedColumnViolation):
+        t.upsert(
+            spark.createDataFrame(
+                [(1, "abcd", 1)], "k int, name string, name_len int"
+            ).coalesce(1),
+            "k",
+        )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "abcd")], "k int, name string"
+        ).coalesce(1),
+        "k",
+    )
+    assert {r.name_len for r in t.read().filter(F.col("k") == 1).collect()} == {4}
+    # direct UPDATE of a generated column refuses; updating the INPUT
+    # without the generated column raises (consistency validation)
+    with pytest.raises(ValueError, match="generated column"):
+        t.update(F.col("k") == 1, {"name_len": F.lit(9)})
+    with pytest.raises(TxGeneratedColumnViolation):
+        t.update(F.col("k") == 1, {"name": F.lit("longer")})
+    # schema guards: renaming the input or the generated column refuses
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("name", "nm")
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("name_len", "nl")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("name")
+    # restore carries the generated map with the state
+    t.drop_column("name_len")  # dropping the generated col is fine
+    assert not (t.snapshot().generated or {})
+    t.append(
+        spark.createDataFrame([(9, "zz")], "k int, name string")
+        .coalesce(1)
+    )
+    t.restore(2)
+    assert "name_len" in (t.snapshot().generated or {})
+    with pytest.raises(TxGeneratedColumnViolation):
+        t.append(
+            spark.createDataFrame(
+                [(6, "xx", 42)], "k int, name string, name_len int"
+            ).coalesce(1)
+        )
+
+
+def test_generated_columns_sink_refuses(spark, tmp_path):
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "t")
+    TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a")], "k int, name string").coalesce(1),
+        generated={"name_len": "length(name)"},
+    )
+    with pytest.raises(Exception, match="generated columns"):
+        spark.createDataFrame(
+            [(2, "b", 1)], "k int, name string, name_len int"
+        ).write.format("txtable").mode("append").option(
+            "path", root
+        ).save()
