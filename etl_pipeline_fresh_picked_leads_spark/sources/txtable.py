@@ -1558,6 +1558,7 @@ class TxTable:
         since: int,
         until: int | None = None,
         skip_content_neutral: bool = True,
+        labels: str = "simple",
     ) -> DataFrame:
         """ROW-LEVEL change feed (r9, CDF-lite): every row change
         committed after ``since`` up to ``until``, tagged
@@ -1584,6 +1585,16 @@ class TxTable:
           by default (``skip_content_neutral``) — their diffs are
           byte movement, not change.
 
+        ``labels`` (r10): "simple" (default) emits the two-tag form
+        ('insert' | 'delete'; updates appear as a pair) — the form the
+        oracles and the streaming feed use; "delta" passes through the
+        sidecars' four-tag Delta CDF labels ('update_preimage' /
+        'update_postimage' pair updates to their row) and tags
+        update_dv steps the same way from the op.  merge(mode='dv'),
+        pre-r10 CoW commits and restore cannot pair (their artifacts
+        don't distinguish update-fired from delete-fired rows) and
+        keep delete/insert under either labeling.
+
         Cost ∝ the changed files and sidecars in the window, never
         the table; every version step reads under ITS schema and the
         union NULL-fills across schema evolution."""
@@ -1598,6 +1609,10 @@ class TxTable:
         if since not in all_versions and since != 0:
             raise FileNotFoundError(
                 f"version {since} of {self.root} is not in the log"
+            )
+        if labels not in ("simple", "delta"):
+            raise ValueError(
+                f"labels must be 'simple' or 'delta', got {labels!r}"
             )
         if since == 0 and all_versions and all_versions[0] > 1:
             # the change feed's first step needs snapshot(since) as the
@@ -1632,9 +1647,21 @@ class TxTable:
                 # skip the (over-approximate) file diff entirely
                 ch = self.spark.read.parquet(*cur.cdf)
                 data_cols = [c for c in ch.columns if c != "_change_type"]
+                tag_col = F.col("_change_type")
+                if labels == "simple":
+                    tag_col = (
+                        F.when(
+                            tag_col == "update_preimage", F.lit("delete")
+                        )
+                        .when(
+                            tag_col == "update_postimage",
+                            F.lit("insert"),
+                        )
+                        .otherwise(tag_col)
+                    )
                 parts.append(
                     ch.select(
-                        F.col("_change_type"),
+                        tag_col.alias("_change_type"),
                         F.lit(v).cast("long").alias("_commit_version"),
                         *data_cols,
                     )
@@ -1654,6 +1681,11 @@ class TxTable:
                 # 'insert' (ADVICE r9: the feed would resurrect rows
                 # absent from read()).  _live_dvs keeps every DV-less
                 # step on the identity fast path.
+                ins_tag = (
+                    "update_postimage"
+                    if labels == "delta" and cur.op == "update_dv"
+                    else "insert"
+                )
                 parts.append(
                     tag(
                         self._read_files(
@@ -1662,7 +1694,7 @@ class TxTable:
                             self._colmap_or_none(cur),
                             dvs=self._dvs_of(cur),
                         ),
-                        "insert",
+                        ins_tag,
                         v,
                     )
                 )
@@ -1684,7 +1716,12 @@ class TxTable:
             if prev is not None:
                 dv_rows = self._dv_new_rows(cur, prev)
                 if dv_rows is not None:
-                    parts.append(tag(dv_rows, "delete", v))
+                    pre_tag = (
+                        "update_preimage"
+                        if labels == "delta" and cur.op == "update_dv"
+                        else "delete"
+                    )
+                    parts.append(tag(dv_rows, pre_tag, v))
         if not parts:
             head = self.snapshot(until)
             schema = StructType.fromJson(
@@ -2072,11 +2109,12 @@ class TxTable:
         cdf = None
         if n > 0:
             matched = hit.filter(where)
-            changes = matched.withColumn("_change_type", F.lit("delete"))
+            pre_tag = "delete" if post_of is None else "update_preimage"
+            changes = matched.withColumn("_change_type", F.lit(pre_tag))
             if post_of is not None:
                 changes = changes.unionByName(
                     post_of(matched).withColumn(
-                        "_change_type", F.lit("insert")
+                        "_change_type", F.lit("update_postimage")
                     )
                 )
             cdf = self._write_cdf(changes, parts=len(affected))
@@ -2373,15 +2411,25 @@ class TxTable:
             kept = hit.join(keys, key, "left_anti")
             new_data = kept.unionByName(batch.select(*kept.columns))
             # exact CDF (r10): replaced rows are the semi-join of the
-            # affected files with the batch keys; every batch row is a
-            # postimage.  A no-collision upsert (affected == []) needs
-            # no sidecar — its added files are exactly the batch.
+            # affected files with the batch keys (update preimages);
+            # batch rows split into update postimages (key existed)
+            # and plain inserts.  A no-collision upsert
+            # (affected == []) needs no sidecar — its added files are
+            # exactly the batch.
             replaced = hit.join(keys, key, "left_semi")
+            rkeys = F.broadcast(replaced.select(key).distinct())
+            b = batch.select(*kept.columns)
             cdf = self._write_cdf(
                 replaced.withColumn(
-                    "_change_type", F.lit("delete")
-                ).unionByName(
-                    batch.select(*kept.columns).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                .unionByName(
+                    b.join(rkeys, key, "left_semi").withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                .unionByName(
+                    b.join(rkeys, key, "left_anti").withColumn(
                         "_change_type", F.lit("insert")
                     )
                 ),
@@ -2400,7 +2448,9 @@ class TxTable:
         )
 
     @staticmethod
-    def _conform_types(df: DataFrame, base: "TxSnapshot") -> DataFrame:
+    def _conform_types(
+        df: DataFrame, base: "TxSnapshot", passthrough: tuple = ()
+    ) -> DataFrame:
         """Cast ``df``'s columns to the manifest schema's types where
         they differ — a write whose column TYPE drifts from the
         manifest (a merge update expression CaseWhen-coerced to
@@ -2420,6 +2470,7 @@ class TxTable:
             else F.col(f.name)
             for f in want.fields
         ]
+        out += [F.col(c) for c in passthrough if c in df.columns]
         return df.select(*out)
 
     @staticmethod
@@ -2765,18 +2816,25 @@ class TxTable:
                     # sidecar: their added files are exactly the
                     # inserts.
                     pre = j.filter(do_update | do_delete).select(
-                        *[F.col(f"t.{c}").alias(c) for c in cols]
+                        *[F.col(f"t.{c}").alias(c) for c in cols],
+                        F.when(do_update, F.lit("update_preimage"))
+                        .otherwise(F.lit("delete"))
+                        .alias("_change_type"),
                     )
                     post = self._conform_types(
-                        j.filter(do_update | do_insert).select(*out_cols),
+                        j.filter(do_update | do_insert).select(
+                            *out_cols,
+                            F.when(
+                                do_update, F.lit("update_postimage")
+                            )
+                            .otherwise(F.lit("insert"))
+                            .alias("_change_type"),
+                        ),
                         base,
+                        passthrough=("_change_type",),
                     )
                     cdf = self._write_cdf(
-                        pre.withColumn(
-                            "_change_type", F.lit("delete")
-                        ).unionByName(
-                            post.withColumn("_change_type", F.lit("insert"))
-                        ),
+                        pre.unionByName(post),
                         parts=len(affected),
                     )
                 version = self._commit_vs_appends(

@@ -162,10 +162,23 @@ def _read_file_partition(part: _FilePartition, logical: StructType):
                 pa.field("_commit_version", pa.int64()),
             ]
         )
+        # the stream keeps the two-tag form: collapse the sidecars'
+        # Delta labels (update_preimage/postimage, r10) so the feed
+        # stays in parity with read_changes' default labeling
+        ct = raw.column("_change_type").cast(pa.string())
+        ct = pc.if_else(
+            pc.equal(ct, "update_preimage"),
+            pa.scalar("delete", pa.string()),
+            pc.if_else(
+                pc.equal(ct, "update_postimage"),
+                pa.scalar("insert", pa.string()),
+                ct,
+            ),
+        )
         tbl = pa.Table.from_arrays(
             arrays
             + [
-                raw.column("_change_type"),
+                ct,
                 pa.array([part.cdf_version] * n, pa.int64()),
             ],
             names=out_schema.names,

@@ -699,3 +699,53 @@ def test_zorder_clustering_survives_dv_and_purge(spark, tmp_path):
     got = sorted(r.a for r in t.read_range("a", 100, 300).collect())
     assert got == want
     _ = carried
+
+
+def test_read_changes_delta_labels(spark, tmp_path):
+    """labels='delta' (r10): updates pair as update_preimage/
+    update_postimage — from CoW merge/update/upsert sidecars AND from
+    update_dv's op; the default 'simple' labeling and the streaming
+    feed stay on the two-tag form."""
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _df(spark, 10).coalesce(1))      # v1
+    t.merge(                                                         # v2
+        spark.createDataFrame(
+            [(2, "u", 22.0), (3, "gone", 0.0), (100, "i", 1.0)],
+            "k bigint, name string, price double",
+        ),
+        on="k",
+        update={"price": "s.price"},
+        update_condition="s.name = 'u'",
+        delete_condition="s.name = 'gone'",
+    )
+    t.update(F.col("k") == 5, {"price": F.lit(5.5)})                 # v3
+    t.upsert(
+        spark.createDataFrame(
+            [(6, "up", 66.0), (200, "new", 2.0)],
+            "k bigint, name string, price double",
+        ),
+        key="k",
+    )                                                                # v4
+    t.update_dv(F.col("k") == 7, {"price": F.lit(7.7)})              # v5
+    rows = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in t.read_changes(1, labels="delta").collect()
+    )
+    assert rows == [
+        (2, "delete", 3),
+        (2, "insert", 100),
+        (2, "update_postimage", 2), (2, "update_preimage", 2),
+        (3, "update_postimage", 5), (3, "update_preimage", 5),
+        (4, "insert", 200),
+        (4, "update_postimage", 6), (4, "update_preimage", 6),
+        (5, "update_postimage", 7), (5, "update_preimage", 7),
+    ], rows
+    # default labeling collapses to the two-tag form
+    simple = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in t.read_changes(1).collect()
+    )
+    assert {c for _, c, _ in simple} == {"delete", "insert"}
+    assert len(simple) == len(rows)
+    with pytest.raises(ValueError, match="labels"):
+        t.read_changes(1, labels="bogus")
