@@ -3291,6 +3291,9 @@ class TxTable:
             constraints=(
                 dict(base.constraints) if base.constraints else None
             ),
+            generated=(
+                dict(base.generated) if base.generated else None
+            ),
             dvs=self._dvs_of(base) or {},
         )
         # register the clone with the SOURCE so vacuum can see it:

@@ -1999,3 +1999,34 @@ def test_generated_columns_sink_refuses(spark, tmp_path):
         ).write.format("txtable").mode("append").option(
             "path", root
         ).save()
+
+
+def test_clone_carries_generated_columns(spark, tmp_path):
+    """A shallow clone must enforce the source's generation
+    expressions from its first write (the r8 stats_cols clone-drop
+    bug class)."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.txtable import (
+        TxGeneratedColumnViolation,
+    )
+
+    src = str(tmp_path / "src")
+    t = TxTable.create(
+        spark,
+        src,
+        spark.createDataFrame([(1, "ab")], "k int, name string")
+        .coalesce(1),
+        generated={"name_len": "length(name)"},
+    )
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert (c.snapshot().generated or {}) == {"name_len": "length(name)"}
+    c.append(
+        spark.createDataFrame([(2, "xyz")], "k int, name string")
+        .coalesce(1)
+    )
+    assert {r.name_len for r in c.read().filter(F.col("k") == 2).collect()} == {3}
+    with pytest.raises(TxGeneratedColumnViolation):
+        c.append(
+            spark.createDataFrame(
+                [(3, "x", 7)], "k int, name string, name_len int"
+            ).coalesce(1)
+        )
