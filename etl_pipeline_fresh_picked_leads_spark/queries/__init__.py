@@ -88,31 +88,34 @@ from . import tpch  # noqa: E402,F401
 # canaries fills 41 slots.  The rest go to r10's new queries and
 # the most-churned r6-tail picks.  After a green r10 run no
 # registered query's newest driver row predates r6.
+# Round-11 rotation (VERDICT r10 #1): the ENTIRE 36-query cohort whose
+# newest driver-green row is r6 — the D-tier distinct/having/mode/
+# heavy-hitter aggregates, sink_overwrite/append (§2B-A!), the 12
+# remaining TPC-H composites, the r6 window tier, the r6 streaming
+# tier (foreachbatch/ingest/matview/pointintime), bloom/interval
+# joins, the IVF family, simhash/cross-source dedup, rolling WAU,
+# time densify, and graph triangles — plus 5 canaries fills 41 slots.
+# The remaining 9 go to r11's new queries.  After a green r11 run no
+# registered query's newest driver row predates r7.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # r5-last-verified cohort, complete (36)
-    "q_str_basic", "q_str_split", "q_str_regex", "q_date_fmt",
-    "q_date_arith", "q_date_parts", "q_date_trunc", "q_math",
-    "q_cond", "q_arr_basic", "q_arr_explode", "q_arr_transform",
-    "q_map_json", "q_map_ops",
-    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas",
-    "q_udtf_mapinpandas",
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-    "q_join_salted", "q_join_pointintime", "q_join_nullsafe",
-    "q_time_bars", "q_win_fill_forward", "q_sketch_rollup",
-    "q_mix_temperature", "q_stream_session_timeout",
-    "q_audio_features", "q_video_frames", "q_text_langid",
-    "q_text_chunk_overlap", "q_embed_pool", "q_unpivot",
-    "q_agg_skew_twophase",
-    # round-10 new queries
-    "q_txtable_timetravel_ts", "q_txtable_cdf_cow",
-    "q_stream_txtable_sink_colmap", "q_sim_ann_ivf_append",
-    "q_txtable_generated",
-    # r6 tail picks: most churned by the r9/r10 txtable work
-    "q_txtable_delete", "q_matview_minmax",
-    "q_stream_dedup_incremental", "q_dedup_incremental",
+    # r6-last-verified cohort, complete (36)
+    "q_agg_distinct", "q_agg_having", "q_agg_multi_distinct",
+    "q_agg_heavyhitters", "q_agg_mode",
+    "sink_overwrite", "sink_append",
+    "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_win_ntile", "q_win_range", "q_win_rolling_distinct",
+    "q_stream_foreachbatch", "q_stream_ingest", "q_stream_matview",
+    "q_stream_pointintime",
+    "q_join_bloom", "q_join_interval",
+    "q_sim_ann_ivf", "q_sim_join_ivf", "q_sim_topk_batch",
+    "q_dedup_simhash", "q_dedup_cross_source",
+    "q_sketch_rolling_wau", "q_time_densify", "q_graph_triangles",
+    # round-11 new queries land here as they are implemented
 ]
 
 
