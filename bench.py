@@ -106,6 +106,12 @@ HEADLINE = [
     # r10: exact CoW change feed — merge/update/replace_where each
     # writing its _cdf sidecar, then the full-window feed read
     "q_txtable_cdf_cow",
+    # r11: disjoint-writer range mutations — stats-pruned read sets,
+    # a staged commit race, rebase-without-recompute (the concurrent-
+    # backfill shape; the r11 streaming queries stay out of the
+    # headline like the rest of the J-tier — micro-batch startup
+    # would dominate the measurement)
+    "q_txtable_replace_range",
 ]
 
 # The BENCH_r01 query set — a FIXED cross-round subtotal (VERDICT r8
@@ -121,10 +127,10 @@ BASELINE15 = [
     "q_win_running",
 ]
 
-# Last round's headline set (BENCH_r09), for the other fixed
+# Last round's headline set (BENCH_r10), for the other fixed
 # comparison: common_prev_total isolates "did anything we both ran
 # get slower" from "we added 3 expensive new queries".
-PREV_HEADLINE = [q for q in HEADLINE if q != "q_txtable_cdf_cow"]
+PREV_HEADLINE = [q for q in HEADLINE if q != "q_txtable_replace_range"]
 
 # Fixed TxTable-tier subtotal (VERDICT r9 #7): the transactional tier
 # is the fastest-growing slice of the headline; like BASELINE15 this

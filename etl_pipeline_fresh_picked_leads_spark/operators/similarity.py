@@ -347,6 +347,103 @@ def _store_fit_n(spark, key: tuple, fit_n: int) -> None:
         pass  # losing the race means the twin's identical row landed
 
 
+def _nearest_cell_expr(centers: list, vec_col: str):
+    """Map-only nearest-centroid expression (single nested literals,
+    zero Py4J-per-coordinate cost — see ivf_assign's plan note)."""
+    cvs = F.lit([[float(x) for x in c] for c in centers])
+    cns = F.lit(
+        [float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers]
+    )
+    scores = F.transform(
+        cvs,
+        lambda cv, i: _dot(_as_double(F.col(vec_col)), cv)
+        / (
+            F.greatest(_norm(_as_double(F.col(vec_col))), F.lit(1e-12))
+            * F.element_at(cns, i + 1)
+        ),
+    )
+    return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+
+
+def _local_split_merge(
+    spark,
+    corpus: DataFrame,
+    centers: list,
+    hot: int,
+    vec_col: str,
+    seed: int,
+    cell_cap: int = 20_000,
+) -> "list | None":
+    """Split the HOT cell into two centers and merge the closest
+    OTHER pair — center count stays exactly nlist (the cache
+    contract).  One map-only assignment pass over the corpus finds
+    the cell members and per-cell weights; the Lloyd iterations run
+    driver-side numpy on ONLY the hot cell's (capped) vectors — the
+    textbook IVF maintenance move (split-merge), at cell cost instead
+    of a full k-means over the corpus.  None = not splittable
+    (degenerate cell); caller falls back to recommending a full
+    refit."""
+    import numpy as np
+
+    cell = _nearest_cell_expr(centers, vec_col)
+    assigned = corpus.select(
+        cell.alias("cell"), _as_double(F.col(vec_col)).alias("v")
+    )
+    counts = {
+        r.cell: r["count"]
+        for r in assigned.groupBy("cell").count().collect()
+    }
+    pts = np.asarray(
+        [
+            r.v
+            for r in assigned.filter(F.col("cell") == hot)
+            .limit(cell_cap)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    if len(pts) < 2:
+        return None
+    # unit-normalize (spherical k-means geometry, like the main fit)
+    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    # seeded 2-means on the cell
+    c = pts[rng.choice(len(pts), 2, replace=False)]
+    for _ in range(20):
+        d = pts @ c.T  # cosine similarity on unit vectors
+        lab = d.argmax(axis=1)
+        if len(set(lab.tolist())) < 2:
+            lab[d[:, 0].argsort()[: len(pts) // 2]] = 0
+            lab[d[:, 0].argsort()[len(pts) // 2:]] = 1
+        new = np.stack([pts[lab == j].mean(axis=0) for j in (0, 1)])
+        if np.allclose(new, c):
+            break
+        c = new
+    # closest pair among the OTHER centers merges (weighted mean) —
+    # the least-resolution-loss victim
+    others = [i for i in range(len(centers)) if i != hot]
+    if len(others) < 2:
+        return None
+    arr = np.asarray([centers[i] for i in others], dtype=np.float64)
+    u = arr / np.maximum(np.linalg.norm(arr, axis=1, keepdims=True), 1e-12)
+    sim = u @ u.T
+    np.fill_diagonal(sim, -np.inf)
+    a, b = np.unravel_index(np.argmax(sim), sim.shape)
+    va, vb = others[a], others[b]
+    wa = counts.get(va, 1) or 1
+    wb = counts.get(vb, 1) or 1
+    merged = (
+        np.asarray(centers[va]) * wa + np.asarray(centers[vb]) * wb
+    ) / (wa + wb)
+    out = [
+        list(map(float, centers[i]))
+        for i in range(len(centers))
+        if i not in (hot, va, vb)
+    ]
+    out += [list(map(float, merged)), list(map(float, c[0])), list(map(float, c[1]))]
+    return sorted(out)  # value-sorted, the fit's determinism convention
+
+
 def ivf_append(
     spark,
     batch: DataFrame,
@@ -358,6 +455,7 @@ def ivf_append(
     drift_frac: float = 0.2,
     hot_cell_factor: float = 8.0,
     refit_with: "DataFrame | None" = None,
+    local_refit: bool = False,
 ) -> dict:
     """INDEX MAINTENANCE for a growing corpus (r10, VERDICT r9 #6):
     register the existing centroids under the APPENDED corpus's
@@ -382,8 +480,21 @@ def ivf_append(
     maintenance job, and the next ivf query on the grown corpus
     refits implicitly via its cache miss.
 
+    ``local_refit`` (r11, VERDICT r10 #6): a HOT-ONLY trigger (new
+    data mode pouring into one cell, volume drift still under
+    ``drift_frac``) is repaired by SPLIT-MERGE instead of a full
+    k-means — the hot cell splits in two (seeded Lloyd on only that
+    cell's capped vectors) and the closest other pair merges
+    count-weighted, keeping exactly nlist centers (the cache
+    contract).  Cost: one map-only assignment pass over
+    ``refit_with`` plus a driver-side 2-means on the cell — no
+    corpus-scale k-means iterations.  The volume-drift clock (fit_n)
+    keeps running, so accumulated growth still forces a real refit
+    later.  Degenerate cells (nothing to split) fall back to
+    ``refit_recommended``.
+
     Returns {"fp", "batch_rows", "appended_since_fit", "refit",
-    "refit_recommended", "hot_cell_frac"}."""
+    "refit_local", "refit_recommended", "hot_cell_frac"}."""
     key_old = (base_fp[0], base_fp[1], nlist, seed, sample_cap)
     centers = _load_cached_centers(spark, key_old)
     if centers is None:
@@ -398,35 +509,48 @@ def ivf_append(
     appended = new_fp[0] - fit_n
     # per-cell drift: assign the BATCH (map-only, batch-sized) and
     # look for a hot cell
-    hot_frac = 0.0
+    hot_frac, hot_cell = 0.0, None
     if nb > 0:
-        cvs = F.lit([[float(x) for x in c] for c in centers])
-        cns = F.lit(
-            [float(sum(x * x for x in c) ** 0.5) or 1.0 for c in centers]
-        )
-        scores = F.transform(
-            cvs,
-            lambda cv, i: _dot(_as_double(F.col(vec_col)), cv)
-            / (
-                F.greatest(_norm(_as_double(F.col(vec_col))), F.lit(1e-12))
-                * F.element_at(cns, i + 1)
-            ),
-        )
-        cell = (
-            F.array_position(scores, F.array_max(scores)).cast("int") - 1
-        )
-        counts = (
+        cell = _nearest_cell_expr(centers, vec_col)
+        top = (
             batch.select(cell.alias("cell"))
             .groupBy("cell")
             .count()
-            .agg(F.max("count"))
-            .first()[0]
+            .orderBy(F.desc("count"), "cell")
+            .first()
         )
-        hot_frac = float(counts or 0) / nb
+        if top is not None:
+            hot_cell = int(top.cell)
+            hot_frac = float(top["count"]) / nb
     hot = nb > 0 and hot_frac > min(1.0, hot_cell_factor / len(centers))
     drifted = appended > drift_frac * fit_n
     recommend = drifted or hot
     if recommend:
+        if (
+            hot
+            and not drifted
+            and local_refit
+            and refit_with is not None
+            and nlist >= 3
+        ):
+            # split-merge repair at cell cost (see docstring)
+            new_centers = _local_split_merge(
+                spark, refit_with, centers, hot_cell, vec_col, seed
+            )
+            if new_centers is not None and len(new_centers) == nlist:
+                _store_cached_centers(spark, key_new, new_centers)
+                # the volume clock keeps running: only a REAL fit
+                # resets fit_n
+                _store_fit_n(spark, key_new, fit_n)
+                return {
+                    "fp": new_fp,
+                    "batch_rows": nb,
+                    "appended_since_fit": appended,
+                    "refit": False,
+                    "refit_local": True,
+                    "refit_recommended": False,
+                    "hot_cell_frac": hot_frac,
+                }
         if refit_with is not None:
             # full refit on the grown corpus: ivf_assign misses the
             # cache under key_new and fits fresh, resetting fit_n
@@ -442,6 +566,7 @@ def ivf_append(
                 "batch_rows": nb,
                 "appended_since_fit": 0,
                 "refit": True,
+                "refit_local": False,
                 "refit_recommended": False,
                 "hot_cell_frac": hot_frac,
             }
@@ -453,6 +578,7 @@ def ivf_append(
             "batch_rows": nb,
             "appended_since_fit": appended,
             "refit": False,
+            "refit_local": False,
             "refit_recommended": True,
             "hot_cell_frac": hot_frac,
         }
@@ -463,6 +589,7 @@ def ivf_append(
         "batch_rows": nb,
         "appended_since_fit": appended,
         "refit": False,
+        "refit_local": False,
         "refit_recommended": False,
         "hot_cell_frac": hot_frac,
     }

@@ -115,7 +115,10 @@ _DRIVER_WINDOW = [
     "q_sim_ann_ivf", "q_sim_join_ivf", "q_sim_topk_batch",
     "q_dedup_simhash", "q_dedup_cross_source",
     "q_sketch_rolling_wau", "q_time_densify", "q_graph_triangles",
-    # round-11 new queries land here as they are implemented
+    # round-11 new queries
+    "q_txtable_replace_range", "q_stream_txtable_cdf_delta",
+    "q_stream_txtable_sink_generated", "q_txtable_log_checkpoint",
+    "q_txtable_source_pruned",
 ]
 
 

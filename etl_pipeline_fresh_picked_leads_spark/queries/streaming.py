@@ -1078,3 +1078,188 @@ def q_stream_txtable_sink_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sink must write PHYSICAL names"
     )
     return t.read()
+
+
+@query(
+    "q_stream_txtable_cdf_delta",
+    oracle="""
+    SELECT 'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT 'update_postimage', CAST(2 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice + 7.0
+    FROM orders WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 12 = 4
+    UNION ALL
+    SELECT 'update_preimage', CAST(4 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 12 = 8
+    UNION ALL
+    SELECT 'update_postimage', CAST(4 AS BIGINT),
+           o_orderkey, o_orderstatus, o_totalprice + 100.0
+    FROM orders WHERE o_orderkey % 12 = 8
+    """,
+)
+def q_stream_txtable_cdf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING four-label change feed (r11, VERDICT r10 #4):
+    ``readStream.format("txtable").option("readChangeFeed", "true")
+    .option("labels", "delta")`` emits Delta's native CDF tags —
+    update_preimage/update_postimage PAIR each update to its row —
+    so a streaming CDC consumer can tell an update from a
+    delete+insert, in exact parity with the batch
+    ``read_changes(labels="delta")`` (commit 0f496d6).  Coverage of
+    both update paths: v2 is a copy-on-write UPDATE (+7 on the k%6=0
+    slice — the pairing rides the _cdf sidecar's write-time tags),
+    v3 a CoW DELETE (stays 'delete' under either labeling), v4 a
+    merge-on-read ``update_dv`` (+100 on k%12=8 — no sidecar; the
+    source tags the file-diff steps from the op, new files =
+    postimages, fresh DV rows = preimages).  Slices are modular and
+    mutually disjoint (k%6=0 vs k%12∈{4,8}), so every pre-image
+    price is the original — the oracle ENUMERATES all five change
+    sets exactly.  The default labeling ("simple") is untouched:
+    q_stream_txtable_source and the batch oracles stay keyed on
+    delete/insert."""
+    from ..sources.txtable import TxTable
+    from ..streaming.txtable_source import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "txcdf_delta_q"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "t")
+    out, chk = os.path.join(base, "out"), os.path.join(base, "chk")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2)
+    )
+    n2 = t.update(                                               # v2 CoW
+        F.col("o_orderkey") % 6 == 0,
+        {"o_totalprice": F.col("o_totalprice") + 7.0},
+    )
+    n3 = t.delete(F.col("o_orderkey") % 12 == 4)                 # v3 CoW
+    n4 = t.update_dv(                                            # v4 MoR
+        F.col("o_orderkey") % 12 == 8,
+        {"o_totalprice": F.col("o_totalprice") + 100.0},
+    )
+    assert n2 > 0 and n3 > 0 and n4 > 0, (n2, n3, n4)
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("labels", "delta")
+        .option("startingVersion", "1")  # changes only, skip snapshot
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("delta-label CDF stream did not finish")
+    feed = spark.read.parquet(out)
+    # pairing proof: updates arrive as preimage/postimage, and the
+    # batch feed under the same labeling is row-identical
+    tags = {r[0] for r in feed.select("_change_type").distinct().collect()}
+    assert tags == {"update_preimage", "update_postimage", "delete"}, tags
+    batch = t.read_changes(1, labels="delta")
+    assert feed.count() == batch.count(), "stream/batch feed parity"
+    return feed
+
+
+@query(
+    "q_stream_txtable_sink_generated",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year
+    FROM orders
+    """,
+)
+def q_stream_txtable_sink_generated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming into a GENERATED + CONSTRAINED TxTable (r11, VERDICT
+    r10 #7): the native format("txtable") sink refuses these tables
+    (manifest-only driver commit, no engine to compute/validate), and
+    ``txtable_sink_prepared`` (streaming/sinks.py) is the sanctioned
+    foreachBatch recipe — each micro-batch passes through
+    TxTable.append, which COMPUTES the omitted generated column
+    (o_year = year(o_orderdate), declared at CREATE), validates the
+    CHECK constraint, and commits atomically under a content-
+    fingerprint txn tag.  In-query asserts pin the contract: (a) a
+    checkpoint-LOSS replay of the same landing data no-ops (version
+    unchanged — the fingerprint tag, not the batch id, is the
+    idempotency unit); (b) a constraint-violating batch fails the
+    stream LOUDLY and commits nothing; (c) the generated column the
+    consumers read was engine-computed, never shipped.  The oracle
+    recomputes the final table (all orders + the generation
+    expression) declaratively."""
+    from ..sources.txtable import TxTable
+    from ..streaming.sinks import txtable_sink_prepared
+
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "txsink_gen_q"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "t")
+    landing = os.path.join(base, "landing")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_year", F.year("o_orderdate")
+        ),
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    t.add_constraint("price_pos", "o_totalprice >= 0")
+    # the stream OMITS the generated column: the engine computes it
+    odd = o.filter(F.col("o_orderkey") % 2 == 1)
+    odd.coalesce(1).write.parquet(landing)  # one file = one batch
+
+    def drain(chk: str) -> None:
+        q = txtable_sink_prepared(
+            spark.readStream.schema(odd.schema).parquet(landing),
+            spark,
+            root,
+            os.path.join(base, chk),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("prepared sink stream did not finish")
+
+    drain("chk1")
+    v1 = t.snapshot().version
+    drain("chk2")  # checkpoint LOSS: fresh checkpoint, same data
+    assert t.snapshot().version == v1, "content-tag replay must no-op"
+    # a violating batch refuses loudly and commits nothing
+    bad_landing = os.path.join(base, "bad")
+    odd.limit(5).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    ).coalesce(1).write.parquet(bad_landing)
+    try:
+        q = txtable_sink_prepared(
+            spark.readStream.schema(odd.schema).parquet(bad_landing),
+            spark,
+            root,
+            os.path.join(base, "chk_bad"),
+        )
+        q.awaitTermination(300)
+        raise AssertionError("violating batch must fail the stream")
+    except Exception as e:  # StreamingQueryException wraps the refusal
+        assert "price_pos" in str(e) or "Constraint" in str(e), e
+    assert t.snapshot().version == v1, "refused batch commits nothing"
+    got = t.read()
+    assert "o_year" in got.columns
+    return got

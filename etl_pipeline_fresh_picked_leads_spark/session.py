@@ -104,6 +104,10 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python data source filter pushdown (r11): the txtable batch
+        # reader's pushFilters does manifest-stats file skipping, and
+        # Spark refuses to plan such a reader with this off
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

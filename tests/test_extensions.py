@@ -1111,3 +1111,94 @@ def test_ivf_append_registers_without_refit(embeddings, monkeypatch, tmp_path):
         refit_with=embeddings.unionByName(batch),
     )
     assert res3["refit"] and S.IVF_FIT_COUNTER["fits"] == before + 2
+
+
+def test_ivf_append_hot_cell_local_refit(embeddings, monkeypatch, tmp_path):
+    """r11 (VERDICT r10 #6): a planted NEW-MODE batch pouring into one
+    cell triggers the hot-cell path; with ``local_refit`` the cell is
+    SPLIT-MERGED (2-means on only that cell, closest other pair
+    merged) instead of a full k-means — the fit counter must NOT move
+    — and recall on the new mode recovers: the next ivf query on the
+    grown corpus is a cache hit that finds the mode's neighbors."""
+    import pyspark.sql.types as T
+
+    from etl_pipeline_fresh_picked_leads_spark.operators import (
+        similarity as S,
+    )
+
+    monkeypatch.setattr(
+        S, "_ivf_index_root", lambda: str(tmp_path / "ivf_index")
+    )
+    monkeypatch.setattr(
+        S, "_meta_index_root", lambda: str(tmp_path / "ivf_meta")
+    )
+    S._IVF_CENTER_CACHE.clear()
+    S._IVF_FIT_N.clear()
+    spark = embeddings.sparkSession
+    dim = len(embeddings.first().embedding)
+    max_id = embeddings.agg(F.max("vec_id")).first()[0]
+    # two tight sub-modes along a direction the corpus doesn't have:
+    # all land in ONE stale cell, separable by the cell-local 2-means
+    m1 = [10.0] * dim
+    m2 = [14.0] + [10.0] * (dim - 1)
+    rows = [
+        (max_id + 1 + i, [x + 0.01 * (i % 3) for x in (m1 if i % 2 else m2)], 0)
+        for i in range(24)
+    ]
+    batch = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).withColumn(
+        "embedding", F.col("embedding").cast(T.ArrayType(T.FloatType()))
+    )
+    before = S.IVF_FIT_COUNTER["fits"]
+    S.ivf_assign(embeddings, nlist=8)  # base fit
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1
+    base_fp = S._corpus_fingerprint(embeddings, "embedding")
+    grown = embeddings.unionByName(batch)
+    res = S.ivf_append(
+        spark,
+        batch,
+        base_fp,
+        nlist=8,
+        hot_cell_factor=4.0,  # threshold 0.5 at nlist=8
+        refit_with=grown,
+        local_refit=True,
+    )
+    assert res["refit_local"] and not res["refit"], res
+    assert not res["refit_recommended"], res
+    assert res["hot_cell_frac"] == 1.0, res
+    # ≪ full-refit cost, pinned exactly: zero k-means fits ran
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1, "local refit only"
+    # the repaired index serves the grown corpus as a cache hit...
+    got = S.ivf_topk(grown, max_id + 2, k=5, nlist=8, nprobe=2).collect()
+    assert S.IVF_FIT_COUNTER["fits"] == before + 1, "cache hit, no refit"
+    # ...and the new mode's neighbors are found (recall recovery)
+    exact = {r.vec_id for r in S.cosine_topk(grown, max_id + 2, k=5).collect()}
+    assert len({r.vec_id for r in got} & exact) >= 4, (got, exact)
+    # the repair actually moved centers toward the mode: exactly the
+    # split-merge churn (hot center gone, 2 split + 1 merged added,
+    # count still nlist), and the mode's nearest center is strictly
+    # closer than any stale center was
+    import numpy as np
+
+    old = S._load_cached_centers(spark, (*base_fp, 8, 42, 100_000))
+    new = S._load_cached_centers(
+        spark, (res["fp"][0], res["fp"][1], 8, 42, 100_000)
+    )
+    assert new is not None and len(new) == 8
+    old_set = {tuple(c) for c in old}
+    assert len([c for c in new if tuple(c) not in old_set]) == 3, (
+        "2 split + 1 merged centers expected"
+    )
+
+    def best_cos(cs):
+        m = np.asarray([r[1] for r in rows], dtype=float)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        c = np.asarray(cs, dtype=float)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        return float((m @ c.T).max(axis=1).mean())
+
+    assert best_cos(new) > best_cos(old) + 0.005, (
+        best_cos(new),
+        best_cos(old),
+    )

@@ -1876,12 +1876,16 @@ def test_vacuum_retain_hours_time_window(spark, tmp_path):
     t.overwrite(_mkdf(spark, [(2, "b")]))                         # v2
     t.overwrite(_mkdf(spark, [(3, "c")]))                         # v3
     t.overwrite(_mkdf(spark, [(4, "d")]))                         # v4
-    # age v1/v2 artificially: rewrite their manifests with old ts
+    # age v1/v2 artificially: rewrite their manifests with old ts.
+    # Manifests are immutable in production, so the commit index
+    # (r11) caches their ts — hand-editing must drop the index so the
+    # aged timestamps heal back from the manifests themselves.
     for v in (1, 2):
         p = _os.path.join(t.log_dir, f"v{v:010d}.json")
         m = _json.load(open(p))
         m["ts"] = m["ts"] - 10 * 3600 * 1_000_000  # 10h ago
         _json.dump(m, open(p, "w"))
+    _os.unlink(_os.path.join(t.log_dir, "_idx.jsonl"))
     removed = t.vacuum(retain=1, retain_hours=1.0, min_age_seconds=0.0)
     assert t._versions() == [3, 4], "recent window kept, old GC'd"
     assert removed, "v1/v2 data files deleted"

@@ -371,10 +371,73 @@ def test_replace_range_vs_disjoint_replace_range_both_land(spark, tmp_path):
     assert got == {1: "MM", 101: "RR"}, got
 
 
-def test_update_whole_table_read_still_refuses_rewrites(spark, tmp_path):
-    """update/delete scan every file for matches (no key pruning), so
-    ANY racing rewrite — even of a file with no matching rows —
-    conflicts (the loser's decisions covered the whole table)."""
+def test_update_stats_pruned_predicate_composes_with_disjoint_rewrite(
+    spark, tmp_path
+):
+    """r11 (VERDICT r10 #5): plain update/delete with a predicate
+    whose interval bounds derive from the expression tree declare a
+    stats-pruned read set — so UPDATE k=5 ∥ DELETE k=105 on different
+    files compose without caller retry, exactly like update_range."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        assert t.delete(F.col("k") == 105) == 1
+
+    rt = _raced(spark, root, racer)
+    assert rt.update(F.col("k") == 5, {"name": F.lit("M")}) == 1
+    got = {r.k: r.name for r in TxTable(spark, root).read().collect()}
+    assert got[5] == "M" and 105 not in got and len(got) == 19, got
+
+
+def test_predicate_bounds_analysis(spark):
+    """The expression-tree walk behind auto-pruning: necessary
+    intervals for the recognized shapes, {} (never a wrong bound)
+    for everything else."""
+    from datetime import date
+
+    pb = TxTable._predicate_bounds
+    assert pb(F.col("k") == 5) == {"k": (5, 5)}
+    assert pb((F.col("k") >= 1) & (F.col("k") <= 9)) == {"k": (1, 9)}
+    assert pb(F.col("k").between(1, 9)) == {"k": (1, 9)}
+    assert pb(F.col("k") < 5) == {"k": (None, 5)}
+    assert pb(F.lit(5) <= F.col("k")) == {"k": (5, None)}
+    assert pb(F.col("k").isin(3, 1, 7)) == {"k": (1, 7)}
+    assert pb((F.col("k") == 5) | (F.col("k") == 9)) == {"k": (5, 9)}
+    # OR across different columns implies no single-column bound
+    assert pb((F.col("k") == 5) | (F.col("j") == 9)) == {}
+    # opaque shapes: contribute nothing, never a wrong bound
+    assert pb(F.col("k") % 3 == 0) == {}
+    assert pb(~(F.col("k") == 5)) == {}
+    assert pb(F.col("k").isNull()) == {}
+    # an opaque conjunct only NARROWS matches: the sound bound stays
+    assert pb((F.col("k") == 5) & (F.col("k") % 2 == 0)) == {"k": (5, 5)}
+    # multi-column conjunction keeps both; date literals convert
+    d = date(2020, 1, 2)
+    assert pb((F.col("k") >= 5) & (F.col("d") == F.lit(d))) == {
+        "k": (5, None),
+        "d": (d, d),
+    }
+
+
+def test_update_equality_predicate_prunes_search(spark, tmp_path):
+    """UPDATE k=5 on a k-clustered two-file table rewrites ONLY the
+    file whose stats admit k=5 — the other carries by reference (the
+    same file-granularity update_range gives, now automatic)."""
+    root = str(tmp_path / "t")
+    t = _two_file_table(spark, root)
+    before = set(t.snapshot().files)
+    assert t.update(F.col("k") == 5, {"name": F.lit("M")}) == 1
+    after = set(t.snapshot().files)
+    assert len(before & after) == 1, "upper file must carry by reference"
+    got = {r.k: r.name for r in t.read().collect()}
+    assert got[5] == "M" and got[105] == "b105" and len(got) == 20
+
+
+def test_update_opaque_predicate_still_refuses_rewrites(spark, tmp_path):
+    """A predicate the bounds analysis cannot decompose (modular
+    arithmetic) keeps the whole-table read contract: ANY racing
+    rewrite — even of a file with no matching rows — conflicts."""
     root = str(tmp_path / "t")
     _two_file_table(spark, root)
 
@@ -383,8 +446,25 @@ def test_update_whole_table_read_still_refuses_rewrites(spark, tmp_path):
 
     rt = _raced(spark, root, racer)
     with pytest.raises(TxConflictError):
-        rt.update(F.col("k") == 5, {"name": F.lit("M")})
+        rt.update(F.col("k") % 1000 == 5, {"name": F.lit("M")})
     # re-invoke composes
+    assert TxTable(spark, root).update(
+        F.col("k") % 1000 == 5, {"name": F.lit("M")}
+    ) == 1
+
+
+def test_update_pruned_overlapping_rewrite_still_refuses(spark, tmp_path):
+    """Pruned read sets only admit DISJOINT racers: a racing rewrite
+    of a file INSIDE the loser's declared range still conflicts."""
+    root = str(tmp_path / "t")
+    _two_file_table(spark, root)
+
+    def racer(t):
+        t.delete(F.col("k") == 7)  # same file as the loser's k=5
+
+    rt = _raced(spark, root, racer)
+    with pytest.raises(TxConflictError):
+        rt.update(F.col("k") == 5, {"name": F.lit("M")})
     assert TxTable(spark, root).update(
         F.col("k") == 5, {"name": F.lit("M")}
     ) == 1

@@ -597,3 +597,81 @@ def test_stream_starting_timestamp(reg, tmp_path):
     # re-drain tails exactly the commits that landed after stream
     # start — the "start a consumer now, from now" production shape
     assert drain("o3", "c3", future) == [200]
+
+
+def test_batch_reader_manifest_stats_file_skipping(reg, tmp_path):
+    """pushFilters (r11): interval filters on a stats column prune the
+    PARTITION list to the stat-admitted files (the 100 TB key-range
+    read plans one slice, not every file), while every filter is
+    returned for Spark's row-level re-application — results stay
+    exact, pruning is only ever a superset."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+    )
+
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        TxTableDataSource,
+        _bounds_from_filters,
+    )
+
+    spark = reg
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _df(spark, 0, 10).coalesce(1), stats_cols=["k"]
+    )
+    t.append(_df(spark, 100, 110).coalesce(1))
+    t.append(_df(spark, 200, 210).coalesce(1))
+    assert len(t.snapshot().files) == 3
+
+    def reader_with(filters):
+        ds = TxTableDataSource({"path": root})
+        r = ds.reader(ds.schema())
+        returned = r.pushFilters(filters)
+        assert list(returned) == list(filters), "all filters re-applied"
+        return r
+
+    # equality on the stats column: ONE file planned
+    parts = reader_with([EqualTo(("k",), 105)]).partitions()
+    assert len(parts) == 1 and parts[0].file, parts
+    # range spanning two stripes: two files
+    parts = reader_with(
+        [GreaterThanOrEqual(("k",), 100), LessThan(("k",), 250)]
+    ).partitions()
+    assert len(parts) == 2
+    # IN-list collapses to its hull
+    parts = reader_with([In(("k",), (205, 209))]).partitions()
+    assert len(parts) == 1
+    # no matching stripe: the empty sentinel, zero file reads
+    parts = reader_with([EqualTo(("k",), 999)]).partitions()
+    assert len(parts) == 1 and not parts[0].file
+    # filter on a non-stats column prunes nothing
+    parts = reader_with([EqualTo(("name",), "n5")]).partitions()
+    assert len(parts) == 3
+    # incomparable bound types admit conservatively
+    parts = reader_with([EqualTo(("k",), "oops")]).partitions()
+    assert len(parts) == 3
+    # bounds helper: conjunction tightens, unknown shapes ignored
+    b = _bounds_from_filters(
+        [GreaterThanOrEqual(("k",), 10), LessThan(("k",), 50)]
+    )
+    assert b == {"k": (10, 50)}
+    # end-to-end through SQL: values exact under pruning (Spark
+    # re-applies the filter row-level)
+    got = (
+        spark.read.format("txtable")
+        .option("path", root)
+        .load()
+        .filter("k >= 100 AND k < 104")
+    )
+    assert sorted(r.k for r in got.collect()) == [100, 101, 102, 103]
+    assert (
+        spark.read.format("txtable")
+        .option("path", root)
+        .load()
+        .filter("k = 999")
+        .count()
+        == 0
+    )
