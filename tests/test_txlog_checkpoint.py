@@ -261,3 +261,71 @@ def test_concurrent_conflict_protocol_unchanged(
     # snapshot-derived delete auto-rebases over the racing append
     t1.delete(F.col("k") == 0)
     assert sorted(r.k for r in t1.read().collect()) == [1]
+
+
+def test_differential_delta_vs_full_form_logs(spark, tmp_path):
+    """DIFFERENTIAL probe: the same operation sequence against a log
+    that checkpoints every commit (all-full manifests — the pre-r11
+    format) and a delta-chained log (cadence 4) must be
+    OBSERVATIONALLY IDENTICAL at every step — reads, row sets,
+    history shape, time travel, restore, vacuum survivors.  The
+    storage form is an encoding, never semantics."""
+    from pyspark.sql import functions as F
+
+    def mk(root, every):
+        TxTable.CHECKPOINT_EVERY = every
+        return TxTable.create(
+            spark,
+            str(root),
+            _mkdf(spark, [(0, "a")]).coalesce(1),
+            stats_cols=["k"],
+        )
+
+    try:
+        a = mk(tmp_path / "full", 1)
+        TxTable.CHECKPOINT_EVERY = 1
+        ops_a = _run_ops(spark, a, 1)
+        b = mk(tmp_path / "delta", 4)
+        TxTable.CHECKPOINT_EVERY = 4
+        ops_b = _run_ops(spark, b, 4)
+    finally:
+        TxTable.CHECKPOINT_EVERY = txlog.CHECKPOINT_EVERY
+    assert ops_a == ops_b, "observable state diverged between formats"
+    # and the delta log actually used delta form (the probe is real)
+    forms = [txlog.is_full(_raw(b, v)) for v in b._versions()]
+    assert False in forms, forms
+
+
+def _run_ops(spark, t: TxTable, every: int) -> list:
+    """A fixed mutation script touching every commit shape; returns
+    the observable state trace."""
+    from pyspark.sql import functions as F
+
+    trace = []
+
+    def observe():
+        rows = sorted((r.k, r.v) for r in t.read().collect())
+        hist = [
+            (e["version"], e["op"], e["n_files"], e["n_rows"])
+            for e in t.history()
+        ]
+        trace.append((rows, hist))
+
+    for i in range(1, 7):
+        t.append(_mkdf(spark, [(i, "a")]).coalesce(1), txn=f"s{i}")
+    observe()
+    t.delete(F.col("k") == 3)
+    t.update(F.col("k") == 5, {"v": F.lit("B")})
+    observe()
+    t.append(_mkdf(spark, [(3, "dup")]), txn="s3")  # replay: no-op
+    observe()
+    t.overwrite(_mkdf(spark, [(100, "z"), (101, "z")]).repartition(2))
+    t.append(_mkdf(spark, [(102, "w")]).coalesce(1))
+    observe()
+    t.restore(5)  # mid-history restore
+    observe()
+    trace.append(sorted(r.k for r in t.read(version=4).collect()))
+    t.vacuum(retain=3, min_age_seconds=0.0)
+    trace.append(t._versions() != [] and len(t._versions()) == 3)
+    trace.append(sorted((r.k, r.v) for r in t.read().collect()))
+    return trace
