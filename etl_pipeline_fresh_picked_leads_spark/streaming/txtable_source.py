@@ -510,19 +510,7 @@ class _TxBatchReader(DataSourceReader):
         self.log_dir = os.path.join(root, _LOG_DIR)
         self.logical = schema
         self.version = version  # pinned by versionAsOf / timestampAsOf
-        self.bounds: dict = {}  # set by pushFilters
-
-    def pushFilters(self, filters):
-        """Manifest-stats FILE skipping (r11): interval bounds from
-        the pushed conjunction prune the partition list — a key-range
-        read of a stats-clustered 100 TB table plans partitions for
-        one slice instead of every file.  EVERY filter is returned
-        for Spark to re-apply row-level: file pruning admits a
-        SUPERSET of matching rows by design, so correctness never
-        depends on this path (the same contract as Delta's data
-        skipping + Spark's post-scan filters)."""
-        self.bounds = _bounds_from_filters(filters)
-        return filters  # all re-evaluated by Spark post-scan
+        self.bounds: dict = {}  # set by pushFilters (pushdown subclass)
 
     def partitions(self):
         vs = _versions(self.log_dir)
@@ -538,6 +526,30 @@ class _TxBatchReader(DataSourceReader):
         if not partition.file:
             return iter(())
         return _read_file_partition(partition, self.logical)
+
+
+class _TxBatchReaderPushdown(_TxBatchReader):
+    """The default batch reader: adds ``pushFilters`` manifest-stats
+    file skipping (Spark 4.1 Python Data Source filter pushdown).
+    Split from the base class so ``.option("pushdown", "false")`` can
+    return a reader that does NOT implement pushFilters at all —
+    Spark hard-errors on a pushFilters-bearing reader whenever
+    ``spark.sql.python.filterPushdown.enabled`` is off in the
+    planning session, and the option decision rides the DataSource
+    options (available in the plan worker, no session needed), so it
+    works as an escape hatch in ANY session."""
+
+    def pushFilters(self, filters):
+        """Manifest-stats FILE skipping (r11): interval bounds from
+        the pushed conjunction prune the partition list — a key-range
+        read of a stats-clustered 100 TB table plans partitions for
+        one slice instead of every file.  EVERY filter is returned
+        for Spark to re-apply row-level: file pruning admits a
+        SUPERSET of matching rows by design, so correctness never
+        depends on this path (the same contract as Delta's data
+        skipping + Spark's post-scan filters)."""
+        self.bounds = _bounds_from_filters(filters)
+        return filters  # all re-evaluated by Spark post-scan
 
 
 class TxTableDataSource(DataSource):
@@ -620,9 +632,13 @@ class TxTableDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType) -> _TxBatchReader:
-        return _TxBatchReader(
-            self._root(), schema, version=self._pinned_version()
+        pushdown = str(self.options.get("pushdown", "true")).lower()
+        cls = (
+            _TxBatchReader
+            if pushdown in ("false", "0", "no")
+            else _TxBatchReaderPushdown
         )
+        return cls(self._root(), schema, version=self._pinned_version())
 
     def streamReader(self, schema: StructType) -> _TxStreamReader:
         mv = self.options.get("maxversionspertrigger")
@@ -668,6 +684,16 @@ def register(spark) -> None:
     format, not a tuning knob."""
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        # belt-and-braces: SQLConf.get on a JVM thread with a stale /
+        # absent active-session thread-local falls back past the
+        # session conf (observed once in a long mixed-workload suite:
+        # a pushFilters-bearing reader planned under the conf's FALSE
+        # default).  A JVM system property covers that fallback; the
+        # per-read .option("pushdown", "false") escape hatch covers
+        # anything else.
+        spark._jvm.java.lang.System.setProperty(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
     except Exception:  # pragma: no cover — ancient/locked-down session
         pass
     spark.dataSource.register(TxTableDataSource)

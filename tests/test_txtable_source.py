@@ -658,6 +658,27 @@ def test_batch_reader_manifest_stats_file_skipping(reg, tmp_path):
         [GreaterThanOrEqual(("k",), 10), LessThan(("k",), 50)]
     )
     assert b == {"k": (10, 50)}
+    # escape hatch: .option("pushdown","false") returns a reader that
+    # does NOT implement pushFilters (plannable in sessions where
+    # spark.sql.python.filterPushdown.enabled is off)
+    from pyspark.sql.datasource import DataSourceReader
+
+    ds_off = TxTableDataSource({"path": root, "pushdown": "false"})
+    r_off = ds_off.reader(ds_off.schema())
+    assert (
+        getattr(r_off.pushFilters, "__func__", None)
+        is DataSourceReader.pushFilters
+    ), "pushdown=false reader must not override pushFilters"
+    assert len(r_off.partitions()) == 3
+    n_off = (
+        spark.read.format("txtable")
+        .option("path", root)
+        .option("pushdown", "false")
+        .load()
+        .filter("k = 105")
+        .count()
+    )
+    assert n_off == 1
     # end-to-end through SQL: values exact under pruning (Spark
     # re-applies the filter row-level)
     got = (
