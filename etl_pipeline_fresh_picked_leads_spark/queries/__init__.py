@@ -119,6 +119,11 @@ _DRIVER_WINDOW = [
     "q_txtable_replace_range", "q_stream_txtable_cdf_delta",
     "q_stream_txtable_sink_generated", "q_txtable_log_checkpoint",
     "q_txtable_source_pruned",
+    # the 4 spare slots start the r7-stale rotation early (the r12
+    # window will take the rest of that 44-query cohort) — picked for
+    # churn adjacency: the LSH/similarity tier shares operators with
+    # this round's ivf_append/local-refit work
+    "q_dedup_fuzzy", "q_sim_topk", "q_sim_join", "q_text_fingerprint",
 ]
 
 
