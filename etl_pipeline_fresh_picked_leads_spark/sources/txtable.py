@@ -980,6 +980,7 @@ class TxTable:
                 parent_stats=base.stats if base else None,
                 parent_chain=base.chain if base else 0,
                 checkpoint_every=self.CHECKPOINT_EVERY,
+                parent_dvs=(base.dvs if base else None),
             )
         except FileExistsError:
             raise TxConflictError(

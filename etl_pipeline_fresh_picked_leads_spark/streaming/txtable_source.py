@@ -914,6 +914,9 @@ def _commit_append(
                 parent_chain=(
                     m.get("chain", 0) if m and not overwrite else 0
                 ),
+                parent_dvs=(
+                    m.get("dvs") if m and not overwrite else None
+                ),
             )
             return head_v + 1
         except FileExistsError:

@@ -53,7 +53,7 @@ CHECKPOINT_EVERY = 20
 
 _IDX_NAME = "_idx.jsonl"
 # delta-form bookkeeping keys, stripped from materialized manifests
-_DELTA_KEYS = ("delta_of", "add", "remove", "stats_add")
+_DELTA_KEYS = ("delta_of", "add", "remove", "stats_add", "dvs_inherit")
 
 
 def manifest_name(version: int) -> str:
@@ -101,6 +101,11 @@ def _apply_delta(parent: dict, raw: dict) -> dict:
     out = {k: v for k, v in raw.items() if k not in _DELTA_KEYS}
     out["files"] = files
     out["stats"] = stats
+    if raw.get("dvs_inherit"):
+        # deletion-vector state unchanged from the parent (the common
+        # append-onto-a-DV'd-table shape): one marker byte instead of
+        # re-serializing an O(DV'd files) dict per commit
+        out["dvs"] = parent.get("dvs")
     return out
 
 
@@ -156,6 +161,7 @@ def encode_delta(
     parent_stats: "dict | None",
     parent_chain: int,
     checkpoint_every: int = CHECKPOINT_EVERY,
+    parent_dvs: "dict | None" = None,
 ) -> "dict | None":
     """Delta-form encoding of a FULL manifest dict against its
     parent's materialized state, or None when the full form should be
@@ -206,6 +212,13 @@ def encode_delta(
     out["remove"] = removes
     if stats_add is not None:
         out["stats_add"] = stats_add
+    if (
+        parent_dvs
+        and manifest.get("dvs") == parent_dvs
+    ):
+        # unchanged DV state: inherit-marker instead of the full dict
+        out.pop("dvs", None)
+        out["dvs_inherit"] = True
     return out
 
 
@@ -341,6 +354,7 @@ def write_manifest(
     parent_stats: "dict | None" = None,
     parent_chain: int = 0,
     checkpoint_every: int = CHECKPOINT_EVERY,
+    parent_dvs: "dict | None" = None,
 ) -> None:
     """Commit a FULL manifest dict: delta-encode when profitable,
     fsync a temp file, atomic-exclusive ``os.link`` to the versioned
@@ -355,6 +369,7 @@ def write_manifest(
             parent_stats,
             parent_chain,
             checkpoint_every,
+            parent_dvs=parent_dvs,
         )
         or manifest
     )

@@ -329,3 +329,47 @@ def _run_ops(spark, t: TxTable, every: int) -> list:
     trace.append(t._versions() != [] and len(t._versions()) == 3)
     trace.append(sorted((r.k, r.v) for r in t.read().collect()))
     return trace
+
+
+def test_dv_state_inherits_by_marker_in_delta_manifests(
+    spark, tmp_path, short_checkpoints
+):
+    """Appends onto a DV'd table must not re-serialize the O(DV'd
+    files) vector dict per commit: unchanged DV state rides delta
+    manifests as a one-byte inherit marker, DV-CHANGING commits store
+    the new dict, and materialization reproduces the exact state at
+    every version."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _mkdf(spark, [(i, "a") for i in range(8)]).coalesce(1))
+    assert t.delete_dv(F.col("k") == 2) == 1          # v2: DVs appear
+    for i in (10, 11, 12):                            # v3..v5: appends
+        t.append(_mkdf(spark, [(i, "b")]).coalesce(1))
+    dv_v = t.snapshot(2).dvs
+    assert dv_v, "v2 must carry vectors"
+    for v in (3, 4, 5):
+        raw = _raw(t, v)
+        assert not txlog.is_full(raw), v
+        assert raw.get("dvs_inherit") is True and "dvs" not in raw, raw
+        assert t.snapshot(v).dvs == dv_v, "materialized DVs identical"
+    assert t.delete_dv(F.col("k") == 4) == 1          # v6: DVs change
+    raw6 = _raw(t, 6)
+    if not txlog.is_full(raw6):
+        assert raw6.get("dvs") and not raw6.get("dvs_inherit"), raw6
+    # both deletes hit the one initial file: 1 entry, 2 sidecar sets
+    assert sum(len(v) for v in t.snapshot(6).dvs.values()) == 2
+    # reads at every version stay exact through the inherit chain
+    assert sorted(r.k for r in t.read(version=5).collect()) == [
+        0, 1, 3, 4, 5, 6, 7, 10, 11, 12
+    ]
+    assert sorted(r.k for r in t.read().collect()) == [
+        0, 1, 3, 5, 6, 7, 10, 11, 12
+    ]
+    # vacuum boundary materialization expands the marker to the dict
+    versions = t._versions()
+    t.vacuum(retain=3, min_age_seconds=0.0)
+    boundary = t._versions()[0]
+    braw = _raw(t, boundary)
+    assert txlog.is_full(braw)
+    assert sorted(r.k for r in t.read(version=boundary).collect())
