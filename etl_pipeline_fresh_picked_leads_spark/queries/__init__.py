@@ -97,33 +97,34 @@ from . import tpch  # noqa: E402,F401
 # time densify, and graph triangles — plus 5 canaries fills 41 slots.
 # The remaining 9 go to r11's new queries.  After a green r11 run no
 # registered query's newest driver row predates r7.
+# Round-12 rotation (VERDICT r11 #1): the ENTIRE 40-query cohort whose
+# newest driver-green row is r7 — computed programmatically from
+# CORRECTNESS_r01-r11 (newest-green histogram before this round:
+# r7:40, r8:45, r9:45, r10:45, r11:50; zero never-green) — plus the 5
+# canaries fills 45 slots; the remaining 5 go to r12's new queries.
+# After a green r12 run no registered query's newest driver row
+# predates r8.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # r6-last-verified cohort, complete (36)
-    "q_agg_distinct", "q_agg_having", "q_agg_multi_distinct",
-    "q_agg_heavyhitters", "q_agg_mode",
-    "sink_overwrite", "sink_append",
-    "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_win_ntile", "q_win_range", "q_win_rolling_distinct",
-    "q_stream_foreachbatch", "q_stream_ingest", "q_stream_matview",
-    "q_stream_pointintime",
-    "q_join_bloom", "q_join_interval",
-    "q_sim_ann_ivf", "q_sim_join_ivf", "q_sim_topk_batch",
-    "q_dedup_simhash", "q_dedup_cross_source",
-    "q_sketch_rolling_wau", "q_time_densify", "q_graph_triangles",
-    # round-11 new queries
-    "q_txtable_replace_range", "q_stream_txtable_cdf_delta",
-    "q_stream_txtable_sink_generated", "q_txtable_log_checkpoint",
-    "q_txtable_source_pruned",
-    # the 4 spare slots start the r7-stale rotation early (the r12
-    # window will take the rest of that 44-query cohort) — picked for
-    # churn adjacency: the LSH/similarity tier shares operators with
-    # this round's ivf_append/local-refit work
-    "q_dedup_fuzzy", "q_sim_topk", "q_sim_join", "q_text_fingerprint",
+    # r7-last-verified cohort, complete (40)
+    "q_dedup_exact", "q_dedup_keyed",
+    "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+    "q_agg_percentile", "q_agg_stats", "q_agg_collect", "q_pivot",
+    "q_win_rank", "q_win_lag_lead", "q_win_running", "q_win_firstlast",
+    "q_sort_multi", "q_limit", "q_topk_global",
+    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+    "q_dedup_ngram", "q_dedup_fuzzy_ml", "q_dedup_content_hash",
+    "q_dedup_embed",
+    "q_sim_topk_vectorized", "q_embed_norm",
+    "q_text_stats", "q_text_tokens", "q_text_quality",
+    "q_text_token_counts",
+    "q_sample_hash", "q_split_train_eval", "q_multimodal",
+    "q_sql_recursive",
+    "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q15",
+    # round-12 new queries (appended as they land; 5 slots)
 ]
 
 
