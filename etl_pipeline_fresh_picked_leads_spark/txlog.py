@@ -149,6 +149,28 @@ def iter_manifests(log_dir: str, vs: list[int]):
 
 
 def head_version_and_manifest(log_dir: str) -> "tuple[int, dict | None]":
+    """Head discovery in O(index tail + unindexed heads), flat in
+    retained version count (VERDICT r11 #4): the commit index's newest
+    entry is the head HINT (Delta's ``_last_checkpoint`` idea — one
+    sequential read of a small file, incrementally suffix-parsed by
+    the in-process offset cache, instead of an O(versions) directory
+    listing per snapshot open).  The index may lag the log (crash
+    between link and index append), so the hint is forward-probed with
+    existence checks — each commit bumps the version by exactly 1, so
+    the probe walks precisely the unindexed suffix.  Falls back to the
+    listing when there is no usable index (pre-r11 log, or the hinted
+    manifest was removed under us by a hand-edit)."""
+    hint = 0
+    entries = _read_idx_file(log_dir)
+    if entries:
+        hint = max(entries)
+        if not os.path.exists(os.path.join(log_dir, manifest_name(hint))):
+            hint = 0  # stale index (hand-edited log): trust the listing
+    if hint:
+        head = hint
+        while os.path.exists(os.path.join(log_dir, manifest_name(head + 1))):
+            head += 1
+        return head, load_manifest(log_dir, head)
     vs = versions(log_dir)
     if not vs:
         return 0, None
@@ -257,8 +279,22 @@ def append_index(log_dir: str, entry: dict) -> None:
 
 # {realpath: [inode, parsed_offset, {version: entry}]} — long-lived
 # handles (a streaming sink committing per trigger) re-read only the
-# appended suffix per call
+# appended suffix per call.  Capped (ADVICE r11): a long-lived driver
+# touching many ephemeral tables (the query suite does) must not grow
+# memory without bound — dead paths evict first, then oldest entries
+# (dict order = insertion order; hits re-insert to keep it LRU-ish).
 _IDX_CACHE: dict = {}
+_IDX_CACHE_MAX = 64
+
+
+def _cache_put(key: str, value: tuple) -> None:
+    _IDX_CACHE.pop(key, None)
+    if len(_IDX_CACHE) >= _IDX_CACHE_MAX:
+        for k in [k for k in _IDX_CACHE if not os.path.exists(k)]:
+            del _IDX_CACHE[k]
+    while len(_IDX_CACHE) >= _IDX_CACHE_MAX:
+        del _IDX_CACHE[next(iter(_IDX_CACHE))]
+    _IDX_CACHE[key] = value
 
 
 def _read_idx_file(log_dir: str) -> dict:
@@ -288,7 +324,7 @@ def _read_idx_file(log_dir: str) -> dict:
                 entries[int(e["v"])] = e
             except (ValueError, KeyError, TypeError):
                 continue  # torn line: the version heals as a hole
-        _IDX_CACHE[key] = (st.st_ino, off + consumed, entries)
+        _cache_put(key, (st.st_ino, off + consumed, entries))
     return dict(entries)
 
 
@@ -303,14 +339,21 @@ def _mtime_us(log_dir: str, version: int) -> "int | None":
 
 
 def read_index(
-    log_dir: str, live_versions: list[int], heal: bool = True
+    log_dir: str, live_versions: list[int], heal: bool = False
 ) -> dict:
     """``{version: index_entry}`` covering every live version.  Holes
     (pre-r11 manifests, crash between link and append) materialize
     the manifest once and — with ``heal`` — persist the line so the
     next reader pays nothing.  ``ts`` falls back to the manifest
     file's mtime for pre-r10 commits, the same rule TxTable._ts_of
-    uses."""
+    uses.
+
+    ``heal`` defaults OFF (ADVICE r11): healing from READ paths means
+    N concurrent readers of a hole-y log each append a full heal set
+    (duplicate lines, bounded only by the next compaction) and reads
+    mutate table storage.  Writer-side callers (txn-idempotency scans,
+    vacuum) pass heal=True — they already hold write intent, and one
+    heal there serves every subsequent reader."""
     entries = _read_idx_file(log_dir)
     out = {}
     for v in live_versions:
@@ -383,7 +426,14 @@ def write_manifest(
     try:
         os.link(tmp, final)  # atomic-exclusive: this IS the commit
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            # cleanup failure must not mask a LANDED commit (ADVICE
+            # r11): a non-txn-tagged caller seeing an exception here
+            # would re-invoke and double-apply its mutation.  A
+            # FileExistsError from the link itself still propagates.
+            pass
     append_index(log_dir, index_entry(manifest))
 
 

@@ -84,11 +84,15 @@ def test_mutations_and_schema_ops_across_chains(
     t.add_column("extra", "integer")  # zero-file-change delta
     got = {(r.k, r.v) for r in t.read().select("k", "v").collect()}
     assert got == {(i, "B" if i == 5 else "a") for i in range(8) if i != 3}
-    # restore to a mid-chain incremental version
-    target = 5
-    assert not txlog.is_full(_raw(t, target)) or True  # form-agnostic
+    # restore to a mid-chain incremental version: pick one verified
+    # DELTA-form so the restore genuinely crosses a reconstruction
+    # (ADVICE r11 — the old assert here was a tautology)
+    target = next(
+        v for v in range(5, 1, -1) if not txlog.is_full(_raw(t, v))
+    )
     t.restore(target)
-    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    # version v holds keys 0..v-1 (v1 created k=0, each append adds 1)
+    assert sorted(r.k for r in t.read().collect()) == list(range(target))
 
 
 def test_txn_idempotency_via_index(spark, tmp_path, short_checkpoints):
