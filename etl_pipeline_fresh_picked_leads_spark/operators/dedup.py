@@ -662,6 +662,14 @@ def minhash_lsh_pairs_ml(
     )
 
 
+def content_hash_map(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_md5) over normalized text — the doc->exact-
+    group mapping both the exact-dedup tier and the composed pipeline
+    key on."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("content_md5"))
+
+
 def content_hash_dedup(docs: DataFrame) -> DataFrame:
     """Exact-content dedup via md5 of normalized text: one survivor
     (lowest doc_id) per hash — the cheapest dedup tier, always run
@@ -673,6 +681,101 @@ def content_hash_dedup(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
     )
     return survivors
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    pins: list | None = None,
+) -> dict:
+    """The composed curation entry point (VERDICT r11 #6) — the
+    boilerplate-first ordering that was previously convention, now
+    code: exact-hash collapse -> MinHash-LSH near-dup detection on
+    exact SURVIVORS only -> connected-components clustering ->
+    canonical-survivor selection, with exact-group members folded into
+    their representative's cluster at the end.
+
+    Returns ``{"survivors", "clusters", "pairs", "exact_groups"}``:
+
+    - survivors: ``docs`` rows that survive both tiers (one per
+      near-dup cluster, lowest doc_id canonical);
+    - clusters: (doc_id, cluster_id, cluster_size, is_canonical) for
+      EVERY doc — cluster_id is the global min doc_id of the
+      component (exact members sit >= their group rep, so the rep
+      tier's min is the global min);
+    - pairs: verified near-dup pairs among exact-group REPS (kept
+      rep-level on purpose: expanding exact groups into explicit
+      pairs is the quadratic output the exact tier exists to avoid);
+    - exact_groups: (content_md5, rep_id, n_copies).
+
+    Scale shape: the LSH stages see one row per DISTINCT content (a
+    web corpus with 10^6 copies of a boilerplate page contributes ONE
+    doc to shingling/banding); total shuffle = the sum of the member
+    stages (PLANS.md row).  With ``pins`` the caller owns cache
+    lifetime (queries release via _release_after); without, every
+    returned frame is eagerly checkpointed and the caches released
+    here."""
+    own: list = pins if pins is not None else []
+    ex = content_hash_map(docs).persist()
+    ex.count()
+    own.append(ex)
+    groups = ex.groupBy("content_md5").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    rep_of = ex.join(groups, "content_md5").select("doc_id", "rep_id")
+    rep_ids = rep_of.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id"
+    )
+    s1_docs = docs.join(rep_ids, "doc_id", "left_semi")
+
+    base = minhash_signatures(s1_docs, n).persist()
+    base.count()
+    own.append(base)
+    rep_pairs = _lsh_pairs_from_base(base, threshold, pins=own).persist()
+    rep_pairs.count()  # CC iterates over the pair table — must not
+    own.append(rep_pairs)  # re-run the banding join per round
+
+    from .graph import dedup_clusters
+
+    rep_clusters = dedup_clusters(s1_docs, rep_pairs)
+    full = rep_of.join(
+        rep_clusters.select(
+            F.col("doc_id").alias("rep_id"), "cluster_id"
+        ),
+        "rep_id",
+    ).select("doc_id", "cluster_id")
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    clusters = full.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+    survivors = docs.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    exact_groups = groups.select("content_md5", "rep_id", "n_copies")
+    out = {
+        "survivors": survivors,
+        "clusters": clusters,
+        "pairs": rep_pairs,
+        "exact_groups": exact_groups,
+    }
+    if pins is None:
+        try:
+            out = {
+                k: v.localCheckpoint(eager=True) for k, v in out.items()
+            }
+        finally:
+            for c in own:
+                c.unpersist()
+    return out
 
 
 # --- incremental dedup against a persisted signature index ------------------

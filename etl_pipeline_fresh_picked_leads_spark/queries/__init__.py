@@ -125,6 +125,7 @@ _DRIVER_WINDOW = [
     "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
     "q_tpch_q11", "q_tpch_q15",
     # round-12 new queries (appended as they land; 5 slots)
+    "q_txtable_partitioned", "q_txtable_identity", "q_dedup_pipeline",
 ]
 
 

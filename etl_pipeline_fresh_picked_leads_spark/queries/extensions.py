@@ -2062,3 +2062,88 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_PIPELINE_ORACLE = r"""
+SELECT CAST((SELECT COUNT(*) FROM documents) + 200 AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')))
+             FROM documents) + 1 AS BIGINT) AS n_exact_groups,
+       TRUE AS survivors_le_groups,
+       TRUE AS clusters_partition_ok,
+       TRUE AS planted_ok
+"""
+
+
+@query("q_dedup_pipeline", oracle=_PIPELINE_ORACLE)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (operators/dedup.dedup_pipeline,
+    VERDICT r11 #6): exact-hash collapse -> LSH on exact survivors ->
+    connected-components -> canonical survivors, in one call — the
+    boilerplate-first ordering enforced in code, not convention.  200
+    verbatim clones of one page are planted (offset-asserted): the
+    exact tier must collapse them BEFORE banding, so the LSH stages
+    see one row for the whole clone pile.  Contract-oracle form: the
+    doc count and exact-group count are recomputed exactly in SQL
+    (DuckDB md5 over the same whitespace normalization, + the planted
+    group); the LSH-tier invariants ride as flags the oracle expects
+    TRUE — survivors can only MERGE exact groups (never split),
+    clusters partition the corpus with canonical == cluster-min ==
+    one survivor per cluster, and the planted pile lands in one
+    cluster of exactly its 200 members with the lowest clone id
+    canonical."""
+    from ..operators.dedup import dedup_pipeline
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_planted_offset(docs, "doc_id", 400000)
+    boiler = (
+        "fresh picked produce delivered daily to your local market "
+        "subscribe for seasonal updates and exclusive member pricing"
+    )
+    clones = spark.range(400000, 400200).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    mixed = docs.unionByName(clones)
+    pins: list = []
+    out = dedup_pipeline(mixed, threshold=0.5, pins=pins)
+
+    clusters = out["clusters"].persist()
+    pins.append(clusters)  # CC output feeds three aggregates + the
+    # survivor semi-join — materialize once
+    n_groups = out["exact_groups"].count()
+    n_surv = out["survivors"].count()
+    cl_agg = clusters.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.count(F.when(F.col("is_canonical"), 1)).alias("n_canon"),
+        F.min(F.col("doc_id") >= F.col("cluster_id")).alias("min_ok"),
+    ).first()
+    planted = clusters.filter(F.col("doc_id") >= 400000)
+    p_agg = planted.agg(
+        F.count_distinct("cluster_id").alias("n_cl"),
+        F.min("cluster_id").alias("cid"),
+        F.max("cluster_size").alias("csize"),
+    ).first()
+    out_row = spark.createDataFrame(
+        [
+            (
+                mixed.count(),
+                n_groups,
+                bool(n_surv <= n_groups),
+                bool(
+                    cl_agg.n_rows == mixed.count()
+                    and cl_agg.n_ids == cl_agg.n_rows
+                    and cl_agg.n_canon == n_surv
+                    and cl_agg.min_ok
+                ),
+                bool(
+                    p_agg.n_cl == 1
+                    and p_agg.cid == 400000
+                    and p_agg.csize == 200
+                ),
+            )
+        ],
+        "n_docs bigint, n_exact_groups bigint, survivors_le_groups "
+        "boolean, clusters_partition_ok boolean, planted_ok boolean",
+    )
+    return _release_after(out_row, pins)

@@ -1664,3 +1664,142 @@ def q_txtable_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         out = rd(pushdown="false")
     return out
+
+
+@query(
+    "q_txtable_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = (SELECT min(o_orderstatus) FROM orders)
+    """,
+)
+def q_txtable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED TABLE (r12, VERDICT r11 #3): orders lands in two
+    hash-stripe commits into a table created with
+    ``partition_by=["o_orderstatus"]`` — the writer keeps every data
+    file single-valued on the spec (``__txp_`` path layout), the spec
+    columns ride stats_cols so each file's min==max tags its
+    partition, and maintenance scopes to one partition
+    (``compact(partition=...)`` here rewrites ONLY that partition's
+    files; the others carry by reference, pinned in-query).  The
+    partition-pruned read opens only the target partition's files
+    (file-count probe, the q_txtable_zorder pattern).  The probe
+    status is DATA-DERIVED (min of the column, computed identically
+    on both sides) — no value literal to go stale on regen.  At
+    100 TB the partition spec is what turns 'z-order the whole table'
+    into 'compact yesterday's partition': maintenance cost ∝ window,
+    never ∝ table."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "partitioned_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    pick = o.agg(F.min("o_orderstatus")).collect()[0][0]
+    stripe = F.pmod(F.xxhash64("o_orderkey"), F.lit(2))
+    t = TxTable.create(
+        spark,
+        root,
+        o.filter(stripe == 0),
+        partition_by=["o_orderstatus"],
+        stats_cols=["o_orderkey"],
+    )
+    t.append(o.filter(stripe == 1))
+    snap = t.snapshot()
+    assert snap.partition_by == ("o_orderstatus",)
+    # layout invariant: every file path carries its partition value
+    assert all("__txp_o_orderstatus=" in f for f in snap.files)
+    # scoped OPTIMIZE: out-of-partition files carry BY REFERENCE
+    untouched = [
+        f for f in snap.files if f"__txp_o_orderstatus={pick}" not in f
+    ]
+    t.compact(target_bytes=1 << 30, partition={"o_orderstatus": pick})
+    after = t.snapshot()
+    assert set(untouched) <= set(after.files), "scoped compact rewrote"
+    # partition-pruned read: opens a strict subset of files, all of
+    # the target partition (min==max stats == partition tag)
+    opened = t.files_in_range("o_orderstatus", pick, pick)
+    assert 0 < len(opened) < len(after.files), (len(opened), len(after.files))
+    assert all(f"__txp_o_orderstatus={pick}" in f for f in opened)
+    # the metadata-only listing covers the whole table
+    parts = t.partitions()
+    assert sum(p["n_rows"] for p in parts) == o.count()
+    return t.read_range("o_orderstatus", pick, pick)
+
+
+@query(
+    "q_txtable_identity",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(c_custkey % 2 AS INTEGER) AS stripe, COUNT(*) AS n
+      FROM customer GROUP BY 1
+    ), n0 AS (SELECT n FROM s WHERE stripe = 0)
+    SELECT stripe,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN stripe = 0 THEN 1
+                ELSE (SELECT n FROM n0) + 1 END AS BIGINT) AS min_id,
+           CAST(CASE WHEN stripe = 0 THEN n
+                ELSE (SELECT n FROM n0) + n END AS BIGINT) AS max_id,
+           CAST(CASE WHEN stripe = 0 THEN n * (n + 1) // 2
+                ELSE ((SELECT n FROM n0) + n) * ((SELECT n FROM n0) + n + 1) // 2
+                     - (SELECT n FROM n0) * ((SELECT n FROM n0) + 1) // 2
+                END AS BIGINT) AS sum_id
+    FROM s
+    """,
+)
+def q_txtable_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMN (r12, VERDICT r11 #5 — Delta GENERATED ALWAYS
+    AS IDENTITY): customer lands in two stripes (even custkeys at
+    create, odd on append) into a table whose ``row_id`` the ENGINE
+    assigns from the manifest high-watermark — per-Spark-partition
+    offset blocks, zero global shuffle.  Ids are dense and contiguous
+    per commit but their row-level placement is partitioning-
+    dependent, so the oracle checks the INVARIANT algebra per stripe:
+    row count, min/max id (block boundaries = cumulative stripe
+    sizes) and the arithmetic-series id sum — all exactly derivable
+    from customer in SQL.  In-query asserts pin the ALWAYS semantics
+    (explicit-value append refuses, committing nothing) and the
+    watermark arithmetic.  At 100 TB this is the surrogate-key
+    assignment an ingest pipeline otherwise hand-rolls with a global
+    row_number() — a full-sort shuffle the watermark design never
+    pays."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "identity_customer")
+    shutil.rmtree(root, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    even = c.filter(F.col("c_custkey") % 2 == 0)
+    odd = c.filter(F.col("c_custkey") % 2 == 1)
+    t = TxTable.create(spark, root, even, identity="row_id")
+    n_even = even.count()
+    assert t.snapshot().identity["next"] == n_even + 1
+    t.append(odd)
+    total = c.count()
+    assert t.snapshot().identity["next"] == total + 1
+    v = t.snapshot().version
+    try:
+        t.append(t.read().limit(1))
+        raise AssertionError("explicit identity value must refuse")
+    except ValueError:
+        pass
+    assert t.snapshot().version == v, "refused write committed nothing"
+    return (
+        t.read()
+        .groupBy(
+            (F.col("c_custkey") % 2).cast("int").alias("stripe")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_id").alias("min_id"),
+            F.max("row_id").alias("max_id"),
+            F.sum("row_id").alias("sum_id"),
+        )
+    )

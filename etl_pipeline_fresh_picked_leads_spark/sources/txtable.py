@@ -159,6 +159,27 @@ class TxSnapshot:
     # (checkpoint) manifest.  0 = this manifest is self-contained on
     # disk.  Purely a storage detail — _commit uses it to decide when
     # the next commit must checkpoint
+    identity: dict | None = None  # identity column (r12, Delta
+    # GENERATED ALWAYS AS IDENTITY): {"col", "start", "step", "next"}.
+    # Declared at CREATE; appends/overwrites auto-assign monotone
+    # BIGINT values from the manifest high-watermark ("next") with
+    # per-partition offsets — no global shuffle; explicit values are
+    # refused (ALWAYS semantics).  "next" only advances (restore
+    # inherits the HEAD's watermark, so restored ids are never
+    # reused); clone carries the source's watermark.  merge/upsert/
+    # replace_* refuse identity tables (the original Delta restriction)
+    # — route inserts through append.
+    partition_by: tuple[str, ...] | None = None  # partition spec
+    # (r12, VERDICT r11 #3): logical column names declared at CREATE.
+    # Partition columns stay IN the data files (reads are untouched —
+    # no Delta-style value re-injection); the WRITER guarantees every
+    # data file holds exactly ONE value tuple (file paths embed
+    # __txp_<phys>=<value> directories) and the columns are forced
+    # into stats_cols, so each file's min==max tags its partition and
+    # the existing stats machinery (read_range, source pushFilters)
+    # prunes partitions for free.  The spec is immutable, rides every
+    # commit like constraints, and scopes compact()/vacuum()
+    # maintenance to one partition.
 
 
 def _manifest_name(version: int) -> str:
@@ -212,13 +233,68 @@ class TxTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         generated: dict[str, str] | None = None,
+        partition_by: list[str] | None = None,
+        identity: "str | dict | None" = None,
     ) -> "TxTable":
         """``generated`` (r10): {col: sql_expr} generation
         expressions, declared at CREATE like Delta's — every later
         write computes omitted generated columns and validates
-        provided ones."""
+        provided ones.
+
+        ``partition_by`` (r12): low-cardinality column(s) every data
+        file must be single-valued on (see TxSnapshot.partition_by).
+        Declared at CREATE only, immutable, and automatically added
+        to ``stats_cols`` so each file's min==max stats tag its
+        partition — partition pruning IS stats pruning.
+
+        ``identity`` (r12): a surrogate-key BIGINT column the engine
+        assigns (Delta ``GENERATED ALWAYS AS IDENTITY``) — a name, or
+        ``{"col": name, "start": 1, "step": 1}``.  The create frame
+        (and every later write) must NOT provide it."""
+        if identity is not None:
+            if isinstance(identity, str):
+                identity = {"col": identity}
+            idn = {
+                "col": identity["col"],
+                "start": int(identity.get("start", 1)),
+                "step": int(identity.get("step", 1)),
+            }
+            if idn["step"] == 0:
+                raise ValueError("identity step must be non-zero")
+            if idn["col"] in df.columns:
+                raise ValueError(
+                    f"identity column {idn['col']!r} is GENERATED ALWAYS"
+                    " — the create frame must not provide it"
+                )
+            if idn["col"] in (generated or {}):
+                raise ValueError(
+                    "a column cannot be both generated and identity"
+                )
+            if idn["col"] in (partition_by or []):
+                raise ValueError(
+                    "an identity column cannot be a partition column"
+                )
+            idn["next"] = idn["start"]
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by column(s) {missing} absent from the "
+                    "create frame"
+                )
+            if set(partition_by) & set(generated or {}):
+                raise ValueError(
+                    "generated columns cannot be partition columns"
+                )
+            stats_cols = list(
+                dict.fromkeys((stats_cols or []) + list(partition_by))
+            )
         t = cls(spark, root, stats_cols=stats_cols)
         t._create_generated = dict(generated) if generated else None
+        t._create_partition_by = (
+            list(partition_by) if partition_by else None
+        )
+        t._create_identity = idn if identity is not None else None
         t.overwrite(df)
         return t
 
@@ -230,20 +306,24 @@ class TxTable:
         table), or — with ``version`` — that exact committed version
         for time travel.  The newest manifest IS the table state —
         there is no separate pointer to get out of sync."""
-        versions = self._versions()
-        if not versions:
-            return None
-        if version is not None:
+        if version is None:
+            # head open: index-hint + forward probe — O(1)-ish in
+            # retained version count (VERDICT r11 #4), no listdir
+            head, m = txlog.head_version_and_manifest(self.log_dir)
+            if m is None:
+                return None
+        else:
+            versions = self._versions()
+            if not versions:
+                return None
             if version not in versions:
                 raise FileNotFoundError(
                     f"version {version} of {self.root} does not exist "
                     f"(live: {versions[0]}..{versions[-1]}; older versions "
                     "may have been vacuumed)"
                 )
-        else:
-            version = versions[-1]
-        # materialized view — delta-form manifests reconstruct here
-        m = txlog.load_manifest(self.log_dir, version)
+            # materialized view — delta-form manifests reconstruct here
+            m = txlog.load_manifest(self.log_dir, version)
         if self.stats_cols is None and m.get("stats_cols"):
             # adopt the table's committed stats policy (see __init__)
             self.stats_cols = list(m["stats_cols"])
@@ -265,6 +345,10 @@ class TxTable:
             generated=m.get("generated"),
             ts=m.get("ts"),
             chain=m.get("chain", 0),
+            partition_by=(
+                tuple(m["partition_by"]) if m.get("partition_by") else None
+            ),
+            identity=m.get("identity"),
         )
 
     def read(
@@ -554,20 +638,171 @@ class TxTable:
 
     # -------------------------------------------------------- commits
 
+    def _partition_spec(
+        self, base: "TxSnapshot | None" = None
+    ) -> list[str] | None:
+        """The table's immutable partition spec (logical names), from
+        the given/current snapshot or — during CREATE, before any
+        manifest exists — the staged create-time spec.  Cached on the
+        handle once resolved from a committed manifest (the spec can
+        never change after CREATE), so per-write resolution costs no
+        extra head-manifest parse on unpartitioned tables."""
+        if base is not None:
+            return (
+                list(base.partition_by) if base.partition_by else None
+            )
+        cached = getattr(self, "_pby_cache", ())
+        if cached != ():
+            return list(cached) if cached else None
+        snap = self.snapshot()
+        if snap is None:
+            return getattr(self, "_create_partition_by", None)
+        spec = list(snap.partition_by) if snap.partition_by else None
+        self._pby_cache = spec
+        return spec
+
+    # ------------------------------------------------ identity columns
+
+    def _identity_of(self, base: "TxSnapshot | None") -> "dict | None":
+        if base is not None and base.identity:
+            return dict(base.identity)
+        staged = getattr(self, "_create_identity", None)
+        return dict(staged) if staged else None
+
+    @staticmethod
+    def _refuse_identity_col(
+        df: DataFrame, idn: "dict | None", op: str
+    ) -> None:
+        """ALWAYS semantics: a write providing the identity column is
+        refused (its values are the watermark's business)."""
+        if idn and idn["col"] in df.columns:
+            raise ValueError(
+                f"{op} cannot provide identity column {idn['col']!r} "
+                "(GENERATED ALWAYS AS IDENTITY); drop it from the frame"
+            )
+
+    def _refuse_identity_op(
+        self, base: "TxSnapshot | None", op: str
+    ) -> None:
+        """merge/upsert/replace_* would need to assign ids to their
+        insert slices mid-plan — refused for now, the restriction the
+        original Delta identity release shipped with.  Route inserts
+        through append()."""
+        if base is not None and base.identity:
+            raise ValueError(
+                f"{op} is not supported on a table with identity "
+                f"column {base.identity['col']!r}; use append/"
+                "overwrite/update/delete"
+            )
+
+    def _assign_identity(
+        self, df: DataFrame, idn: dict
+    ) -> "tuple[DataFrame, int, DataFrame]":
+        """Assign ``next + step*i`` to every incoming row WITHOUT a
+        global shuffle (the Delta high-watermark design): pin the
+        frame, collect per-Spark-partition row counts (dimension-
+        sized), turn them into cumulative offsets, and let an
+        Arrow-batched mapInPandas stamp each partition's contiguous id
+        block in place.  Returns (frame-with-ids, new watermark,
+        the pin to release after the files are written) — the pin is
+        what keeps the partitioning (and so the pid->offset map)
+        stable between the count job and the write job."""
+        col, step, nxt = idn["col"], idn["step"], idn["next"]
+        src = df.persist()
+        counts = (
+            src.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        offs, run = {}, 0
+        for r in sorted(counts, key=lambda r: r["_pid"]):
+            offs[r["_pid"]] = run
+            run += r["n"]
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            [StructField(col, LongType(), False)] + list(src.schema.fields)
+        )
+
+        def assign(it):
+            import numpy as np
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            seen = 0
+            for pdf in it:
+                ids = nxt + step * (
+                    offs.get(pid, 0) + seen + np.arange(len(pdf))
+                )
+                seen += len(pdf)
+                pdf.insert(0, col, ids.astype("int64"))
+                yield pdf
+
+        return src.mapInPandas(assign, out_schema), nxt + step * run, src
+
     def _write_data(
-        self, df: DataFrame, colmap: list[dict] | None = None
+        self,
+        df: DataFrame,
+        colmap: list[dict] | None = None,
+        arrange: bool = True,
     ) -> list[str]:
         """Materialize ``df`` (LOGICAL column names) as a fresh
         immutable commit directory; returns the part-file paths
         (never mutated afterwards).  A non-identity ``colmap`` renames
         to physical columns first so every data file of the table
-        speaks physical names."""
+        speaks physical names.
+
+        On a PARTITIONED table every write path lands here, so the
+        file-per-partition-value invariant is enforced in one place:
+        the partition columns are duplicated under reserved
+        ``__txp_<phys>`` names and the write partitionBys the COPIES —
+        Spark splits files by value (and embeds
+        ``__txp_<phys>=<value>`` path segments the maintenance ops
+        scope by) while the real columns stay in the row data, keeping
+        every read path (colmap, DVs, CDF, the pyarrow source)
+        byte-identical to the unpartitioned case.  With ``arrange``
+        (the default) rows are hash-repartitioned on the partition
+        columns first — write parallelism without breaking
+        single-valuedness (a task holding two values still writes them
+        to separate files); compact passes arrange=False because it
+        already shaped the frame (cluster order, output sizing) and
+        the partitionBy alone enforces the invariant."""
         if not self._is_identity(colmap):
             phys = {c["name"]: c["phys"] for c in colmap}
             df = df.select(
                 *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
             )
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
+        pby = self._partition_spec()
+        if pby:
+            pmap = (
+                {c["name"]: c["phys"] for c in colmap}
+                if not self._is_identity(colmap)
+                else {}
+            )
+            pphys = [pmap.get(c, c) for c in pby]
+            tmp = [f"__txp_{c}" for c in pphys]
+            clash = set(tmp) & set(df.columns)
+            if clash:
+                raise ValueError(
+                    f"column name(s) {sorted(clash)} collide with the "
+                    "reserved __txp_ partition-path prefix"
+                )
+            split = df.select(
+                "*", *[F.col(c).alias(t) for c, t in zip(pphys, tmp)]
+            )
+            if arrange:
+                split = split.repartition(
+                    self.spark.sparkContext.defaultParallelism,
+                    *[F.col(c) for c in pphys],
+                )
+            split.write.mode("error").partitionBy(*tmp).parquet(out)
+            return sorted(
+                os.path.join(dp, n)
+                for dp, _dirs, names in os.walk(out)
+                for n in names
+                if n.endswith(".parquet")
+            )
         df.write.mode("error").parquet(out)
         return sorted(
             os.path.join(out, n)
@@ -585,7 +820,9 @@ class TxTable:
         opens per commit — the Delta per-appId-txn-map idea.  Index
         holes (pre-r11 logs, crash between link and index append)
         heal by materializing that one manifest."""
-        idx = txlog.read_index(self.log_dir, self._versions())
+        # heal=True: this scan runs with write intent (pre-commit
+        # idempotency), the sanctioned place to persist healed lines
+        idx = txlog.read_index(self.log_dir, self._versions(), heal=True)
         return {e["txn"] for e in idx.values() if e.get("txn")}
 
     def has_txn(self, txn: str) -> bool:
@@ -902,6 +1139,7 @@ class TxTable:
         dvs: dict | None = None,
         cdf: list[str] | None = None,
         generated: dict | None = None,
+        identity: dict | None = None,
     ) -> int:
         version = (base.version if base else 0) + 1
         if dropped is None:  # dropped-name history rides every commit
@@ -919,6 +1157,17 @@ class TxTable:
             constraints = base.constraints  # constraints ride every commit
         if generated is None and base is not None:
             generated = base.generated  # generation exprs ride every commit
+        # partition spec: immutable, declared at CREATE, rides every
+        # commit (the create commit picks it off _create_partition_by)
+        partition_by = (
+            list(base.partition_by)
+            if base is not None and base.partition_by
+            else getattr(self, "_create_partition_by", None)
+        )
+        if identity is None:
+            # identity watermark rides every commit; assigning writes
+            # pass the bumped dict explicitly
+            identity = self._identity_of(base)
         if colmap is None and base is not None:
             # column-mapping state rides every commit once materialized
             colmap = self._colmap_or_none(base)
@@ -956,6 +1205,10 @@ class TxTable:
             manifest["constraints"] = constraints
         if generated is not None:
             manifest["generated"] = generated
+        if partition_by:
+            manifest["partition_by"] = partition_by
+        if identity:
+            manifest["identity"] = identity
         if dvs:
             manifest["dvs"] = dvs
         if cdf:
@@ -1005,15 +1258,36 @@ class TxTable:
         base = self.snapshot()
         if txn is not None and txn in self._committed_txns():
             return base.version  # replayed refresh: already applied
+        pby = self._partition_spec(base)
+        if pby:
+            p_missing = [c for c in pby if c not in df.columns]
+            if p_missing:
+                raise ValueError(
+                    f"overwrite cannot drop partition column(s) "
+                    f"{p_missing}; the partition spec is immutable"
+                )
         gen = (
             self._gen_of(base)
             if base is not None
             else getattr(self, "_create_generated", None)
         )
+        idn = self._identity_of(base)
+        self._refuse_identity_col(df, idn, "overwrite")
         df = self._apply_generated(df, gen, "overwrite")
+        pin = None
+        assigned_from = None
+        if idn is not None:
+            # overwrite REPLACES the rows but the watermark stays
+            # monotone (ids are never reused across the replacement)
+            assigned_from = idn["next"]
+            df, idn["next"], pin = self._assign_identity(df, idn)
         self._validate_constraints(df, base, "overwrite")
         cm, retired, max_id = self._overwrite_colmap(base, df.columns)
-        new = self._write_data(df, cm)
+        try:
+            new = self._write_data(df, cm)
+        finally:  # a failed write must not leak the identity pin
+            if pin is not None:
+                pin.unpersist()
         for attempt in range(max_retries + 1):
             try:
                 return self._commit(
@@ -1027,6 +1301,7 @@ class TxTable:
                     retired=retired,
                     max_id=max_id,
                     generated=gen if base is None else None,
+                    identity=idn,
                 )
             except TxConflictError:
                 if attempt == max_retries:
@@ -1034,6 +1309,15 @@ class TxTable:
                 base = self.snapshot()
                 if txn is not None and txn in self._committed_txns():
                     return base.version
+                if idn is not None and (
+                    base is None
+                    or base.identity is None
+                    or base.identity["next"] != assigned_from
+                ):
+                    raise TxConflictError(
+                        f"identity watermark advanced concurrently "
+                        f"under {self.root}; re-invoke overwrite"
+                    ) from None
                 # a racing add_constraint must gate OUR rows too
                 # (append's retry does the same)
                 self._validate_constraints(df, base, "overwrite")
@@ -1094,16 +1378,32 @@ class TxTable:
         attempt in case the conflicting commit was our own replayed
         tag)."""
         base = self.snapshot()
+        idn = self._identity_of(base)
+        self._refuse_identity_col(df, idn, "append")
         df = self._apply_generated(df, self._gen_of(base), "append")
-        self._check_columns(df, base, "append")
+        if idn is None:
+            self._check_columns(df, base, "append")
         if txn is not None and txn in self._committed_txns():
             return base.version if base else 0
+        pin = None
+        assigned_from = None
+        if idn is not None:
+            # ids assigned AFTER the idempotency check (a replay must
+            # not burn watermark); the pin keeps the pid->offset map
+            # stable until the files are written
+            assigned_from = idn["next"]
+            df, idn["next"], pin = self._assign_identity(df, idn)
+            self._check_columns(df, base, "append")
         # AFTER the idempotency check: a replayed batch must no-op even
         # if a constraint added since its first commit would now reject
         # it (has_txn's exactly-once contract; also skips a wasted scan)
         self._validate_constraints(df, base, "append")
         cm = self._colmap_or_none(base)
-        new = self._write_data(df, cm)
+        try:
+            new = self._write_data(df, cm)
+        finally:  # a failed write must not leak the identity pin
+            if pin is not None:
+                pin.unpersist()
         for attempt in range(max_retries + 1):
             carried = list(base.files) if base else []
             schema = (
@@ -1119,6 +1419,7 @@ class TxTable:
                     txn,
                     schema_json=schema,
                     stats=self._merged_stats(base, carried, new, cm),
+                    identity=idn,
                 )
             except TxConflictError:
                 if attempt == max_retries:
@@ -1133,6 +1434,20 @@ class TxTable:
                     # racing schema-evolution commit: our files carry
                     # stale physical names — caller must re-invoke
                     raise
+                if idn is not None and (
+                    base.identity is None
+                    or base.identity["next"] != assigned_from
+                ):
+                    # the racer consumed watermark: our files hold ids
+                    # the new head may already have assigned — a
+                    # re-commit would duplicate the surrogate key.
+                    # Non-commuting, so surface it (the merge/
+                    # replace_where convention): callers re-invoke and
+                    # the fresh attempt assigns from the new watermark.
+                    raise TxConflictError(
+                        f"identity watermark advanced concurrently "
+                        f"under {self.root}; re-invoke append"
+                    ) from None
 
     def _head(self) -> TxSnapshot:
         base = self.snapshot()
@@ -1225,6 +1540,17 @@ class TxTable:
         schema = self._current_schema(base)
         if name not in schema.fieldNames():
             raise KeyError(f"column {name!r} does not exist in {self.root}")
+        if name in (base.partition_by or ()):
+            # the spec is immutable and file paths/stats are keyed on
+            # it — dropping a partition column would orphan the layout
+            raise ValueError(
+                f"cannot drop partition column {name!r}; the partition "
+                "spec is immutable"
+            )
+        if base.identity and name == base.identity["col"]:
+            raise ValueError(
+                f"cannot drop identity column {name!r}"
+            )
         remaining = StructType([f for f in schema.fields if f.name != name])
         if not remaining.fields:
             raise ValueError("cannot drop the last remaining column")
@@ -1293,6 +1619,19 @@ class TxTable:
         if new in schema.fieldNames():
             raise ValueError(
                 f"cannot rename {old!r} to {new!r}: target exists"
+            )
+        if old in (base.partition_by or ()):
+            # the spec names LOGICAL columns and path segments key the
+            # PHYSICAL name: a rename would desynchronize both; Delta
+            # refuses partition-column renames under column mapping's
+            # default too
+            raise ValueError(
+                f"cannot rename partition column {old!r}; the partition "
+                "spec is immutable"
+            )
+        if base.identity and old == base.identity["col"]:
+            raise ValueError(
+                f"cannot rename identity column {old!r}"
             )
         cm, retired, max_id = self._materialized_colmap(base)
         cm = [
@@ -2275,6 +2614,12 @@ class TxTable:
         updated."""
 
         self._refuse_generated_targets(set_map, "update")
+        _idn = self._identity_of(self.snapshot())
+        if _idn and _idn["col"] in set_map:
+            raise ValueError(
+                f"update cannot set identity column {_idn['col']!r} "
+                "(GENERATED ALWAYS AS IDENTITY)"
+            )
 
         def transform(hit: DataFrame) -> DataFrame:
             for col_name, value in set_map.items():
@@ -2527,6 +2872,7 @@ class TxTable:
         per commit' holds.  Returns the committed version."""
         batch = batch.dropDuplicates([key])
         base = self.snapshot()
+        self._refuse_identity_op(base, "upsert")
         batch = self._apply_generated(
             batch, self._gen_of(base), "upsert"
         )
@@ -2757,6 +3103,7 @@ class TxTable:
         base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
+        self._refuse_identity_op(base, "merge")
         if txn is not None and txn in self._committed_txns():
             return {
                 "updated": 0,
@@ -3080,6 +3427,7 @@ class TxTable:
             base = self.snapshot()
         if base is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
+        self._refuse_identity_op(base, "replace_where")
         if txn is not None and txn in self._committed_txns():
             return {"deleted": 0, "inserted": 0, "version": base.version}
         df = self._apply_generated(
@@ -3216,12 +3564,104 @@ class TxTable:
                 )
         return key
 
+    # ------------------------------------------------ partition spec
+
+    @staticmethod
+    def _path_partition_values(path: str, cols: list) -> "dict | None":
+        """Parse the ``__txp_<col>=<value>`` path segments the
+        partitioned writer embeds.  Values come back as the STRINGS
+        Spark wrote (ints/dates serialize canonically; %-escapes are
+        unquoted); None for the Hive null marker.  Returns None when
+        any segment is absent (not a partitioned-layout file)."""
+        from urllib.parse import unquote
+
+        segs = path.split(os.sep)
+        out = {}
+        for c in cols:
+            pref = f"__txp_{c}="
+            seg = next((s for s in segs if s.startswith(pref)), None)
+            if seg is None:
+                return None
+            raw = unquote(seg[len(pref):])
+            out[c] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+        return out
+
+    def _partition_filter(
+        self, partition: dict, base: "TxSnapshot | None" = None
+    ) -> dict:
+        """Validate a ``{col: value}`` maintenance scope against the
+        table's spec.  Values match by their canonical string form
+        (what Spark wrote into the path): str/int/date round-trip
+        exactly; None selects the null partition."""
+        spec = self._partition_spec(base)
+        if not spec:
+            raise ValueError(
+                f"table {self.root} has no partition spec; "
+                "create(partition_by=...) declares one"
+            )
+        bad = sorted(set(partition) - set(spec))
+        if bad:
+            raise ValueError(
+                f"unknown partition column(s) {bad}; spec is {spec}"
+            )
+        return dict(partition)
+
+    def _file_in_partition(self, path: str, partition: dict) -> bool:
+        vals = self._path_partition_values(path, list(partition))
+        if vals is None:
+            return False
+        for c, want in partition.items():
+            got = vals[c]
+            if want is None:
+                if got is not None:
+                    return False
+            elif got is None or str(want) != got:
+                return False
+        return True
+
+    def partitions(self) -> list[dict]:
+        """Distinct partition value tuples of the head snapshot with
+        file/row counts — METADATA-only (parsed from file paths +
+        manifest stats, no data scan), the operational listing that
+        scopes maintenance windows (``compact(partition=...)``,
+        ``vacuum(partition=...)``).  Values are the canonical strings
+        the writer embedded in paths."""
+        base = self._head()
+        spec = self._partition_spec(base)
+        if not spec:
+            raise ValueError(f"table {self.root} has no partition spec")
+        agg: dict = {}
+        for f in base.files:
+            vals = self._path_partition_values(f, spec)
+            key = (
+                tuple(sorted(vals.items())) if vals is not None else None
+            )
+            e = agg.setdefault(key, {"n_files": 0, "n_rows": 0})
+            e["n_files"] += 1
+            st = (base.stats or {}).get(f)
+            if e["n_rows"] is not None and st and st.get("rows") is not None:
+                e["n_rows"] += st["rows"]
+            else:
+                e["n_rows"] = None  # unknown for any file -> unknown
+        out = []
+
+        def _order(k):  # None (unknown layout) last; null values last
+            if k is None:
+                return (1, [])
+            return (0, [(c, v is None, v or "") for c, v in k])
+
+        for key in sorted(agg, key=_order):
+            vals = dict(key) if key is not None else {c: None for c in spec}
+            out.append({**{c: vals.get(c) for c in spec}, **agg[key]})
+        return out
+
     def compact(
         self,
         target_bytes: int = 128 << 20,
         small_frac: float = 0.5,
         cluster_by: list[str] | None = None,
         zorder: bool = False,
+        partition: dict | None = None,
     ) -> int:
         """OPTIMIZE: coalesce small files into ~``target_bytes``
         outputs (the small-file problem every streaming-append table
@@ -3259,11 +3699,18 @@ class TxTable:
         Content-neutral, so a lost manifest race retries the whole
         rewrite against the fresh snapshot (orphaned data files from
         the lost attempt are vacuum's job, same as any dead version).
+
+        ``partition`` (r12): scope the rewrite to one partition of a
+        partitioned table (``{col: value}``, a subset of the spec
+        columns) — files outside it carry by reference untouched, so
+        maintenance runs per partition window as PLANS.md's z-order
+        row prescribes, instead of whole-table.  Composes with
+        ``cluster_by`` (clustering WITHIN the partition).
         """
         for attempt in range(3):
             try:
                 return self._compact_once(
-                    target_bytes, small_frac, cluster_by, zorder
+                    target_bytes, small_frac, cluster_by, zorder, partition
                 )
             except TxConflictError:
                 if attempt == 2:
@@ -3275,6 +3722,7 @@ class TxTable:
         small_frac: float,
         cluster_by: list[str] | None,
         zorder: bool = False,
+        partition: dict | None = None,
     ) -> int:
         base = self.snapshot()
         if base is None:
@@ -3284,11 +3732,19 @@ class TxTable:
             # _read_files([]) would raise on a pathless scan
             return base.version
         cm = self._colmap_or_none(base)
+        scope = list(base.files)
+        out_of_scope: list[str] = []
+        if partition is not None:
+            pf = self._partition_filter(partition, base)
+            scope = [f for f in base.files if self._file_in_partition(f, pf)]
+            out_of_scope = [f for f in base.files if f not in set(scope)]
+            if not scope:
+                return base.version  # empty partition: nothing to do
         if cluster_by:
-            total = sum(os.path.getsize(f) for f in base.files)
+            total = sum(os.path.getsize(f) for f in scope)
             n_out = max(1, -(-total // target_bytes))  # ceil
             full = self._read_files(
-                list(base.files), base.schema_json, cm, dvs=self._dvs_of(base)
+                scope, base.schema_json, cm, dvs=self._dvs_of(base)
             )
             if zorder and len(cluster_by) >= 2:
                 keyed = full.withColumn(
@@ -3303,12 +3759,12 @@ class TxTable:
                 packed = full.repartitionByRange(
                     n_out, *cluster_by
                 ).sortWithinPartitions(*cluster_by)
-            survivors: list[str] = []
-            small = list(base.files)
+            survivors: list[str] = out_of_scope
+            small = scope
         else:
             small = [
                 f
-                for f in base.files
+                for f in scope
                 if os.path.getsize(f) < target_bytes * small_frac
             ]
             if len(small) < 2:
@@ -3317,9 +3773,27 @@ class TxTable:
             n_out = max(1, -(-total // target_bytes))  # ceil
             packed = self._read_files(
                 small, base.schema_json, cm, dvs=self._dvs_of(base)
-            ).repartition(n_out)
+            )
+            spec = self._partition_spec(base)
+            if spec is None or (
+                partition is not None and set(partition) == set(spec)
+            ):
+                # unpartitioned, or scoped to ONE fully-named
+                # partition (single value): free repartition keeps the
+                # target output sizing
+                packed = packed.repartition(n_out)
+            else:
+                # partitioned but spanning values: repartition ON the
+                # spec so the partitionBy writer emits ~one file per
+                # value instead of n_out x values
+                packed = packed.repartition(
+                    n_out, *[F.col(c) for c in spec]
+                )
             survivors = [f for f in base.files if f not in set(small)]
-        new = self._write_data(packed, cm)
+        # arrange=False: compact already shaped the frame (cluster
+        # order / output sizing); the writer's partitionBy alone
+        # enforces file-per-value on partitioned tables
+        new = self._write_data(packed, cm, arrange=False)
         return self._commit(
             survivors + new,
             "compact",
@@ -3424,6 +3898,14 @@ class TxTable:
             else (list(self.stats_cols) if self.stats_cols else None)
         )
         out = TxTable(self.spark, new_root, stats_cols=clone_stats)
+        if base.partition_by:
+            # the spec rides _commit's create-path resolution (r12);
+            # cloned file paths already embed the __txp_ segments
+            out._create_partition_by = list(base.partition_by)
+        if base.identity:
+            # the clone starts at the source's watermark — ids keep
+            # advancing, never collide with cloned rows
+            out._create_identity = dict(base.identity)
         cm, retired, max_id = (
             (list(base.colmap), list(base.retired), base.max_id)
             if base.colmap is not None
@@ -3484,6 +3966,7 @@ class TxTable:
         min_age_seconds: float = 3600.0,
         force: bool = False,
         retain_hours: float | None = None,
+        partition: dict | None = None,
     ) -> list[str]:
         """Delete data files unreferenced by the newest ``retain``
         manifests and drop older manifests.  ``retain_hours`` (r10)
@@ -3509,10 +3992,22 @@ class TxTable:
         deleted — TxCloneFateError names the clone; ``force=True``
         overrides (the Delta behavior, where this is silent data
         loss).  ``compact()`` the clone to re-materialize it onto its
-        own files, or delete the clone, then vacuum."""
+        own files, or delete the clone, then vacuum.
+
+        ``partition`` (r12): bound THIS pass's file deletion to one
+        partition of a partitioned table — the per-window maintenance
+        shape.  Manifest retention stays table-global (the log is one
+        sequence); files of other partitions left behind stay
+        unreferenced and any later (unscoped or differently-scoped)
+        vacuum collects them."""
         import shutil
         import time
 
+        pf = (
+            self._partition_filter(partition)
+            if partition is not None
+            else None
+        )
         versions = self._versions()
         if not versions:
             return []
@@ -3559,9 +4054,12 @@ class TxTable:
         if os.path.isdir(self.data_dir):
             for commit_dir in os.listdir(self.data_dir):
                 cdir = os.path.join(self.data_dir, commit_dir)
+                # recursive: partitioned commit dirs nest files under
+                # __txp_<col>=<value>/ segments
                 members = {
-                    os.path.join(cdir, n)
-                    for n in os.listdir(cdir)
+                    os.path.join(dp, n)
+                    for dp, _dirs, names in os.walk(cdir)
+                    for n in names
                     if n.endswith(".parquet")
                 }
                 if members and not (members & referenced):
@@ -3584,9 +4082,30 @@ class TxTable:
                         continue  # raced with its own writer/cleaner
                     if age < min_age_seconds:
                         continue  # possibly a staged-but-uncommitted write
+                    if pf is not None:
+                        matching = {
+                            m
+                            for m in members
+                            if self._file_in_partition(m, pf)
+                        }
+                        if not matching:
+                            continue  # out of this pass's window
+                        if matching != members:
+                            # mixed-partition commit dir: delete only
+                            # the in-scope files; the dir (and the
+                            # rest) falls to a later pass
+                            doomed.append((None, matching))
+                            continue
                     doomed.append((cdir, members))
         for cdir, members in doomed:
-            shutil.rmtree(cdir)
+            if cdir is None:
+                for m in sorted(members):
+                    try:
+                        os.unlink(m)
+                    except OSError:
+                        continue
+            else:
+                shutil.rmtree(cdir)
             removed.extend(sorted(members))
         keep_set = set(keep_versions)
         for v in versions:

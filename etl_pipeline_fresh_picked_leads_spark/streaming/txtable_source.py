@@ -632,6 +632,16 @@ class TxTableDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType) -> _TxBatchReader:
+        if "labels" in self.options:
+            # ADVICE r11: only the STREAMING change feed honors label
+            # shaping; silently ignoring it here would let a batch
+            # consumer believe it got four-label output.  Batch users
+            # of labeled changes go through TxTable.read_changes(...)
+            raise ValueError(
+                "txtable: the 'labels' option applies to streaming "
+                "readChangeFeed only; for labeled batch changes use "
+                "TxTable.read_changes(labels=...)"
+            )
         pushdown = str(self.options.get("pushdown", "true")).lower()
         cls = (
             _TxBatchReader
@@ -767,10 +777,9 @@ def _write_task(root: str, schema: StructType, iterator, colmap=None):
 
 
 def _head_version_and_manifest(log_dir: str):
-    vs = _versions(log_dir)
-    if not vs:
-        return 0, None
-    return vs[-1], _manifest(log_dir, vs[-1])
+    # index-hint + forward-probe head discovery (txlog, VERDICT r11
+    # #4) — flat in retained version count, listdir only as fallback
+    return txlog.head_version_and_manifest(log_dir)
 
 
 def _sink_guards(
@@ -800,6 +809,22 @@ def _sink_guards(
             f"txtable {op}: target declares generated columns, which "
             "this sink cannot compute/validate — use foreachBatch + "
             "TxTable.append"
+        )
+    if m.get("partition_by"):
+        # r12: the file-per-partition-value layout invariant needs the
+        # engine's partitioned writer; Arrow tasks here write one
+        # unsplit file per Spark partition
+        raise ValueError(
+            f"txtable {op}: target is partitioned "
+            f"({m['partition_by']}), which this sink cannot lay out — "
+            "use foreachBatch + TxTable.append"
+        )
+    if m.get("identity"):
+        # r12: id assignment needs the engine's watermark bookkeeping
+        raise ValueError(
+            f"txtable {op}: target has identity column "
+            f"{m['identity']['col']!r}, which this sink cannot assign "
+            "— use foreachBatch + TxTable.append"
         )
     if m.get("colmap") is not None and not check_schema:
         # overwrite replaces the schema: the retired-name fence and
