@@ -112,6 +112,16 @@ HEADLINE = [
     # headline like the rest of the J-tier — micro-batch startup
     # would dominate the measurement)
     "q_txtable_replace_range",
+    # r12: partitioned layout (split writer + scoped OPTIMIZE + pruned
+    # read), watermark identity assignment (two pinned-partition
+    # passes, no global shuffle), and the composed exact->LSH->CC
+    # dedup pipeline (the end-to-end curation entry point)
+    "q_txtable_partitioned",
+    "q_txtable_identity",
+    "q_dedup_pipeline",
+]
+_R12_ADDITIONS = [
+    "q_txtable_partitioned", "q_txtable_identity", "q_dedup_pipeline",
 ]
 
 # The BENCH_r01 query set — a FIXED cross-round subtotal (VERDICT r8
@@ -127,10 +137,10 @@ BASELINE15 = [
     "q_win_running",
 ]
 
-# Last round's headline set (BENCH_r10), for the other fixed
+# Last round's headline set (BENCH_r11), for the other fixed
 # comparison: common_prev_total isolates "did anything we both ran
 # get slower" from "we added 3 expensive new queries".
-PREV_HEADLINE = [q for q in HEADLINE if q != "q_txtable_replace_range"]
+PREV_HEADLINE = [q for q in HEADLINE if q not in _R12_ADDITIONS]
 
 # Fixed TxTable-tier subtotal (VERDICT r9 #7): the transactional tier
 # is the fastest-growing slice of the headline; like BASELINE15 this
@@ -176,6 +186,7 @@ def build_outputs(
         "total_single_shot": total,
         "total_steady": total_steady,
         "canary": "q_agg_group",
+        "canary_kind": "steady_min_of_3",  # r12: one extra canary run
         "canary_steady_sec": canary,
         "canary_single_shot_sec": timings.get("q_agg_group"),
         "errors": errors,
@@ -192,13 +203,12 @@ def build_outputs(
         # sum(queries) intentionally no longer equals `value`.
         "queries_kind": "steady_min_of_2",
         "queries": {q: round(t, 2) for q, t in steady.items()},
-        # `value` IS the single-shot total; the explicit alias keeps
-        # cross-round comparisons unambiguous now that cache-lifetime
-        # changes can move steady and single-shot independently
-        # (VERDICT r7 item 7).
-        "total_single_shot": total,
+        # r12 size diet (the 50-query map pushed the worst case past
+        # the 1.5 KB budget): `value` IS the single-shot total and the
+        # canary is q_agg_group min-of-3 — both documented here and in
+        # BENCH_DETAIL.json (which keeps every dropped alias:
+        # total_single_shot, canary name, canary_kind, n_queries).
         "total_steady": total_steady,
-        "canary": "q_agg_group",
         "canary_sec": canary,
         "total_normalized": (
             round(total_steady / canary, 3) if canary else None
@@ -214,7 +224,6 @@ def build_outputs(
         "txtable_total": round(
             sum(steady.get(q, 0.0) for q in TXTABLE_TIER), 3
         ),
-        "n_queries": len(steady),
         "n_errors": len(errors),
         "sf": sf,
     }
@@ -239,7 +248,10 @@ def main() -> None:
     for qid in HEADLINE:
         try:
             runs = []
-            for _ in range(2):
+            # canary min-of-3 (VERDICT r11 #7): every normalized figure
+            # divides by the canary, so its own noise multiplies into
+            # all of them — one extra run tightens the denominator
+            for _ in range(3 if qid == "q_agg_group" else 2):
                 t0 = time.time()
                 QUERIES[qid](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
