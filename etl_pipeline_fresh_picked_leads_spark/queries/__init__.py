@@ -126,6 +126,11 @@ _DRIVER_WINDOW = [
     "q_tpch_q11", "q_tpch_q15",
     # round-12 new queries (appended as they land; 5 slots)
     "q_txtable_partitioned", "q_txtable_identity", "q_dedup_pipeline",
+    # the 2 spare slots go to the r8-stale queries most adjacent to
+    # this round's churn: compact's write path gained the
+    # arrange=False/partition plumbing (zorder exercises the
+    # cluster_by branch) and vacuum's member listing went recursive
+    "q_txtable_zorder", "q_txtable_vacuum",
 ]
 
 
