@@ -205,3 +205,51 @@ def test_identity_sink_guard_refuses(spark, tmp_path):
     m = txlog.load_manifest(t.log_dir, t.snapshot().version)
     with pytest.raises(ValueError, match="identity"):
         _sink_guards(m, t.read().drop("row_id").schema, "append")
+
+
+def test_streaming_prepared_sink_assigns_ids_exactly_once(
+    spark, tmp_path
+):
+    """txtable_sink_prepared into an identity+partitioned table: the
+    engine-assisted append assigns watermark ids per micro-batch and
+    the content-fingerprint txn makes checkpoint-loss replay no-op
+    BEFORE any watermark is burned — ids stay dense and unique."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.sinks import (
+        txtable_sink_prepared,
+    )
+
+    root = str(tmp_path / "t")
+    landing = str(tmp_path / "landing")
+    base_df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        F.lit("seed").alias("v"),
+    )
+    t = TxTable.create(
+        spark, root, base_df, identity="row_id", partition_by=["p"]
+    )
+    inc = spark.range(40, 70).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        F.lit("inc").alias("v"),
+    )
+    inc.coalesce(1).write.parquet(landing)
+
+    def drain(chk):
+        q = txtable_sink_prepared(
+            spark.readStream.schema(inc.schema).parquet(landing),
+            spark,
+            root,
+            str(tmp_path / chk),
+        )
+        assert q.awaitTermination(300)
+
+    drain("chk1")
+    v1 = t.snapshot().version
+    wm1 = t.snapshot().identity["next"]
+    drain("chk2")  # checkpoint loss: same content replays
+    assert t.snapshot().version == v1, "replay must no-op"
+    assert t.snapshot().identity["next"] == wm1, "replay burned ids"
+    ids = [r.row_id for r in t.read().collect()]
+    assert sorted(ids) == list(range(1, 71))
+    assert all("__txp_p=" in f for f in t.snapshot().files)
