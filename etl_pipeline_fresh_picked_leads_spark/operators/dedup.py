@@ -827,23 +827,42 @@ def incremental_lsh_pairs(
     so at-least-once redelivery cannot duplicate signature rows (a
     doc_id-only column scan of the index — cheap next to the banding
     join that already read the full index this batch).
+
+    Hot-bucket protection (r12): the BATCH side collapses identical
+    shingle sets before banding (same as _lsh_pairs_from_base), so a
+    boilerplate pile arriving in one batch contributes ONE banding row
+    instead of quadratic within-batch candidates; member pairs
+    re-expand in the output.  The INDEX side stays one row per doc —
+    its pairs against a batch rep are output-sized (they ARE the
+    reported near-dups), never a pre-verification blowup.  Collapsing
+    the index itself would shuffle the stored shingle arrays every
+    batch; the scale-right form there is storing the index collapsed
+    (one row per distinct set + members), noted in PLANS.md as the
+    next step if boilerplate-heavy indexes show up in practice.
     """
     from ..sources.txtable import TxTable
 
     spark = new_docs.sparkSession
+    own: list = pins if pins is not None else []
     new_base = minhash_signatures(new_docs, n).persist()
     new_base.count()
-    if pins is not None:  # caller releases once downstream materialized
-        pins.append(new_base)
+    own.append(new_base)
     new_ids = new_base.select("doc_id")
+
+    # batch-side collapse: reps_new is (doc_id=rep, sh, sig), one row
+    # per distinct set; members_new maps every batch doc to its rep
+    reps_new, members_new = _collapse_groups(new_base, pins=own)
+    reps_side = reps_new.select(
+        "doc_id", F.col("sh").alias("shingles"), "sig"
+    )
 
     if TxTable.is_table(index_root):
         old_base = TxTable(spark, index_root).read().join(
             F.broadcast(new_ids), "doc_id", "left_anti"
         )
-        all_base = new_base.unionByName(old_base)
+        all_side = reps_side.unionByName(old_base)
     else:
-        all_base = new_base
+        all_side = reps_side
 
     def bands_of(df: DataFrame) -> DataFrame:
         return df.filter(F.size("shingles") > 0).select(
@@ -864,9 +883,10 @@ def incremental_lsh_pairs(
             ).alias("key"),
         )
 
-    nb, ab = bands_of(new_base).alias("a"), bands_of(all_base).alias("b")
-    # one side restricted to the batch: candidate generation cost is
-    # O(batch bands + matching corpus bands), never corpus x corpus
+    nb, ab = bands_of(reps_side).alias("a"), bands_of(all_side).alias("b")
+    # one side restricted to the batch's distinct sets: candidate
+    # generation cost is O(batch-distinct bands + matching corpus
+    # bands), never corpus x corpus (and never batch-clone^2)
     candidates = (
         nb.join(
             ab,
@@ -879,8 +899,43 @@ def incremental_lsh_pairs(
         )
         .distinct()
     )
-    doc_sh = all_base.select("doc_id", F.col("shingles").alias("sh"))
-    pairs = verify_jaccard(candidates, doc_sh, threshold)
+    doc_sh = all_side.select("doc_id", F.col("shingles").alias("sh"))
+    rep_pairs = verify_jaccard(candidates, doc_sh, threshold)
+
+    # re-expand batch reps into their members (an endpoint that is not
+    # a batch rep — an index doc — expands to itself); identical sets
+    # share one signature, so rep-level collisions and jaccards ARE
+    # the member-level ones (see _lsh_pairs_from_base).
+    ma = members_new.select(
+        F.col("rep_id").alias("ra"), F.col("doc_id").alias("da")
+    )
+    mb = members_new.select(
+        F.col("rep_id").alias("rb"), F.col("doc_id").alias("db")
+    )
+    expanded = (
+        rep_pairs.join(ma, F.col("doc_id_a") == F.col("ra"), "left")
+        .withColumn("ea", F.coalesce("da", "doc_id_a"))
+        .drop("ra", "da")
+        .join(mb, F.col("doc_id_b") == F.col("rb"), "left")
+        .withColumn("eb", F.coalesce("db", "doc_id_b"))
+        .drop("rb", "db")
+        .select(
+            F.least("ea", "eb").alias("doc_id_a"),
+            F.greatest("ea", "eb").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    x, y = members_new.alias("x"), members_new.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_id_a"),
+        F.col("y.doc_id").alias("doc_id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    pairs = expanded.unionByName(within)
 
     if update_index:
         if not TxTable.is_table(index_root):
@@ -895,4 +950,8 @@ def incremental_lsh_pairs(
                 tbl.read().select("doc_id"), "doc_id", "left_anti"
             )
         tbl.append(to_add, txn=txn)
+    if pins is None:
+        from . import checkpoint_release
+
+        return checkpoint_release(pairs, own)
     return pairs

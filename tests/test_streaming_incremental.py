@@ -85,3 +85,56 @@ def test_stream_incremental_replay_is_exactly_once(spark):
     n_docs = read_table(spark, SF_SMALL, "documents").count()
     assert sig.count() == n_docs
     assert sig.select("doc_id").distinct().count() == n_docs
+
+
+def test_incremental_hot_batch_collapses_and_matches_full_run(
+    spark, tmp_path
+):
+    """r12 hot-bucket protection on the incremental path: a verbatim
+    clone pile arriving in ONE batch bands as a single representative
+    row (the batch side collapses identical shingle sets), and the
+    emitted pairs are still exactly the full-corpus run restricted to
+    pairs touching the batch — including every clone pair at jaccard
+    1.0 re-expanded from the collapse."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+    from etl_pipeline_fresh_picked_leads_spark.sources.readers import (
+        read_table,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    boiler = (
+        "cloned boilerplate arriving as one hot batch in the "
+        "incremental pipeline"
+    )
+    clones = spark.range(500000, 500200).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(clones)
+    incremental_lsh_pairs(b1, root, 0.5)
+    got = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in incremental_lsh_pairs(b2, root, 0.5).collect()
+    }
+    full = minhash_lsh_pairs(docs.unionByName(clones), 0.5)
+    b2_ids = {r.doc_id for r in b2.select("doc_id").collect()}
+    want = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in full.collect()
+        if r.doc_id_a in b2_ids or r.doc_id_b in b2_ids
+    }
+    assert got == want
+    # every clone pair present at exactly 1.0
+    clone_pairs = {
+        p for p in got if p[0] >= 500000 and p[1] >= 500000
+    }
+    assert len(clone_pairs) == 200 * 199 // 2
+    assert all(p[2] == 1.0 for p in clone_pairs)
