@@ -229,3 +229,33 @@ def test_string_partition_values_roundtrip(spark, tmp_path):
         partition={"region": "north region"},
     )
     assert all("__txp_region=" in f for f in removedk)
+
+
+def test_merge_and_dv_paths_keep_layout(spark, tmp_path):
+    """Every write path lands in _write_data, so merge rewrites and
+    update_dv's new files keep the file-per-partition-value layout."""
+    t = _mk(spark, tmp_path, stats_cols=["k"])
+    assert t.delete_dv(F.col("k") == 10) == 1
+    assert t.update_dv(F.col("k") == 11, {"v": F.lit("U")}) == 1
+    t.merge(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("p"),
+            F.lit("m").alias("v"),
+        ),
+        on="k",
+        update={"v": F.col("s.v")},
+    )
+    t.purge_dvs(min_deleted_frac=0.0)
+    snap = t.snapshot()
+    assert all("__txp_p=" in f for f in snap.files)
+    per_file = (
+        t.read()
+        .withColumn("_fp", F.col("_metadata.file_path"))
+        .groupBy("_fp")
+        .agg(F.count_distinct("p").alias("nv"))
+        .collect()
+    )
+    assert per_file and all(r.nv == 1 for r in per_file)
+    assert t.read().count() == 299
+    assert t.read().filter(F.col("k") == 4).first().v == "m"
