@@ -200,10 +200,12 @@ def test_bucketed_join_query_has_zero_exchanges(spark):
 
 
 def test_incremental_dedup_shuffle_budget(spark):
-    """Batch-vs-index LSH: band-key join + jaccard verify = 3
-    exchanges on the BATCH side only; the signature index joins in
-    without ever re-reading corpus text, and the small batch side
-    broadcasts.  No Python anywhere (JVM minhash folds)."""
+    """Batch-vs-index LSH: band-key join + jaccard verify + the r12
+    batch-side identical-set collapse (one window shuffle on the
+    sorted shingle key + the member re-expansion) = 5 exchanges, all
+    on the BATCH side; the signature index joins in without ever
+    re-reading corpus text, and the small batch side broadcasts.  No
+    Python anywhere (JVM minhash folds + array_sort collapse)."""
     # pin the OPERATOR plan (the r6 query wraps it in an exact-pairs
     # contract join whose ngram side has its own plan)
     import hashlib
@@ -225,16 +227,21 @@ def test_incremental_dedup_shuffle_budget(spark):
     TxTable.create(
         spark, root, minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0))
     )
+    pins = []  # caller-owned caches: keeps the returned plan lazy
+    # (pins=None eagerly checkpoints, which would hide the plan)
     df = incremental_lsh_pairs(
         docs.filter(F.col("doc_id") % 5 == 0),
         root,
         threshold=0.5,
         update_index=False,
+        pins=pins,
     )
     plan = formatted_plan(df)
-    assert n_exchanges(df) <= 3, plan
+    assert n_exchanges(df) <= 5, plan
     assert has_broadcast_join(df)
     assert "Python" not in plan and "Arrow" not in plan
+    for p in pins:
+        p.unpersist()
 
 
 def test_ivf_join_final_plan_single_shuffle(spark):
