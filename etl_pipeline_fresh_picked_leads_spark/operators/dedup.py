@@ -240,12 +240,23 @@ def _collapse_groups(
     keyed = base.filter(F.size("shingles") > 0).select(
         "doc_id", F.array_sort("shingles").alias("gk"), "sig"
     )
-    assigned = keyed.select(
-        "doc_id",
-        F.min("doc_id").over(Window.partitionBy("gk")).alias("rep_id"),
-        "gk",
-        "sig",
-    ).persist()
+    # window key = (hash, array): grouping is EXACT (the array rides
+    # the key), but the window sort compares the 8-byte hash first and
+    # touches the array only on hash ties — i.e. on true duplicates,
+    # which need the full compare anyway.  Sorting by the raw array
+    # alone costs O(|shingles|) comparisons per row pair.
+    assigned = (
+        keyed.withColumn("gkh", F.xxhash64("gk"))
+        .select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy("gkh", "gk"))
+            .alias("rep_id"),
+            "gk",
+            "sig",
+        )
+        .persist()
+    )
     assigned.count()  # self-joined downstream — must hit the cache
     if pins is not None:
         pins.append(assigned)
