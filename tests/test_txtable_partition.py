@@ -259,3 +259,31 @@ def test_merge_and_dv_paths_keep_layout(spark, tmp_path):
     assert per_file and all(r.nv == 1 for r in per_file)
     assert t.read().count() == 299
     assert t.read().filter(F.col("k") == 4).first().v == "m"
+
+
+def test_compact_partition_composes_with_zorder_clustering(spark, tmp_path):
+    """Per-window OPTIMIZE ZORDER (the PLANS.md maintenance shape):
+    clustering scoped to one partition rewrites only that partition's
+    files, sorted on the cluster key, and range reads on the clustered
+    column prune files WITHIN the partition."""
+    t = _mk(spark, tmp_path, stats_cols=["k"])
+    t.append(_df(spark, 300, 600))
+    t.append(_df(spark, 600, 900))
+    before = t.snapshot()
+    untouched = [f for f in before.files if "__txp_p=2" not in f]
+    sz = sum(os.path.getsize(f) for f in before.files if "__txp_p=2" in f)
+    t.compact(
+        target_bytes=max(1, sz // 3),
+        cluster_by=["k"],
+        partition={"p": 2},
+    )
+    after = t.snapshot()
+    assert set(untouched) <= set(after.files), "out-of-window rewritten"
+    p2 = [f for f in after.files if "__txp_p=2" in f]
+    assert len(p2) >= 2, "clustering should split the partition"
+    # clustered: a k-range read inside p=2 opens a strict subset
+    opened = [
+        f for f in t.files_in_range("k", 2, 50) if "__txp_p=2" in f
+    ]
+    assert 0 < len(opened) < len(p2), (len(opened), len(p2))
+    assert t.read().count() == 900
