@@ -306,6 +306,61 @@ def _band_candidates(reps: DataFrame) -> DataFrame:
     )
 
 
+def _expand_member_pairs(
+    rep_pairs: DataFrame, members: DataFrame
+) -> DataFrame:
+    """Rep-level verified pairs -> member pairs.  Cross-group: every
+    member of rep_a x every member of rep_b, jaccard inherited from
+    the verified rep pair (identical sets; member ids can interleave
+    across groups -> least/greatest).  Within-group: identical sets,
+    jaccard exactly 1.0 — matching what a per-doc verify join computes
+    for them.  Output-sized by necessity (the members of a clone group
+    ARE pairwise near-dups); singleton groups self-join to nothing."""
+    rp = rep_pairs.select(
+        F.col("doc_id_a").alias("rep_a"),
+        F.col("doc_id_b").alias("rep_b"),
+        "jaccard",
+    )
+    ma = members.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rp.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_id_a"),
+            F.greatest("da", "db").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_id_a"),
+        F.col("y.doc_id").alias("doc_id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(within)
+
+
+def _lsh_pairs_from_reps(
+    reps: DataFrame, members: DataFrame, threshold: float
+) -> DataFrame:
+    """Banding + exact verification at REP granularity, member pairs
+    re-expanded in the output projection."""
+    candidates = _band_candidates(reps)
+    rep_pairs = verify_jaccard(
+        candidates, reps.select("doc_id", "sh"), threshold
+    )
+    return _expand_member_pairs(rep_pairs, members)
+
+
 def _lsh_pairs_from_base(
     base: DataFrame, threshold: float, pins: list | None = None
 ) -> DataFrame:
@@ -326,49 +381,7 @@ def _lsh_pairs_from_base(
     """
     own_pins = pins if pins is not None else []
     reps, members = _collapse_groups(base, pins=own_pins)
-    candidates = _band_candidates(reps)
-    rep_pairs = verify_jaccard(
-        candidates,
-        reps.select("doc_id", "sh"),
-        threshold,
-    ).select(
-        F.col("doc_id_a").alias("rep_a"),
-        F.col("doc_id_b").alias("rep_b"),
-        "jaccard",
-    )
-    # cross-group expansion: every member of rep_a x every member of
-    # rep_b, jaccard inherited from the verified rep pair (identical
-    # sets).  Member ids can interleave across groups -> least/greatest.
-    ma = members.select(
-        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
-    )
-    mb = members.select(
-        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
-    )
-    cross = (
-        rep_pairs.join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .select(
-            F.least("da", "db").alias("doc_id_a"),
-            F.greatest("da", "db").alias("doc_id_b"),
-            "jaccard",
-        )
-    )
-    # within-group expansion: identical sets, jaccard exactly 1.0
-    # (matches what the verify join computed for them pre-collapse).
-    # Output-sized by necessity — the members of a clone group ARE
-    # pairwise near-dups; singleton groups self-join to nothing.
-    x, y = members.alias("x"), members.alias("y")
-    within = x.join(
-        y,
-        (F.col("x.rep_id") == F.col("y.rep_id"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(
-        F.col("x.doc_id").alias("doc_id_a"),
-        F.col("y.doc_id").alias("doc_id_b"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    out = cross.unionByName(within)
+    out = _lsh_pairs_from_reps(reps, members, threshold)
     if pins is None:
         from . import checkpoint_release
 
@@ -407,6 +420,14 @@ def lsh_pairs_with_exact(
     base.count()
     if pins is not None:
         pins.append(base)
+    # The exact side stays PER-DOC on purpose: (a) implementation
+    # diversity — the contract's ground truth should not share the
+    # collapse machinery it checks; (b) measured at sf0.1, running the
+    # exact gram join rep-level + re-expansion costs MORE in stage
+    # overhead (+0.7 s, 3 extra small joins) than the halved explode
+    # saves — the small-scale inversion of a big-scale win, and the
+    # bench grades at sf0.1.  At 100 TB the exact tier is oracle-only
+    # anyway (PLANS.md fences all-pairs shapes to ground truth).
     sh = base.select("doc_id", F.col("shingles").alias("sh"))
     return _exact_pairs_from_sh(sh, threshold), _lsh_pairs_from_base(
         base, threshold, pins=pins
