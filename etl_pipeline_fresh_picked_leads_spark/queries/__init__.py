@@ -97,40 +97,41 @@ from . import tpch  # noqa: E402,F401
 # time densify, and graph triangles — plus 5 canaries fills 41 slots.
 # The remaining 9 go to r11's new queries.  After a green r11 run no
 # registered query's newest driver row predates r7.
-# Round-12 rotation (VERDICT r11 #1): the ENTIRE 40-query cohort whose
-# newest driver-green row is r7 — computed programmatically from
-# CORRECTNESS_r01-r11 (newest-green histogram before this round:
-# r7:40, r8:45, r9:45, r10:45, r11:50; zero never-green) — plus the 5
-# canaries fills 45 slots; the remaining 5 go to r12's new queries.
-# After a green r12 run no registered query's newest driver row
-# predates r8.
+# Round-12 rotation (VERDICT r11 #1) re-verified the entire 40-query
+# r7 cohort plus the 5 new r12 queries; after it nothing's newest
+# driver row predates r8.
+# Round-13 rotation (VERDICT r12 #1): the ENTIRE 43-query cohort
+# whose newest driver-green row is r8 — computed programmatically
+# from CORRECTNESS_r01-r12 (newest-green histogram before this
+# round: r8:43, r9:45, r10:45, r11:45, r12:50; zero never-green) —
+# plus the 5 canaries fills 48 slots; the remaining 2 go to r13's
+# new queries (the SQL DML surface and the partitioned streaming
+# sink).  After a green r13 run no registered query's newest driver
+# row predates r9, and the treadmill cadence (one full cycle ≈ 4-5
+# rounds) is established.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # r7-last-verified cohort, complete (40)
-    "q_dedup_exact", "q_dedup_keyed",
-    "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
-    "q_agg_percentile", "q_agg_stats", "q_agg_collect", "q_pivot",
-    "q_win_rank", "q_win_lag_lead", "q_win_running", "q_win_firstlast",
-    "q_sort_multi", "q_limit", "q_topk_global",
-    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-    "q_dedup_ngram", "q_dedup_fuzzy_ml", "q_dedup_content_hash",
-    "q_dedup_embed",
-    "q_sim_topk_vectorized", "q_embed_norm",
-    "q_text_stats", "q_text_tokens", "q_text_quality",
-    "q_text_token_counts",
-    "q_sample_hash", "q_split_train_eval", "q_multimodal",
-    "q_sql_recursive",
-    "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_tpch_q11", "q_tpch_q15",
-    # round-12 new queries (appended as they land; 5 slots)
-    "q_txtable_partitioned", "q_txtable_identity", "q_dedup_pipeline",
-    # the 2 spare slots go to the r8-stale queries most adjacent to
-    # this round's churn: compact's write path gained the
-    # arrange=False/partition plumbing (zorder exercises the
-    # cluster_by branch) and vacuum's member listing went recursive
-    "q_txtable_zorder", "q_txtable_vacuum",
+    # r8-last-verified cohort, complete (43)
+    "q_ingest_reconcile", "q_ingest_stamp",
+    "q_scan_csv_infer", "q_scan_json_infer", "q_scan_orc",
+    "q_sql_interface", "q_matview_incremental", "q_scd2_merge",
+    "q_txtable_changefeed", "q_txtable_constraint", "q_txtable_history",
+    "q_txtable_merge", "q_txtable_rename", "q_txtable_replace_where",
+    "q_txtable_restore", "q_txtable_timetravel",
+    "q_filter_null", "q_filter_cmp", "q_filter_between",
+    "q_filter_in", "q_filter_like", "q_project", "q_try_cast",
+    "q_map_json_struct", "q_str_fuzzy", "q_udf_cogroup",
+    "q_stream_cdc_apply", "q_stream_scd2",
+    "q_dedup_embed_lsh", "q_sim_join_auto",
+    "q_pack_chunks", "q_quality_filter", "q_sample_stratified",
+    "q_text_chunk", "q_text_decontaminate", "q_text_pii_redact",
+    "q_text_repetition", "q_text_tfidf",
+    "q_dq_report", "q_funnel_steps", "q_graph_closure",
+    "q_retention_cohorts", "q_sessionize_batch",
+    # round-13 new queries (2 slots)
+    "q_txtable_sql_dml",
 ]
 
 

@@ -1803,3 +1803,147 @@ def q_txtable_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("row_id").alias("sum_id"),
         )
     )
+
+
+_SQL_DML_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority,
+         CASE WHEN o_orderkey % 4 = 0
+              THEN DATE '2020-01-01' END AS Ingestion_date
+  FROM orders WHERE o_orderkey % 2 = 0
+), staged AS (
+  SELECT TRY_CAST(CAST(o_orderkey AS VARCHAR)
+           || CASE WHEN o_orderkey % 97 = 0 THEN 'x' ELSE '' END
+           AS BIGINT) AS o_orderkey,
+         o_totalprice, o_orderpriority,
+         CAST(NULL AS DATE) AS Ingestion_date
+  FROM orders WHERE o_orderkey % 3 = 0
+), t1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority,
+         COALESCE(Ingestion_date, DATE '2024-06-01') AS Ingestion_date
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM staged)
+), src AS (
+  SELECT o_orderkey, o_totalprice + 500 AS o_totalprice,
+         'MG' AS o_orderpriority, DATE '2024-07-01' AS Ingestion_date
+  FROM orders WHERE o_orderkey % 5 = 0
+), m AS (
+  SELECT t.o_orderkey AS tk, t.o_totalprice AS tp,
+         t.o_orderpriority AS tpri, t.Ingestion_date AS ting,
+         s.o_orderkey AS sk, s.o_totalprice AS sp,
+         s.o_orderpriority AS spri
+  FROM t1 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+)
+SELECT tk AS o_orderkey,
+       CASE WHEN sk IS NOT NULL AND sk % 10 = 0
+            THEN sp ELSE tp END AS o_totalprice,
+       CASE WHEN sk IS NOT NULL AND sk % 10 = 0
+            THEN spri ELSE tpri END AS o_orderpriority,
+       ting AS Ingestion_date
+FROM m
+WHERE NOT COALESCE(
+  sk IS NOT NULL AND NOT (sk % 10 = 0) AND tk % 15 = 0, FALSE)
+UNION ALL
+SELECT s.o_orderkey, s.o_totalprice, s.o_orderpriority,
+       s.Ingestion_date
+FROM src s LEFT JOIN t1 t ON s.o_orderkey = t.o_orderkey
+WHERE t.o_orderkey IS NULL
+"""
+
+
+@query("q_txtable_sql_dml", oracle=_SQL_DML_ORACLE)
+def q_txtable_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML surface for TxTable (r13, VERDICT r12 #2): the
+    reference's two generated statements plus a MERGE INTO, executed
+    as SQL TEXT and dispatched to the existing engine ops — parse ->
+    dispatch, no new mutation code (sources/sqldml.py).
+
+    1. ``INSERT INTO leads (cols…) SELECT TRY_CAST(…) FROM staging``
+       — the reference's reconciliation load
+       (big_uery_handler.py:158-165, SAFE_CAST -> TRY_CAST): every
+       97th staged key is corrupted and must land NULL; the unlisted
+       ``Ingestion_date`` is NULL-filled per SQL column-list
+       semantics.
+    2. ``UPDATE leads SET Ingestion_date = DATE … WHERE … IS NULL``
+       — the reference's stamping statement verbatim
+       (big_uery_handler.py:188-192), routed to the file-granular
+       copy-on-write update.
+    3. ``MERGE INTO leads t USING src s ON …`` with the full Delta
+       clause matrix (conditional UPDATE SET, conditional DELETE,
+       INSERT *), routed to TxTable.merge.
+
+    Clause conditions are modular on the dense key domain (the
+    regeneration discipline); in-query asserts pin that every
+    statement and every merge clause fired.  The oracle re-derives
+    the exact final state declaratively in DuckDB."""
+    import shutil
+
+    from ..sources.sqldml import execute_dml
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "sqldml_leads")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.lit("2020-01-01").cast("date"),
+        ).alias("Ingestion_date"),
+    )
+    t = TxTable.create(spark, root, base)
+    tables = {"leads": t}
+    # staging: keys as strings with every 97th corrupted (the
+    # reference's dirty-CSV landing shape)
+    o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    ).createOrReplaceTempView("fpl_dml_staging")
+    ins = execute_dml(
+        spark,
+        """
+        INSERT INTO leads (o_orderkey, o_totalprice, o_orderpriority)
+        SELECT TRY_CAST(o_orderkey AS BIGINT), o_totalprice,
+               o_orderpriority
+        FROM fpl_dml_staging
+        """,
+        tables,
+    )
+    assert ins["rows"] > 0, ins
+    upd = execute_dml(
+        spark,
+        "UPDATE leads SET Ingestion_date = DATE '2024-06-01' "
+        "WHERE Ingestion_date IS NULL",
+        tables,
+    )
+    assert upd["rows"] > 0, upd
+    o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 500).alias("o_totalprice"),
+        F.lit("MG").alias("o_orderpriority"),
+        F.lit("2024-07-01").cast("date").alias("Ingestion_date"),
+    ).createOrReplaceTempView("fpl_dml_src")
+    mrg = execute_dml(
+        spark,
+        """
+        MERGE INTO leads AS t USING fpl_dml_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_orderkey % 10 = 0 THEN
+          UPDATE SET o_totalprice = s.o_totalprice,
+                     o_orderpriority = s.o_orderpriority
+        WHEN MATCHED AND t.o_orderkey % 15 = 0 THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables,
+    )
+    assert (
+        mrg["updated"] > 0 and mrg["deleted"] > 0 and mrg["inserted"] > 0
+    ), f"every merge clause must fire on this corpus: {mrg}"
+    return t.read()

@@ -1,0 +1,430 @@
+"""SQL DML surface for TxTable — parse → dispatch, no new mutation code.
+
+The reference's entire mutation idiom is generated SQL strings
+(big_uery_handler.py:158-165 ``INSERT INTO … SELECT SAFE_CAST …``;
+:188-192 ``UPDATE … SET Ingestion_date … WHERE … IS NULL``), and
+Delta exposes ``MERGE INTO``/``UPDATE``/``DELETE`` through
+``spark.sql``.  TxTable's full mutation matrix exists as Python APIs
+(sources/txtable.py); this module gives it the SQL spelling: a small
+documented-grammar dispatcher that locates the top-level clause
+structure of a statement and routes it to the EXISTING engine
+operations.  Every expression, predicate, and subquery inside the
+statement is resolved by Spark itself (``spark.sql`` / ``F.expr``) —
+the parser never interprets expression text, so the full Spark SQL
+expression surface (TRY_CAST, date literals, CASE, subqueries in the
+SELECT source, …) is available inside SET/WHERE/ON/condition slots.
+
+Grammar (keywords case-insensitive; ``<expr>``/``<pred>``/``<query>``
+are arbitrary Spark SQL resolved over the obvious scope):
+
+  INSERT INTO <t> [(c1, …)] <query>          -- SELECT/WITH/VALUES/TABLE
+  UPDATE <t> SET c1 = <expr>[, …] [WHERE <pred>]
+  DELETE FROM <t> [WHERE <pred>]
+  MERGE INTO <t> [AS] t USING <view> | (<query>) [AS] s
+    ON t.<k> = s.<k> [AND …]                  -- equi-keys only
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | c = <expr>[, …]]
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+
+MERGE aliases are fixed to ``t``/``s`` — the names TxTable.merge
+binds conditions over — so condition text passes through verbatim.
+An INSERT column list NULL-fills the unlisted target columns (typed
+from the manifest schema); a bare INSERT maps the query's columns to
+the target schema positionally.  Anything outside the grammar raises
+``ValueError`` naming the unsupported shape — never a silent
+misparse.  DML statements route here; read-only SQL goes through
+plain ``spark.sql`` over registered views (q_sql_interface).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["execute_dml"]
+
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)"
+
+
+def _unquote(name: str) -> str:
+    name = name.strip()
+    if name.startswith("`") and name.endswith("`"):
+        return name[1:-1]
+    return name
+
+
+def _strip(stmt: str) -> str:
+    stmt = re.sub(r"--[^\n]*", " ", stmt)  # line comments
+    return stmt.strip().rstrip(";").strip()
+
+
+def _top_mask(s: str) -> list[bool]:
+    """Per-character flag: True where the character sits at paren
+    depth 0 and outside any quoted literal/identifier — the only
+    places clause keywords and separators are allowed to match."""
+    mask = [False] * len(s)
+    depth = 0
+    q: str | None = None
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if q is not None:
+            if ch == q:
+                if q == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    i += 2  # doubled quote inside a string literal
+                    continue
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            mask[i] = True
+        i += 1
+    return mask
+
+
+def _find_top(s: str, pattern: str) -> list[re.Match]:
+    mask = _top_mask(s)
+    return [
+        m
+        for m in re.finditer(pattern, s, re.IGNORECASE)
+        if all(mask[m.start() : m.end()])
+    ]
+
+
+def _split_top(s: str, pattern: str) -> list[str]:
+    parts, last = [], 0
+    for m in _find_top(s, pattern):
+        parts.append(s[last : m.start()])
+        last = m.end()
+    parts.append(s[last:])
+    return parts
+
+
+def _resolve_table(name: str, tables: dict) -> tuple[str, object]:
+    key = _unquote(name)
+    if key in tables:
+        return key, tables[key]
+    lowered = {k.lower(): k for k in tables}
+    if key.lower() in lowered:
+        k = lowered[key.lower()]
+        return k, tables[k]
+    raise ValueError(
+        f"unknown DML target table {key!r}; registered: {sorted(tables)}"
+    )
+
+
+def _target_schema(table) -> StructType:
+    snap = table.snapshot()
+    if snap is None or snap.schema_json is None:
+        raise ValueError(f"DML target {table.root!r} has no committed schema")
+    return StructType.fromJson(json.loads(snap.schema_json))
+
+
+def _assignments(text: str) -> dict[str, str]:
+    """Parse ``c1 = <expr>, c2 = <expr>`` (top-level commas; the first
+    top-level ``=`` in each item separates name from expression)."""
+    out: dict[str, str] = {}
+    for item in _split_top(text, r","):
+        eqs = _find_top(item, r"=")
+        # reject compound operators masquerading as the separator
+        eqs = [
+            m
+            for m in eqs
+            if not (m.start() > 0 and item[m.start() - 1] in "<>!=")
+            and not (m.end() < len(item) and item[m.end()] == "=")
+        ]
+        if not eqs:
+            raise ValueError(f"unsupported SET item (no '='): {item.strip()!r}")
+        name, expr = item[: eqs[0].start()], item[eqs[0].end() :]
+        name = _unquote(name.strip())
+        if name.lower().startswith("t."):
+            name = name[2:]  # MERGE spelling: UPDATE SET t.col = …
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"unsupported SET target {name!r}")
+        if not expr.strip():
+            raise ValueError(f"empty SET expression for {name!r}")
+        out[name] = expr.strip()
+    return out
+
+
+# ------------------------------------------------------------------ INSERT --
+
+def _exec_insert(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    m = re.match(
+        rf"INSERT\s+INTO\s+({_IDENT})\s*", stmt, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"unsupported INSERT shape: {stmt[:80]!r}")
+    name, rest = m.group(1), stmt[m.end() :].lstrip()
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        # a parenthesized column list (a '(' opening a query would be
+        # a subquery — only idents+commas qualify as a column list)
+        depth, j = 0, 0
+        for j, ch in enumerate(rest):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                break
+        inner = rest[1:j]
+        if re.fullmatch(rf"\s*{_IDENT}\s*(,\s*{_IDENT}\s*)*", inner):
+            cols = [_unquote(c.strip()) for c in inner.split(",")]
+            rest = rest[j + 1 :].lstrip()
+    if not re.match(r"(SELECT|WITH|VALUES|TABLE|FROM)\b", rest, re.IGNORECASE):
+        raise ValueError(
+            f"INSERT INTO {name}: expected a query (SELECT/WITH/VALUES/"
+            f"TABLE), got {rest[:40]!r}"
+        )
+    key, table = _resolve_table(name, tables)
+    df = spark.sql(rest)
+    schema = _target_schema(table)
+    target_cols = [f.name for f in schema.fields]
+    if cols is None:
+        if len(df.columns) != len(target_cols):
+            raise ValueError(
+                f"INSERT INTO {key}: query returns {len(df.columns)} "
+                f"columns, table has {len(target_cols)}"
+            )
+        df = df.toDF(*target_cols)
+    else:
+        unknown = sorted(set(cols) - set(target_cols))
+        if unknown:
+            raise ValueError(f"INSERT INTO {key}: unknown columns {unknown}")
+        if len(df.columns) != len(cols):
+            raise ValueError(
+                f"INSERT INTO {key}: column list names {len(cols)} "
+                f"columns, query returns {len(df.columns)}"
+            )
+        df = df.toDF(*cols)
+        # SQL semantics: unlisted target columns are NULL-filled,
+        # typed from the manifest schema
+        for field in schema.fields:
+            if field.name not in cols:
+                df = df.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+    n = df.count()
+    version = table.append(df.select(*target_cols))
+    return {"op": "insert", "table": key, "rows": n, "version": version}
+
+
+# ------------------------------------------------------------ UPDATE/DELETE --
+
+def _exec_update(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    m = re.match(rf"UPDATE\s+({_IDENT})\s+SET\s", stmt + " ", re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported UPDATE shape: {stmt[:80]!r}")
+    name, rest = m.group(1), stmt[m.end() - 1 :]
+    wh = _find_top(rest, r"\bWHERE\b")
+    if wh:
+        set_text, pred = rest[: wh[0].start()], rest[wh[0].end() :]
+    else:
+        set_text, pred = rest, None
+    key, table = _resolve_table(name, tables)
+    set_map = {c: F.expr(e) for c, e in _assignments(set_text).items()}
+    where = F.expr(pred) if pred and pred.strip() else F.lit(True)
+    n = table.update(where, set_map)
+    return {"op": "update", "table": key, "rows": n}
+
+
+def _exec_delete(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    m = re.match(rf"DELETE\s+FROM\s+({_IDENT})\s*", stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported DELETE shape: {stmt[:80]!r}")
+    name, rest = m.group(1), stmt[m.end() :].strip()
+    if rest:
+        wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if not wm:
+            raise ValueError(f"unsupported DELETE tail: {rest[:40]!r}")
+        where = F.expr(wm.group(1))
+    else:
+        where = F.lit(True)
+    key, table = _resolve_table(name, tables)
+    n = table.delete(where)
+    return {"op": "delete", "table": key, "rows": n}
+
+
+# ------------------------------------------------------------------- MERGE --
+
+_MERGE_HEAD = re.compile(
+    rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?\s+({_IDENT})\s+USING\s+",
+    re.IGNORECASE,
+)
+
+
+def _merge_source(text: str) -> tuple[str, bool, str, str]:
+    """Parse ``<view>|(<query>) [AS] s ON <cond>`` → (source text,
+    is_subquery, source alias, ON+clauses text).  Resolution is
+    deferred so shape errors surface before catalog errors."""
+    text = text.lstrip()
+    if text.startswith("("):
+        depth = 0
+        for j, ch in enumerate(text):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                break
+        src_text, is_subquery = text[1:j], True
+        rest = text[j + 1 :]
+    else:
+        vm = re.match(rf"({_IDENT})", text)
+        if not vm:
+            raise ValueError(f"unsupported MERGE source: {text[:40]!r}")
+        src_text, is_subquery = _unquote(vm.group(1)), False
+        rest = text[vm.end() :]
+    am = re.match(
+        rf"\s*(?:AS\s+)?({_IDENT})\s+ON\s", rest + " ", re.IGNORECASE
+    )
+    if not am:
+        raise ValueError(
+            f"MERGE: expected '[AS] <alias> ON <cond>' after the "
+            f"source, got {rest[:40]!r}"
+        )
+    return src_text, is_subquery, _unquote(am.group(1)), rest[am.end() - 1 :]
+
+
+def _merge_keys(on_text: str) -> list[str]:
+    """``ON t.k = s.k [AND …]`` → equality key list.  TxTable.merge
+    matches on named equi-keys, so only that shape is accepted."""
+    keys = []
+    for conj in _split_top(on_text, r"\bAND\b"):
+        em = re.match(
+            r"\s*(t|s)\s*\.\s*(\w+)\s*=\s*(t|s)\s*\.\s*(\w+)\s*$",
+            conj,
+            re.IGNORECASE,
+        )
+        if (
+            not em
+            or em.group(1).lower() == em.group(3).lower()
+            or em.group(2).lower() != em.group(4).lower()
+        ):
+            raise ValueError(
+                f"MERGE ON must be 't.<k> = s.<k>' conjunctions "
+                f"(equi-key match), got {conj.strip()!r}"
+            )
+        keys.append(em.group(2) if em.group(1).lower() == "t" else em.group(4))
+    return keys
+
+
+def _exec_merge(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    hm = _MERGE_HEAD.match(stmt)
+    if not hm:
+        raise ValueError(f"unsupported MERGE shape: {stmt[:80]!r}")
+    name, t_alias = hm.group(1), _unquote(hm.group(2))
+    src_text, is_subquery, s_alias, rest = _merge_source(stmt[hm.end() :])
+    if t_alias.lower() != "t" or s_alias.lower() != "s":
+        # TxTable.merge binds conditions over t/s; pinning the SQL
+        # aliases to the same names lets condition text pass through
+        # verbatim instead of being rewritten by a parser
+        raise ValueError(
+            f"MERGE aliases must be 't' (target) and 's' (source), "
+            f"got {t_alias!r}/{s_alias!r}"
+        )
+    whens = _find_top(rest, r"\bWHEN\b")
+    if not whens:
+        raise ValueError("MERGE has no WHEN clauses")
+    on_text = rest[: whens[0].start()]
+    keys = _merge_keys(on_text)
+
+    update: dict | str | None = None
+    update_condition = delete_condition = insert_condition = None
+    insert = False
+    bounds = [m.start() for m in whens] + [len(rest)]
+    spans = [rest[bounds[i] : bounds[i + 1]] for i in range(len(whens))]
+    for clause in spans:
+        # the AND condition stops at the TOP-LEVEL THEN (a CASE …
+        # THEN inside the condition must not split the clause)
+        thens = _find_top(clause, r"\bTHEN\b")
+        if not thens:
+            raise ValueError(f"unsupported MERGE clause: {clause.strip()!r}")
+        head = clause[: thens[0].start()]
+        action = clause[thens[0].end() :].strip()
+        hm2 = re.match(
+            r"\s*WHEN\s+(NOT\s+)?MATCHED\s*(?:\bAND\b(.*))?$",
+            head,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not hm2:
+            raise ValueError(f"unsupported MERGE clause head: {head.strip()!r}")
+        negated = bool(hm2.group(1))
+        cond = hm2.group(2).strip() if hm2.group(2) else None
+        if negated:
+            if not re.fullmatch(r"INSERT\s*\*", action, re.IGNORECASE):
+                raise ValueError(
+                    "WHEN NOT MATCHED supports only 'INSERT *' (the "
+                    f"source row inserts as-is), got {action[:40]!r}"
+                )
+            if insert:
+                raise ValueError("duplicate WHEN NOT MATCHED clause")
+            insert, insert_condition = True, cond
+        elif re.match(r"UPDATE\s+SET\s", action + " ", re.IGNORECASE):
+            if update is not None:
+                raise ValueError("duplicate WHEN MATCHED … UPDATE clause")
+            set_text = re.sub(
+                r"^UPDATE\s+SET\s", "", action + " ", flags=re.IGNORECASE
+            )
+            update = (
+                "all"
+                if set_text.strip() == "*"
+                else _assignments(set_text)
+            )
+            update_condition = cond
+        elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
+            if delete_condition is not None:
+                raise ValueError("duplicate WHEN MATCHED … DELETE clause")
+            delete_condition = cond if cond is not None else "true"
+        else:
+            raise ValueError(f"unsupported MERGE action: {action[:40]!r}")
+
+    key, table = _resolve_table(name, tables)
+    src = spark.sql(src_text) if is_subquery else spark.table(src_text)
+    res = table.merge(
+        src,
+        keys if len(keys) > 1 else keys[0],
+        update=update,
+        update_condition=update_condition,
+        delete_condition=delete_condition,
+        insert=insert,
+        insert_condition=insert_condition,
+    )
+    res = dict(res)
+    res.update({"op": "merge", "table": key})
+    return res
+
+
+# --------------------------------------------------------------- dispatcher --
+
+def execute_dml(
+    spark: SparkSession, statement: str, tables: dict
+) -> dict:
+    """Execute one SQL DML statement against registered TxTables.
+
+    ``tables`` maps SQL table names to TxTable handles; everything
+    else the statement references (views in a SELECT source, the
+    MERGE USING view) resolves through the Spark catalog as usual.
+    Returns an op/rows/version dict; raises ``ValueError`` on any
+    statement outside the documented grammar.
+    """
+    stmt = _strip(statement)
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "INSERT":
+        return _exec_insert(spark, stmt, tables)
+    if head == "UPDATE":
+        return _exec_update(spark, stmt, tables)
+    if head == "DELETE":
+        return _exec_delete(spark, stmt, tables)
+    if head == "MERGE":
+        return _exec_merge(spark, stmt, tables)
+    raise ValueError(
+        f"unsupported DML statement {head!r}: only INSERT INTO / "
+        "UPDATE / DELETE FROM / MERGE INTO are DML; run read-only SQL "
+        "through spark.sql"
+    )

@@ -681,6 +681,19 @@ class TxTable:
                 "(GENERATED ALWAYS AS IDENTITY); drop it from the frame"
             )
 
+    def _refuse_identity_set(
+        self, set_map: dict, op: str, base: "TxSnapshot | None"
+    ) -> None:
+        """ALWAYS semantics for mutations: SET on the identity column
+        would rewrite generated values in place — refused on every
+        update spelling (update / update_range / update_dv)."""
+        idn = self._identity_of(base)
+        if idn and idn["col"] in set_map:
+            raise ValueError(
+                f"{op} cannot set identity column {idn['col']!r} "
+                "(GENERATED ALWAYS AS IDENTITY)"
+            )
+
     def _refuse_identity_op(
         self, base: "TxSnapshot | None", op: str
     ) -> None:
@@ -1276,16 +1289,17 @@ class TxTable:
         df = self._apply_generated(df, gen, "overwrite")
         pin = None
         assigned_from = None
-        if idn is not None:
-            # overwrite REPLACES the rows but the watermark stays
-            # monotone (ids are never reused across the replacement)
-            assigned_from = idn["next"]
-            df, idn["next"], pin = self._assign_identity(df, idn)
-        self._validate_constraints(df, base, "overwrite")
-        cm, retired, max_id = self._overwrite_colmap(base, df.columns)
         try:
+            if idn is not None:
+                # overwrite REPLACES the rows but the watermark stays
+                # monotone (ids are never reused across the
+                # replacement)
+                assigned_from = idn["next"]
+                df, idn["next"], pin = self._assign_identity(df, idn)
+            self._validate_constraints(df, base, "overwrite")
+            cm, retired, max_id = self._overwrite_colmap(base, df.columns)
             new = self._write_data(df, cm)
-        finally:  # a failed write must not leak the identity pin
+        finally:  # a failed check or write must not leak the pin
             if pin is not None:
                 pin.unpersist()
         for attempt in range(max_retries + 1):
@@ -1387,21 +1401,25 @@ class TxTable:
             return base.version if base else 0
         pin = None
         assigned_from = None
-        if idn is not None:
-            # ids assigned AFTER the idempotency check (a replay must
-            # not burn watermark); the pin keeps the pid->offset map
-            # stable until the files are written
-            assigned_from = idn["next"]
-            df, idn["next"], pin = self._assign_identity(df, idn)
-            self._check_columns(df, base, "append")
-        # AFTER the idempotency check: a replayed batch must no-op even
-        # if a constraint added since its first commit would now reject
-        # it (has_txn's exactly-once contract; also skips a wasted scan)
-        self._validate_constraints(df, base, "append")
-        cm = self._colmap_or_none(base)
+        # the try/finally covers the schema/constraint checks too — a
+        # rejected identity append must not leak the persisted pin for
+        # the session lifetime (ADVICE r12)
         try:
+            if idn is not None:
+                # ids assigned AFTER the idempotency check (a replay
+                # must not burn watermark); the pin keeps the
+                # pid->offset map stable until the files are written
+                assigned_from = idn["next"]
+                df, idn["next"], pin = self._assign_identity(df, idn)
+                self._check_columns(df, base, "append")
+            # AFTER the idempotency check: a replayed batch must no-op
+            # even if a constraint added since its first commit would
+            # now reject it (has_txn's exactly-once contract; also
+            # skips a wasted scan)
+            self._validate_constraints(df, base, "append")
+            cm = self._colmap_or_none(base)
             new = self._write_data(df, cm)
-        finally:  # a failed write must not leak the identity pin
+        finally:  # a failed check or write must not leak the pin
             if pin is not None:
                 pin.unpersist()
         for attempt in range(max_retries + 1):
@@ -2614,12 +2632,7 @@ class TxTable:
         updated."""
 
         self._refuse_generated_targets(set_map, "update")
-        _idn = self._identity_of(self.snapshot())
-        if _idn and _idn["col"] in set_map:
-            raise ValueError(
-                f"update cannot set identity column {_idn['col']!r} "
-                "(GENERATED ALWAYS AS IDENTITY)"
-            )
+        self._refuse_identity_set(set_map, "update", self.snapshot())
 
         def transform(hit: DataFrame) -> DataFrame:
             for col_name, value in set_map.items():
@@ -2697,6 +2710,7 @@ class TxTable:
         rows."""
         where = self._range_pred(col, lo, hi)
         self._refuse_generated_targets(set_map, "update_range")
+        self._refuse_identity_set(set_map, "update_range", self.snapshot())
 
         def transform(hit: DataFrame) -> DataFrame:
             for col_name, value in set_map.items():
@@ -2840,6 +2854,7 @@ class TxTable:
         BEFORE validation, like ``update``.  Returns rows updated."""
         base = self._head()
         self._refuse_generated_targets(set_map, "update_dv", base=base)
+        self._refuse_identity_set(set_map, "update_dv", base)
         cols = [f["name"] for f in json.loads(base.schema_json)["fields"]]
         bad = sorted(set(set_map) - set(cols))
         if bad:

@@ -887,7 +887,10 @@ def _commit_append(
                 "the old physical names) — restart the stream"
             )
         if txn is not None and m is not None:
-            idx = txlog.read_index(log_dir, _versions(log_dir))
+            # heal=True: the sink holds write intent here, matching
+            # TxTable._committed_txns — a hole-y log heals once
+            # instead of re-materializing every trigger (ADVICE r12)
+            idx = txlog.read_index(log_dir, _versions(log_dir), heal=True)
             if txn in {e.get("txn") for e in idx.values()}:
                 return head_v  # replayed batch: already landed
         carried = list(m["files"]) if (m and not overwrite) else []

@@ -325,6 +325,10 @@ def _read_idx_file(log_dir: str) -> dict:
             except (ValueError, KeyError, TypeError):
                 continue  # torn line: the version heals as a hole
         _cache_put(key, (st.st_ino, off + consumed, entries))
+    elif key in _IDX_CACHE:
+        # pure hit: move-to-end so a hot long-lived table is not
+        # evicted ahead of cold ones (true LRU, ADVICE r12)
+        _IDX_CACHE[key] = _IDX_CACHE.pop(key)
     return dict(entries)
 
 

@@ -89,6 +89,12 @@ def test_always_semantics_refusals(spark, tmp_path):
         t.append(t.read().limit(1))
     with pytest.raises(ValueError, match="identity"):
         t.update(F.col("k") == 1, {"row_id": F.lit(999)})
+    # the DV and range update spellings must refuse identically
+    # (ADVICE r12: update_dv silently rewrote GENERATED ALWAYS ids)
+    with pytest.raises(ValueError, match="identity"):
+        t.update_dv(F.col("k") == 1, {"row_id": F.lit(999)})
+    with pytest.raises(ValueError, match="identity"):
+        t.update_range("k", 0, 2, {"row_id": F.lit(999)})
     with pytest.raises(ValueError, match="identity"):
         t.upsert(_df(spark, 0, 1), "k")
     with pytest.raises(ValueError, match="identity"):
@@ -106,6 +112,25 @@ def test_always_semantics_refusals(spark, tmp_path):
             _df(spark, 0, 5),
             identity={"col": "sk", "step": 0},
         )
+
+
+def test_rejected_identity_append_releases_pin(spark, tmp_path):
+    # a constraint rejection AFTER _assign_identity must unpersist the
+    # pinned frame (ADVICE r12: the leak lived between assignment and
+    # the old try/finally around _write_data)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), _df(spark, 0, 5), identity="row_id"
+    )
+    t.add_constraint("k_pos", "k >= 0")
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with pytest.raises(Exception):
+        t.append(_df(spark, -5, 5))  # violates k_pos after assignment
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after == n_before
+    # and a schema mismatch (checked post-assignment too)
+    with pytest.raises(Exception):
+        t.append(_df(spark, 0, 3).withColumnRenamed("v", "nope"))
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
 
 
 def test_update_delete_preserve_assigned_ids(spark, tmp_path):
