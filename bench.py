@@ -119,10 +119,14 @@ HEADLINE = [
     "q_txtable_partitioned",
     "q_txtable_identity",
     "q_dedup_pipeline",
+    # r13: the SQL DML statement sequence (INSERT..TRY_CAST landing +
+    # CoW stamping UPDATE + full-matrix MERGE, all dispatched from SQL
+    # text — the reference-idiom mutation path end to end).  The
+    # streaming partitioned-sink query stays out with the rest of the
+    # J-tier (micro-batch startup would dominate the measurement).
+    "q_txtable_sql_dml",
 ]
-_R12_ADDITIONS = [
-    "q_txtable_partitioned", "q_txtable_identity", "q_dedup_pipeline",
-]
+_R13_ADDITIONS = ["q_txtable_sql_dml"]
 
 # The BENCH_r01 query set — a FIXED cross-round subtotal (VERDICT r8
 # item 7): the headline total grows every round as queries are added,
@@ -137,10 +141,10 @@ BASELINE15 = [
     "q_win_running",
 ]
 
-# Last round's headline set (BENCH_r11), for the other fixed
+# Last round's headline set (BENCH_r12), for the other fixed
 # comparison: common_prev_total isolates "did anything we both ran
-# get slower" from "we added 3 expensive new queries".
-PREV_HEADLINE = [q for q in HEADLINE if q not in _R12_ADDITIONS]
+# get slower" from "we added new queries".
+PREV_HEADLINE = [q for q in HEADLINE if q not in _R13_ADDITIONS]
 
 # Fixed TxTable-tier subtotal (VERDICT r9 #7): the transactional tier
 # is the fastest-growing slice of the headline; like BASELINE15 this
@@ -152,11 +156,72 @@ TXTABLE_TIER = [
 ]
 
 
+# Queries that get the canary's min-of-3 treatment (r13, VERDICT r12
+# #6): q_txtable_zorder swung 1.2->2.3->3.0s across r9-r12 SESSIONS
+# with no plan change (min-of-3 isolation confirmed) — its timed
+# region includes a multi-commit table build whose first-run I/O noise
+# min-of-2 doesn't reliably shave.  One extra run stabilizes it.
+_MIN3 = {"q_agg_group", "q_txtable_zorder"}
+
+
+def load_prev_round(repo_dir: str) -> "dict | None":
+    """Newest committed BENCH_r*.json — last round's per-query steady
+    map + canary, the baseline for mechanical regression verdicts."""
+    import glob as _glob
+    import re as _re
+
+    best, best_n = None, -1
+    for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            prev = json.load(f)
+        if not isinstance(prev, dict) or not prev.get("queries"):
+            return None
+        prev["_round"] = best_n
+        return prev
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def regression_verdicts(
+    steady: dict[str, float],
+    canary: "float | None",
+    prev: "dict | None",
+    threshold: float = 1.25,
+) -> tuple["dict | None", list[str]]:
+    """Per-query canary-normalized ratio vs last round (r13, VERDICT
+    r12 #8 — the adjudication done by hand every round, mechanized):
+    ratio = (steady/canary) / (prev_steady/prev_canary).  Box-speed
+    cancels on both sides; > threshold flags a real slowdown
+    candidate.  Returns (ratio map, flagged ids)."""
+    if not prev or not canary:
+        return None, []
+    prev_canary = prev.get("canary_sec")
+    prev_q = prev.get("queries") or {}
+    if not prev_canary:
+        return None, []
+    ratios = {}
+    for qid, t in steady.items():
+        pt = prev_q.get(qid)
+        if pt and pt > 0:
+            ratios[qid] = round((t / canary) / (pt / prev_canary), 3)
+    flagged = sorted(
+        q for q, r in ratios.items() if r > threshold
+    )
+    return ratios, flagged
+
+
 def build_outputs(
     timings: dict[str, float],
     steady: dict[str, float],
     errors: dict[str, str],
     sf: float,
+    prev: "dict | None" = None,
 ) -> tuple[dict, dict]:
     """(detail_dict, final_dict) — separated so tests can pin the
     final driver-contract line's size/parseability without running
@@ -179,16 +244,30 @@ def build_outputs(
         if canary
         else None
     )
+    ratios, flagged = regression_verdicts(steady, canary, prev)
     detail = {
         "queries_single_shot": timings,
         "queries_steady": steady,
         "queries_normalized": normalized,
+        # r13 (VERDICT r12 #8): canary-normalized ratio vs the newest
+        # committed BENCH_r*.json — >1.25x entries are the slowdown
+        # candidates a human previously re-derived by hand each round
+        "normalized_vs_prev": ratios,
+        "prev_round": prev.get("_round") if prev else None,
+        "regressions_over_1_25x": flagged,
         "total_single_shot": total,
         "total_steady": total_steady,
         "canary": "q_agg_group",
         "canary_kind": "steady_min_of_3",  # r12: one extra canary run
+        "min_of_3_queries": sorted(_MIN3),  # r13: zorder joins the club
         "canary_steady_sec": canary,
         "canary_single_shot_sec": timings.get("q_agg_group"),
+        # r13 size diet: the prev-headline subtotal moved here from
+        # the final line (the 51-query map left it 18 bytes over the
+        # 1.5 KB budget); normalized_vs_prev supersedes it anyway
+        "common_prev_total": round(
+            sum(steady.get(q, 0.0) for q in PREV_HEADLINE), 3
+        ),
         "errors": errors,
         "sf": sf,
     }
@@ -217,9 +296,6 @@ def build_outputs(
         # last round's headline set — see BASELINE15 / PREV_HEADLINE
         "baseline15_total": round(
             sum(steady.get(q, 0.0) for q in BASELINE15), 3
-        ),
-        "common_prev_total": round(
-            sum(steady.get(q, 0.0) for q in PREV_HEADLINE), 3
         ),
         "txtable_total": round(
             sum(steady.get(q, 0.0) for q in TXTABLE_TIER), 3
@@ -251,7 +327,7 @@ def main() -> None:
             # canary min-of-3 (VERDICT r11 #7): every normalized figure
             # divides by the canary, so its own noise multiplies into
             # all of them — one extra run tightens the denominator
-            for _ in range(3 if qid == "q_agg_group" else 2):
+            for _ in range(3 if qid in _MIN3 else 2):
                 t0 = time.time()
                 QUERIES[qid](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -266,10 +342,20 @@ def main() -> None:
         except Exception as e:  # one broken query must not void the run
             errors[qid] = str(e).splitlines()[0][:200]
 
-    detail, final = build_outputs(timings, steady, errors, float(sf))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev = load_prev_round(repo_dir)
+    detail, final = build_outputs(
+        timings, steady, errors, float(sf), prev=prev
+    )
     # Full-precision detail: an early stdout line (scrolls out of the
     # driver's 2 KB tail harmlessly) + an in-repo artifact.
     print(json.dumps({"bench_detail": detail}))
+    if detail.get("regressions_over_1_25x"):
+        print(
+            "REGRESSION CANDIDATES (canary-normalized > 1.25x vs "
+            f"BENCH_r{detail['prev_round']}): "
+            + ", ".join(detail["regressions_over_1_25x"])
+        )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",

@@ -131,7 +131,7 @@ _DRIVER_WINDOW = [
     "q_dq_report", "q_funnel_steps", "q_graph_closure",
     "q_retention_cohorts", "q_sessionize_batch",
     # round-13 new queries (2 slots)
-    "q_txtable_sql_dml",
+    "q_txtable_sql_dml", "q_stream_txtable_sink_partitioned",
 ]
 
 

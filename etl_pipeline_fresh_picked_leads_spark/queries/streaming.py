@@ -1013,6 +1013,103 @@ def q_stream_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_txtable_sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    """,
+)
+def q_stream_txtable_sink_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming sink into a PARTITIONED table (r13, VERDICT r12 #3):
+    the native ``writeStream.format("txtable")`` sink lays out
+    ``__txp_<col>=<value>`` splits in its Arrow writer — the r12
+    capability asymmetry (engine-partitioned tables vs a refusing
+    native sink) is closed.  Even order keys seed the table at
+    CREATE (engine writer), odd keys stream in (sink writer); the
+    in-query asserts pin that sink-written files are
+    indistinguishable from engine-written ones: path layout,
+    file-per-partition-value, per-file stats with min==max on the
+    spec column (partition pruning IS stats pruning, so
+    ``files_in_range`` on a data-derived priority admits only that
+    partition's files from BOTH writers), and the content-fingerprint
+    txn makes a same-checkpoint replay no-op.  Scale shape: each task
+    value-splits its own Arrow batch (no extra shuffle), the driver
+    commit is one manifest link."""
+    from ..sources.txtable import TxTable
+    from ..streaming.txtable_source import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "txsink_part_q"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "t")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        partition_by=["o_orderpriority"],
+        stats_cols=["o_orderkey"],
+    )
+    seeded = set(t.snapshot().files)
+    tmp = os.path.join(base, "tmp")
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src), os.path.join(landing, "b0.parquet"))
+    schema = spark.read.parquet(landing).schema
+
+    def drain(chk: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .writeStream.format("txtable")
+            .option("path", root)
+            .option("checkpointLocation", os.path.join(base, chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("partitioned txtable sink did not finish")
+
+    drain("chk")
+    t = TxTable(spark, root)
+    snap = t.snapshot()
+    new = set(snap.files) - seeded
+    assert new and all("__txp_o_orderpriority=" in f for f in new), (
+        "sink files must carry the partition layout"
+    )
+    for f in new:
+        s = snap.stats[f]
+        assert s["min"]["o_orderpriority"] == s["max"]["o_orderpriority"], (
+            "sink file not single-valued on the spec column"
+        )
+    # pruning admits only the picked partition's files, across BOTH
+    # writers' files (data-derived pick: the lowest priority value)
+    pick = t.read().agg(F.min("o_orderpriority")).first()[0]
+    pruned = t.files_in_range("o_orderpriority", pick, pick)
+    assert pruned and len(pruned) < len(snap.files)
+    assert any(f in new for f in pruned) and any(
+        f in seeded for f in pruned
+    ), "pruning must admit files from both writers"
+    v = snap.version
+    drain("chk")  # same-checkpoint replay: no new batches
+    assert TxTable(spark, root).snapshot().version == v, (
+        "replay must no-op"
+    )
+    return TxTable(spark, root).read()
+
+
+@query(
     "q_stream_txtable_sink_colmap",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice AS o_price

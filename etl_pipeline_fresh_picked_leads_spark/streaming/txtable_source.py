@@ -725,11 +725,68 @@ class _WroteFiles(WriterCommitMessage):
     files: list = _field(default_factory=list)
     n_rows: int = 0
     row_hash_sum: int = 0  # order/partition-insensitive content term
+    stats: dict = _field(default_factory=dict)  # {path: rows/min/max}
 
 
-def _write_task(root: str, schema: StructType, iterator, colmap=None):
-    """Executor-side: drain this task's Arrow batches into ONE fresh
-    parquet file under the table's data dir.  The directory is staged
+# Spark's ExternalCatalogUtils.escapePathName charset: partition dir
+# segments written here must be byte-identical to what the engine's
+# partitionBy writer produces, or compact(partition=)/vacuum path
+# matching would silently miss sink-written files.
+_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _esc_path(s: str) -> str:
+    return "".join(
+        "%%%02X" % ord(ch) if ch in _PATH_ESCAPE or ord(ch) < 0x20 else ch
+        for ch in s
+    )
+
+
+def _part_seg(phys: str, value) -> str:
+    """One ``__txp_<phys>=<value>`` path segment, Spark-canonical:
+    None/NaN -> the Hive null marker, bools lowercase, ints/dates via
+    their canonical str form (the engine's documented round-trip
+    set)."""
+    try:
+        is_nan = value is None or value != value
+    except Exception:  # non-comparable exotic type
+        is_nan = value is None
+    if is_nan:
+        raw = "__HIVE_DEFAULT_PARTITION__"
+    elif isinstance(value, bool):
+        raw = "true" if value else "false"
+    else:
+        raw = _esc_path(str(value))
+    return f"__txp_{phys}={raw}"
+
+
+def _stat_py(v):
+    """JSON-native stat value (json.dumps(default=str) parity with
+    the engine: numpy scalars unwrap, dates/timestamps go ISO)."""
+    if v is None:
+        return None
+    try:
+        if v != v:
+            return None  # NaN/NaT
+    except Exception:
+        pass
+    if hasattr(v, "item"):
+        v = v.item()
+    if not isinstance(v, (int, float, str, bool)):
+        v = str(v)  # date/datetime: ISO, same as default=str
+    return v
+
+
+def _write_task(
+    root: str,
+    schema: StructType,
+    iterator,
+    colmap=None,
+    partition_by=None,
+    stats_cols=None,
+):
+    """Executor-side: drain this task's Arrow batches into fresh
+    parquet under the table's data dir.  The directory is staged
     before any manifest references it — exactly the writer protocol
     TxTable.vacuum's min-age guard assumes — so an aborted batch
     leaves only an unreferenced young dir for vacuum.
@@ -739,9 +796,20 @@ def _write_task(root: str, schema: StructType, iterator, colmap=None):
     table does; a logical-named file would silently read as all-NULL
     after the colmap projection).  The fingerprint is computed on the
     logical frame BEFORE the rename: content identity is invariant
-    under physical naming."""
+    under physical naming.
+
+    ``partition_by`` (r13): the target's partition spec (logical
+    names).  The task splits its rows by partition value and writes
+    ONE file per value under the engine's ``__txp_<phys>=<value>``
+    path layout — the file-per-partition-value invariant holds
+    without a Spark session, so the native sink now accepts
+    partitioned targets.  ``stats_cols`` min/max/rows ride back to
+    the driver per file (spec columns are single-valued per file, so
+    min==max and partition pruning works on sink-written files
+    exactly as on engine-written ones)."""
     import uuid as _uuid
 
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -758,22 +826,48 @@ def _write_task(root: str, schema: StructType, iterator, colmap=None):
     # hashes are invariant under any re-partitioning, so the driver's
     # txn tag survives a checkpoint-loss re-split replay — the same
     # convention as streaming/sinks.df_fingerprint
-    import pandas as pd
-
-    hashes = pd.util.hash_pandas_object(
-        tbl.to_pandas(), index=False
-    ).to_numpy()
+    pdf = tbl.to_pandas()
+    hashes = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
     hsum = int(hashes.astype("uint64").sum() % (1 << 64))
+    phys = (
+        {c["name"]: c["phys"] for c in colmap} if colmap is not None else {}
+    )
     if colmap is not None:
-        phys = {c["name"]: c["phys"] for c in colmap}
         tbl = tbl.rename_columns(
             [phys.get(n, n) for n in tbl.column_names]
         )
+    scols = [c for c in (stats_cols or []) if c in pdf.columns]
+
+    def _stats_of(slice_pdf) -> dict:
+        return {
+            "rows": int(len(slice_pdf)),
+            "min": {c: _stat_py(slice_pdf[c].min()) for c in scols},
+            "max": {c: _stat_py(slice_pdf[c].max()) for c in scols},
+        }
+
     out_dir = os.path.join(root, "data", _uuid.uuid4().hex)
-    os.makedirs(out_dir)
-    path = os.path.join(out_dir, "part-00000.parquet")
-    pq.write_table(tbl, path)
-    return _WroteFiles([path], tbl.num_rows, hsum)
+    if not partition_by:
+        os.makedirs(out_dir)
+        path = os.path.join(out_dir, "part-00000.parquet")
+        pq.write_table(tbl, path)
+        stats = {path: _stats_of(pdf)} if scols else {}
+        return _WroteFiles([path], tbl.num_rows, hsum, stats)
+    files, stats = [], {}
+    groups = pdf.groupby(list(partition_by), dropna=False, sort=False)
+    for i, (_key, idx) in enumerate(groups.indices.items()):
+        seq = sorted(int(j) for j in idx)
+        segs = [
+            _part_seg(phys.get(c, c), pdf[c].iloc[seq[0]])
+            for c in partition_by
+        ]
+        d = os.path.join(out_dir, *segs)
+        os.makedirs(d)
+        path = os.path.join(d, f"part-{i:05d}.parquet")
+        pq.write_table(tbl.take(seq), path)
+        files.append(path)
+        if scols:
+            stats[path] = _stats_of(pdf.iloc[seq])
+    return _WroteFiles(sorted(files), tbl.num_rows, hsum, stats)
 
 
 def _head_version_and_manifest(log_dir: str):
@@ -801,30 +895,26 @@ def _sink_guards(
     if m.get("constraints"):
         raise ValueError(
             f"txtable {op}: target carries CHECK constraints, which "
-            "this sink cannot validate — use foreachBatch + "
-            "TxTable.append (streaming/sinks.py) for gated tables"
+            "this sink cannot validate — use txtable_sink_prepared "
+            "(streaming/sinks.py, foreachBatch + engine-assisted "
+            "append) for gated tables"
         )
     if m.get("generated"):
         raise ValueError(
             f"txtable {op}: target declares generated columns, which "
-            "this sink cannot compute/validate — use foreachBatch + "
-            "TxTable.append"
+            "this sink cannot compute/validate — use "
+            "txtable_sink_prepared (streaming/sinks.py)"
         )
-    if m.get("partition_by"):
-        # r12: the file-per-partition-value layout invariant needs the
-        # engine's partitioned writer; Arrow tasks here write one
-        # unsplit file per Spark partition
-        raise ValueError(
-            f"txtable {op}: target is partitioned "
-            f"({m['partition_by']}), which this sink cannot lay out — "
-            "use foreachBatch + TxTable.append"
-        )
+    # partitioned targets are SUPPORTED since r13: tasks lay out
+    # __txp_<phys>=<value> splits in the Arrow writer (_write_task)
     if m.get("identity"):
-        # r12: id assignment needs the engine's watermark bookkeeping
+        # id assignment needs the engine's transactional watermark
+        # bookkeeping (per-partition offset blocks under the pin) —
+        # there is no sound manifest-only spelling of it
         raise ValueError(
             f"txtable {op}: target has identity column "
             f"{m['identity']['col']!r}, which this sink cannot assign "
-            "— use foreachBatch + TxTable.append"
+            "— use txtable_sink_prepared (streaming/sinks.py)"
         )
     if m.get("colmap") is not None and not check_schema:
         # overwrite replaces the schema: the retired-name fence and
@@ -858,6 +948,8 @@ def _commit_append(
     overwrite: bool = False,
     max_retries: int = 20,
     wrote_colmap=None,
+    wrote_pby=None,
+    new_stats: dict | None = None,
 ) -> int:
     """Driver-side manifest append — TxTable._commit's protocol
     (fsync temp + atomic-exclusive os.link) in pure Python.  Blind
@@ -886,6 +978,16 @@ def _commit_append(
                 "since this stream started (files were written under "
                 "the old physical names) — restart the stream"
             )
+        head_pby = (m.get("partition_by") or None) if m else None
+        if head_pby != (wrote_pby or None):
+            # the spec is immutable at CREATE, so this only fires when
+            # the table was dropped+recreated under the stream — but
+            # linking files laid out under the WRONG spec would break
+            # the file-per-partition-value invariant silently
+            raise ValueError(
+                f"txtable {op}: the table's partition spec changed "
+                "since this stream started — restart the stream"
+            )
         if txn is not None and m is not None:
             # heal=True: the sink holds write intent here, matching
             # TxTable._committed_txns — a hole-y log heals once
@@ -903,6 +1005,23 @@ def _commit_append(
             parent_ts = _manifest_ts_us(log_dir, head_v)
         now_us = int(_time.time() * 1_000_000)
         ts = now_us if parent_ts is None else max(parent_ts + 1, now_us)
+        stats = (
+            {
+                f: m["stats"][f]
+                for f in carried
+                if m.get("stats") and f in m["stats"]
+            }
+            if m
+            else {}
+        )
+        if new_stats:
+            # per-file rows/min/max the Arrow tasks computed (r13):
+            # sink-written files are now prunable like engine-written
+            # ones — on partitioned targets the spec columns are
+            # single-valued per file, so partition pruning holds
+            stats.update(
+                {f: new_stats[f] for f in files if f in new_stats}
+            )
         manifest = {
             "version": head_v + 1,
             "op": op,
@@ -910,20 +1029,15 @@ def _commit_append(
             "files": carried + files,
             "txn": txn,
             "schema": json.dumps(schema.jsonValue()),
-            "stats": (
-                {
-                    f: m["stats"][f]
-                    for f in carried
-                    if m.get("stats") and f in m["stats"]
-                }
-                or None
-                if m
-                else None
-            ),
+            "stats": stats or None,
             "dropped": list(m.get("dropped") or []) if m else [],
         }
         if m and m.get("stats_cols"):
             manifest["stats_cols"] = m["stats_cols"]
+        if m and m.get("partition_by"):
+            # the spec is a table property: immutable, rides every
+            # commit (append AND overwrite) exactly as in the engine
+            manifest["partition_by"] = m["partition_by"]
         if m and not overwrite and m.get("dvs"):
             manifest["dvs"] = m["dvs"]  # all carried files still live
         if m and not overwrite and m.get("colmap") is not None:
@@ -950,6 +1064,20 @@ def _commit_append(
         except FileExistsError:
             continue  # lost the race: retry against the new head
     raise RuntimeError(f"txtable sink: lost {max_retries} commit races")
+
+
+def _require_spec_cols(pby, schema: StructType, op: str) -> None:
+    """A write into a partitioned table must carry the spec columns
+    (the engine's overwrite makes the same check): a file that cannot
+    be value-split would break the partition invariant."""
+    if not pby:
+        return
+    missing = [c for c in pby if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"txtable {op}: stream schema lacks partition column(s) "
+            f"{missing}; the partition spec is immutable"
+        )
 
 
 def _abort_cleanup(messages) -> None:
@@ -980,20 +1108,38 @@ class _TxStreamWriter(DataSourceStreamArrowWriter):
         # the mapping every task writes under for the stream's life;
         # a mid-stream rename is refused at commit (_commit_append)
         self.colmap = m.get("colmap") if m else None
+        # partition spec + stats columns (r13): tasks lay out the
+        # __txp_ value splits and compute per-file stats themselves
+        self.pby = (m.get("partition_by") or None) if m else None
+        self.stats_cols = (m.get("stats_cols") or None) if m else None
+        _require_spec_cols(self.pby, schema, "stream_sink")
 
     def write(self, iterator):
-        return _write_task(self.root, self.schema, iterator, self.colmap)
+        return _write_task(
+            self.root,
+            self.schema,
+            iterator,
+            self.colmap,
+            self.pby,
+            self.stats_cols,
+        )
 
     def commit(self, messages, batchId: int) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
         n = sum(msg.n_rows for msg in messages if msg)
         h = sum(msg.row_hash_sum for msg in messages if msg) % (1 << 64)
+        stats: dict = {}
+        for msg in messages:
+            if msg:
+                stats.update(msg.stats)
         _commit_append(
             self.root,
             self.schema,
             files,
             txn=f"txsink|{n}:{h}",
             wrote_colmap=self.colmap,
+            wrote_pby=self.pby,
+            new_stats=stats,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -1009,18 +1155,33 @@ class _TxBatchWriter(DataSourceArrowWriter):
         self.schema = schema
         self.overwrite = overwrite
         self.colmap = None
+        # the head manifest is read in BOTH modes since r13: overwrite
+        # replaces the rows but the partition spec is immutable and the
+        # replacement files must be laid out under it
+        m = _head_version_and_manifest(os.path.join(root, _LOG_DIR))[1]
+        _sink_guards(m, schema, "batch_sink", check_schema=not overwrite)
         if not overwrite:  # append must match; overwrite replaces
-            m = _head_version_and_manifest(
-                os.path.join(root, _LOG_DIR)
-            )[1]
-            _sink_guards(m, schema, "batch_sink")
             self.colmap = m.get("colmap") if m else None
+        self.pby = (m.get("partition_by") or None) if m else None
+        self.stats_cols = (m.get("stats_cols") or None) if m else None
+        _require_spec_cols(self.pby, schema, "batch_sink")
 
     def write(self, iterator):
-        return _write_task(self.root, self.schema, iterator, self.colmap)
+        return _write_task(
+            self.root,
+            self.schema,
+            iterator,
+            self.colmap,
+            self.pby,
+            self.stats_cols,
+        )
 
     def commit(self, messages) -> None:
         files = sorted(f for msg in messages if msg for f in msg.files)
+        stats: dict = {}
+        for msg in messages:
+            if msg:
+                stats.update(msg.stats)
         _commit_append(
             self.root,
             self.schema,
@@ -1029,6 +1190,8 @@ class _TxBatchWriter(DataSourceArrowWriter):
             op="overwrite" if self.overwrite else "append",
             overwrite=self.overwrite,
             wrote_colmap=self.colmap,
+            wrote_pby=self.pby,
+            new_stats=stats,
         )
 
     def abort(self, messages) -> None:

@@ -71,3 +71,42 @@ def test_canary_failure_stays_visible():
     assert final["total_normalized"] is None
     assert final["canary_sec"] is None
     assert final["n_errors"] == 1
+
+
+def test_regression_verdicts_normalize_by_canary():
+    # box 2x slower this round: raw ratios double, normalized flat
+    prev = {"queries": {"q_a": 1.0, "q_b": 2.0}, "canary_sec": 0.5}
+    steady = {"q_a": 2.0, "q_b": 6.0, "q_new": 1.0}
+    ratios, flagged = bench.regression_verdicts(steady, 1.0, prev)
+    assert ratios == {"q_a": 1.0, "q_b": 1.5}  # q_new has no baseline
+    assert flagged == ["q_b"]
+    # no canary / no prev -> verdicts degrade to None, never crash
+    assert bench.regression_verdicts(steady, None, prev) == (None, [])
+    assert bench.regression_verdicts(steady, 1.0, None) == (None, [])
+
+
+def test_load_prev_round_picks_newest(tmp_path):
+    for n, canary in ((3, 1.0), (12, 2.0)):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps(
+                {"queries": {"q_a": 1.0}, "canary_sec": canary}
+            )
+        )
+    (tmp_path / "BENCH_r05.json").write_text("not json")
+    prev = bench.load_prev_round(str(tmp_path))
+    assert prev["_round"] == 12 and prev["canary_sec"] == 2.0
+
+
+def test_detail_carries_regression_fields():
+    timings, steady, errors = _worst_case()
+    prev = {
+        "_round": 12,
+        "queries": {q: 999.999 for q in bench.HEADLINE},
+        "canary_sec": 999.999,
+    }
+    detail, final = bench.build_outputs(timings, steady, errors, 0.1, prev)
+    assert detail["prev_round"] == 12
+    assert detail["regressions_over_1_25x"] == []
+    assert all(v == 1.0 for v in detail["normalized_vs_prev"].values())
+    # the final driver line must NOT grow from the new fields
+    assert "normalized_vs_prev" not in final

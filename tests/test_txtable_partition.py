@@ -171,19 +171,112 @@ def test_clone_and_restore_carry_spec(spark, tmp_path):
     assert all("__txp_p=" in f for f in t.snapshot().files)
 
 
-def test_native_sink_refuses_partitioned_target(spark, tmp_path):
+def test_native_batch_sink_writes_partitioned_layout(spark, tmp_path):
+    """r13 (VERDICT r12 #3): the native format('txtable') sink lays
+    out __txp_ value splits in its Arrow writer — partitioned targets
+    no longer refuse.  Sink-written files must be indistinguishable
+    from engine-written ones: path layout, single-valuedness, stats
+    (min==max on spec cols), pruning and partition-scoped
+    maintenance."""
     from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
-        _sink_guards,
+        register,
     )
 
-    t = _mk(spark, tmp_path)
-    import json
+    register(spark)
+    t = _mk(spark, tmp_path, stats_cols=["k"])
+    before = set(t.snapshot().files)
+    _df(spark, 300, 400).write.format("txtable").mode("append").option(
+        "path", t.root
+    ).save()
+    t2 = TxTable(spark, t.root)
+    snap = t2.snapshot()
+    new = set(snap.files) - before
+    assert new and all("__txp_p=" in f for f in new)
+    # per-file stats ride the sink commit: spec col single-valued,
+    # k bounds present -> sink files prune like engine files
+    for f in new:
+        s = snap.stats[f]
+        assert s["min"]["p"] == s["max"]["p"]
+        assert s["min"]["k"] >= 300 and s["max"]["k"] <= 399
+    pruned = t2.files_in_range("p", 1, 1)
+    assert pruned and all("__txp_p=1" in f for f in pruned)
+    assert len(pruned) < len(snap.files)
+    # the layout invariant end-to-end
+    per_file = (
+        t2.read()
+        .withColumn("_fp", F.col("_metadata.file_path"))
+        .groupBy("_fp")
+        .agg(F.count_distinct("p").alias("nv"))
+        .collect()
+    )
+    assert per_file and all(r.nv == 1 for r in per_file)
+    assert t2.read().count() == 400
+    # partition-scoped maintenance matches sink-written paths
+    t2.compact(target_bytes=1 << 30, partition={"p": 1})
+    after = t2.snapshot()
+    assert len([f for f in after.files if "__txp_p=1" in f]) == 1
+    assert t2.read().count() == 400
 
-    from etl_pipeline_fresh_picked_leads_spark import txlog
 
-    m = txlog.load_manifest(t.log_dir, t.snapshot().version)
-    with pytest.raises(ValueError, match="partitioned"):
-        _sink_guards(m, t.read().schema, "append")
+def test_native_streaming_sink_partitioned_and_null_values(
+    spark, tmp_path
+):
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "s")
+    seed = spark.createDataFrame(
+        [(0, "north region"), (1, None)], "k bigint, region string"
+    )
+    t = TxTable.create(spark, root, seed, partition_by=["region"])
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    tmp = str(tmp_path / "tmp")
+    spark.createDataFrame(
+        [(2, "north region"), (3, "south:east"), (4, None)],
+        "k bigint, region string",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, src), os.path.join(landing, "b0.parquet"))
+    q = (
+        spark.readStream.schema("k bigint, region string")
+        .parquet(landing)
+        .writeStream.format("txtable")
+        .option("path", root)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    t2 = TxTable(spark, root)
+    assert t2.read().count() == 5
+    # escaped + null partition values round-trip through the sink's
+    # path encoder exactly as through the engine's partitionBy writer
+    parts = {p["region"]: p["n_rows"] for p in t2.partitions()}
+    assert parts == {"north region": 2, "south:east": 1, None: 2}
+    t2.compact(target_bytes=1 << 30, partition={"region": None})
+    assert t2.read().filter(F.col("region").isNull()).count() == 2
+
+
+def test_native_sink_still_refuses_identity(spark, tmp_path):
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "i")
+    TxTable.create(
+        spark,
+        root,
+        spark.range(3).select(F.col("id").alias("k")),
+        identity="row_id",
+    )
+    with pytest.raises(Exception, match="txtable_sink_prepared"):
+        spark.range(3, 5).select(F.col("id").alias("k")).write.format(
+            "txtable"
+        ).mode("append").option("path", root).save()
 
 
 def test_txtable_source_reads_partitioned_table(spark, tmp_path):
@@ -229,6 +322,45 @@ def test_string_partition_values_roundtrip(spark, tmp_path):
         partition={"region": "north region"},
     )
     assert all("__txp_region=" in f for f in removedk)
+
+
+def test_escaped_partition_paths_stats_dv_and_cow(spark, tmp_path):
+    """r13 regression: _metadata.file_path is URI-encoded, so every
+    driver-side boundary where Spark-derived names meet manifest
+    paths must unquote — on a partition dir with a space, stats
+    landed under a never-matched key, CoW rewrites matched no file
+    (silently skipping rows) and DV dict keys were auto-pruned
+    (resurrecting deletes)."""
+    root = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(i, "north region" if i % 2 == 0 else "plain") for i in range(10)],
+        "k int, region string",
+    )
+    t = TxTable.create(
+        spark, root, df, partition_by=["region"], stats_cols=["k"]
+    )
+    snap = t.snapshot()
+    # stats keyed by the manifest's raw path — space dirs included
+    assert all(f in snap.stats for f in snap.files), "stats key mismatch"
+    # CoW update/delete must actually rewrite the spaced partition
+    assert t.update(F.col("k") == 2, {"k": F.lit(200)}) == 1
+    assert t.read().filter(F.col("k") == 200).count() == 1
+    assert t.delete(F.col("k") == 4) == 1
+    assert t.read().count() == 9
+    # DV delete: the dvs dict key must survive the auto-prune
+    assert t.delete_dv(F.col("k") == 6) == 1
+    assert t.snapshot().dvs, "dv entry pruned away"
+    assert t.read().count() == 8
+    assert t.read().filter(F.col("k") == 6).count() == 0
+    # ... and must keep suppressing rows across an unrelated commit
+    t.append(
+        spark.createDataFrame([(100, "plain")], "k int, region string")
+    )
+    assert t.read().filter(F.col("k") == 6).count() == 0
+    # purge sees the spaced file's dead fraction
+    v = t.purge_dvs(min_deleted_frac=0.01)
+    assert v > 0 and not t.snapshot().dvs
+    assert t.read().count() == 9
 
 
 def test_merge_and_dv_paths_keep_layout(spark, tmp_path):
@@ -287,3 +419,105 @@ def test_compact_partition_composes_with_zorder_clustering(spark, tmp_path):
     ]
     assert 0 < len(opened) < len(p2), (len(opened), len(p2))
     assert t.read().count() == 900
+
+
+def test_maintain_policy_compacts_only_qualifying_partitions(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 #4): maintain(policy) walks manifest metadata
+    and touches ONLY partitions whose file count crosses the
+    threshold; the rest carry by reference untouched."""
+    t = _mk(spark, tmp_path)  # one file per p value
+    # fragment p=0 and p=1 with two extra appends each; p=2 stays
+    # single-file and must NOT qualify
+    for lo, hi in ((300, 302), (303, 305)):
+        t.append(_df(spark, lo, hi).filter(F.col("p") < 2))
+    before = t.snapshot()
+    p2_files = [f for f in before.files if "__txp_p=2" in f]
+    assert len(p2_files) == 1
+    assert len([f for f in before.files if "__txp_p=0" in f]) == 3
+    report = t.maintain(
+        {"compact": {"min_files": 3, "target_bytes": 1 << 30}}
+    )
+    assert report["compacted"] == [{"p": "0"}, {"p": "1"}]
+    after = t.snapshot()
+    assert [f for f in after.files if "__txp_p=2" in f] == p2_files, (
+        "non-qualifying partition was rewritten"
+    )
+    assert len([f for f in after.files if "__txp_p=0" in f]) == 1
+    assert len([f for f in after.files if "__txp_p=1" in f]) == 1
+    assert t.read().count() == 304
+    # idempotent: nothing qualifies on the second pass
+    assert t.maintain({"compact": {"min_files": 3}})["compacted"] == []
+
+
+def test_maintain_composes_purge_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path, stats_cols=["k"])
+    t.append(_df(spark, 300, 400))
+    # DV-delete most of one partition -> purge threshold crossed
+    assert t.delete_dv((F.col("p") == 0) & (F.col("k") < 250)) > 0
+    report = t.maintain(
+        {
+            "compact": {"min_files": 2, "target_bytes": 1 << 30},
+            "purge_dvs": {"min_deleted_frac": 0.3},
+            "vacuum": {"retain": 1, "min_age_seconds": 0.0, "force": True},
+        }
+    )
+    assert report["compacted"], "fragmented partitions must compact"
+    assert report["vacuumed"], "stranded pre-compact files must GC"
+    assert not t.snapshot().dvs, "compaction/purge must retire DVs"
+    assert t.read().count() == 400 - 84  # k<250 & k%3==0: 84 keys
+    with pytest.raises(ValueError, match="unknown maintain"):
+        t.maintain({"optimize": {}})
+
+
+def test_maintain_unpartitioned_whole_table(spark, tmp_path):
+    root = str(tmp_path / "u")
+    t = TxTable.create(spark, root, _df(spark, 0, 100))
+    t.append(_df(spark, 100, 200))
+    t.append(_df(spark, 200, 300))
+    n_before = len(t.snapshot().files)
+    assert n_before >= 3
+    report = t.maintain(
+        {"compact": {"min_files": 3, "target_bytes": 1 << 30}}
+    )
+    assert report["compacted"] == [{}]
+    assert len(t.snapshot().files) == 1
+    assert t.read().count() == 300
+
+
+def test_repartitioned_to_is_the_spec_change_path(spark, tmp_path):
+    """r13 decision (VERDICT r12 #7): the spec is immutable on a live
+    table (Delta parity; refusals pinned in
+    test_schema_guards_refuse_spec_changes) — changing it is an
+    explicit REWRITE via repartitioned_to."""
+    t = _mk(spark, tmp_path, stats_cols=["k"])
+    t.add_constraint("k_nonneg", "k >= 0")
+    assert t.delete_dv(F.col("k") == 7) == 1
+    # p -> (p, parity-of-k) respec; also exercises spec REMOVAL below
+    t2 = t.repartitioned_to(str(tmp_path / "r2"), ["p"])
+    snap2 = t2.snapshot()
+    assert snap2.partition_by == ("p",)
+    assert all("__txp_p=" in f for f in snap2.files)
+    assert t2.read().count() == 299, "DV must materialize in the rewrite"
+    assert "k_nonneg" in (snap2.constraints or {}), "constraints carry"
+    # old stats columns keep their tags in the new table
+    assert all("k" in s["min"] for s in snap2.stats.values())
+    # spec removal: None -> unpartitioned layout
+    t3 = t2.repartitioned_to(str(tmp_path / "r3"), None)
+    assert t3.snapshot().partition_by is None
+    assert t3.read().count() == 299
+    # refusals: existing destination, identity tables
+    with pytest.raises(ValueError, match="already a TxTable"):
+        t.repartitioned_to(str(tmp_path / "r2"), ["p"])
+    ti = TxTable.create(
+        spark,
+        str(tmp_path / "ident"),
+        spark.range(3).select(F.col("id").alias("k")),
+        identity="row_id",
+    )
+    with pytest.raises(ValueError, match="clone_to"):
+        ti.repartitioned_to(str(tmp_path / "r4"), ["k"])
+    # the source is untouched throughout
+    assert t.snapshot().partition_by == ("p",)
+    assert t.read().count() == 299
