@@ -180,6 +180,10 @@ def load_prev_round(repo_dir: str) -> "dict | None":
     try:
         with open(best) as f:
             prev = json.load(f)
+        if isinstance(prev, dict) and isinstance(
+            prev.get("parsed"), dict
+        ):
+            prev = prev["parsed"]  # driver wraps the final line
         if not isinstance(prev, dict) or not prev.get("queries"):
             return None
         prev["_round"] = best_n

@@ -61,8 +61,33 @@ def _unquote(name: str) -> str:
 
 
 def _strip(stmt: str) -> str:
-    stmt = re.sub(r"--[^\n]*", " ", stmt)  # line comments
-    return stmt.strip().rstrip(";").strip()
+    """Drop line comments (quote-aware: a ``--`` inside a string
+    literal is content, and a quote inside a comment must not open a
+    string) and the trailing semicolon."""
+    out = []
+    q: str | None = None
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if q is not None:
+            out.append(ch)
+            if ch == q:
+                if q == "'" and i + 1 < n and stmt[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+            out.append(ch)
+        elif ch == "-" and i + 1 < n and stmt[i + 1] == "-":
+            while i < n and stmt[i] != "\n":
+                i += 1
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def _top_mask(s: str) -> list[bool]:

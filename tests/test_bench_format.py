@@ -95,6 +95,20 @@ def test_load_prev_round_picks_newest(tmp_path):
     (tmp_path / "BENCH_r05.json").write_text("not json")
     prev = bench.load_prev_round(str(tmp_path))
     assert prev["_round"] == 12 and prev["canary_sec"] == 2.0
+    # the driver wraps bench's final line under "parsed" — the real
+    # BENCH_r*.json shape (r13: the first loader missed this and
+    # every ratio silently degraded to None)
+    (tmp_path / "BENCH_r13.json").write_text(
+        json.dumps(
+            {
+                "n": 13,
+                "tail": "...",
+                "parsed": {"queries": {"q_a": 2.0}, "canary_sec": 4.0},
+            }
+        )
+    )
+    prev = bench.load_prev_round(str(tmp_path))
+    assert prev["_round"] == 13 and prev["canary_sec"] == 4.0
 
 
 def test_detail_carries_regression_fields():

@@ -199,3 +199,14 @@ def test_maintenance_statements(spark, tmp_path):
     assert t.read().count() == 100
     with pytest.raises(ValueError, match="OPTIMIZE WHERE"):
         execute_dml(spark, "OPTIMIZE m WHERE p > 1", tables)
+
+
+def test_comments_are_quote_aware(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    execute_dml(
+        spark,
+        "UPDATE t SET pri = 'a--b' -- stamp the odd rows\n"
+        "WHERE k % 2 = 1;",
+        {"t": t},
+    )
+    assert t.read().filter(F.col("pri") == "a--b").count() == 5
