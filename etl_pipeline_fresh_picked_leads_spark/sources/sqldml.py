@@ -17,7 +17,8 @@ SELECT source, …) is available inside SET/WHERE/ON/condition slots.
 Grammar (keywords case-insensitive; ``<expr>``/``<pred>``/``<query>``
 are arbitrary Spark SQL resolved over the obvious scope):
 
-  INSERT INTO <t> [(c1, …)] <query>          -- SELECT/WITH/VALUES/TABLE
+  INSERT INTO|OVERWRITE [TABLE] <t> [(c1, …)] <query>
+                                              -- SELECT/WITH/VALUES/TABLE
   UPDATE <t> SET c1 = <expr>[, …] [WHERE <pred>]
   DELETE FROM <t> [WHERE <pred>]
   MERGE INTO <t> [AS] t USING <view> | (<query>) [AS] s
@@ -187,11 +188,14 @@ def _assignments(text: str) -> dict[str, str]:
 
 def _exec_insert(spark: SparkSession, stmt: str, tables: dict) -> dict:
     m = re.match(
-        rf"INSERT\s+INTO\s+({_IDENT})\s*", stmt, re.IGNORECASE
+        rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*",
+        stmt,
+        re.IGNORECASE,
     )
     if not m:
         raise ValueError(f"unsupported INSERT shape: {stmt[:80]!r}")
-    name, rest = m.group(1), stmt[m.end() :].lstrip()
+    overwrite = m.group(1).upper() == "OVERWRITE"
+    name, rest = m.group(2), stmt[m.end() :].lstrip()
     cols: list[str] | None = None
     if rest.startswith("("):
         # a parenthesized column list (a '(' opening a query would be
@@ -214,15 +218,29 @@ def _exec_insert(spark: SparkSession, stmt: str, tables: dict) -> dict:
     key, table = _resolve_table(name, tables)
     df = spark.sql(rest)
     schema = _target_schema(table)
-    target_cols = [f.name for f in schema.fields]
+    snap = table.snapshot()
+    idn_col = (
+        snap.identity["col"] if snap and snap.identity else None
+    )
+    # SQL semantics for GENERATED ALWAYS AS IDENTITY: the column is
+    # never provided — positional mapping and NULL-fill both skip it
+    # (the engine assigns values at write time)
+    target_cols = [
+        f.name for f in schema.fields if f.name != idn_col
+    ]
     if cols is None:
         if len(df.columns) != len(target_cols):
             raise ValueError(
                 f"INSERT INTO {key}: query returns {len(df.columns)} "
-                f"columns, table has {len(target_cols)}"
+                f"columns, table has {len(target_cols)} writable"
             )
         df = df.toDF(*target_cols)
     else:
+        if idn_col is not None and idn_col in cols:
+            raise ValueError(
+                f"INSERT INTO {key}: column {idn_col!r} is GENERATED "
+                "ALWAYS AS IDENTITY — omit it from the column list"
+            )
         unknown = sorted(set(cols) - set(target_cols))
         if unknown:
             raise ValueError(f"INSERT INTO {key}: unknown columns {unknown}")
@@ -235,13 +253,29 @@ def _exec_insert(spark: SparkSession, stmt: str, tables: dict) -> dict:
         # SQL semantics: unlisted target columns are NULL-filled,
         # typed from the manifest schema
         for field in schema.fields:
-            if field.name not in cols:
+            if field.name not in cols and field.name != idn_col:
                 df = df.withColumn(
                     field.name, F.lit(None).cast(field.dataType)
                 )
-    n = df.count()
-    version = table.append(df.select(*target_cols))
-    return {"op": "insert", "table": key, "rows": n, "version": version}
+    # pin the query result: the rows-affected count and the append/
+    # overwrite (constraint scan + write) would otherwise each
+    # recompute the SELECT — at scale that doubles an arbitrarily
+    # expensive query
+    df = df.select(*target_cols).persist()
+    try:
+        n = df.count()
+        if overwrite:
+            version = table.overwrite(df)
+        else:
+            version = table.append(df)
+    finally:
+        df.unpersist()
+    return {
+        "op": "insert_overwrite" if overwrite else "insert",
+        "table": key,
+        "rows": n,
+        "version": version,
+    }
 
 
 # ------------------------------------------------------------ UPDATE/DELETE --

@@ -210,3 +210,36 @@ def test_comments_are_quote_aware(spark, tmp_path):
         {"t": t},
     )
     assert t.read().filter(F.col("pri") == "a--b").count() == 5
+
+
+def test_insert_overwrite_and_identity_targets(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    res = execute_dml(
+        spark,
+        "INSERT OVERWRITE TABLE t SELECT id, id * 1.0, 'OW' "
+        "FROM range(0, 4)",
+        {"t": t},
+    )
+    assert res["op"] == "insert_overwrite" and res["rows"] == 4
+    assert t.read().count() == 4
+    # identity target: SQL INSERT omits the GENERATED ALWAYS column —
+    # positional mapping skips it and the engine assigns ids
+    ti = TxTable.create(
+        spark,
+        str(tmp_path / "i"),
+        spark.range(3).select(F.col("id").alias("k")),
+        identity="row_id",
+    )
+    res = execute_dml(
+        spark, "INSERT INTO i SELECT id + 10 FROM range(0, 2)", {"i": ti}
+    )
+    assert res["rows"] == 2
+    got = {r.k: r.row_id for r in ti.read().collect()}
+    assert set(got) == {0, 1, 2, 10, 11}
+    assert sorted(got.values()) == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        execute_dml(
+            spark,
+            "INSERT INTO i (k, row_id) SELECT id, id FROM range(2)",
+            {"i": ti},
+        )
