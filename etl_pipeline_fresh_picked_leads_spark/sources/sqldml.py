@@ -29,6 +29,13 @@ are arbitrary Spark SQL resolved over the obvious scope):
   OPTIMIZE <t> [WHERE <col> = <literal> [AND …]] [ZORDER BY (c1, …)]
   VACUUM <t> [RETAIN <n> HOURS]
   RESTORE [TABLE] <t> TO VERSION AS OF <n>
+  CREATE TABLE <name> LOCATION '<path>'
+    [PARTITIONED BY (c1, …)] AS <query>       -- registers <name> in tables
+  ALTER TABLE <t> ADD COLUMN <c> <type>
+  ALTER TABLE <t> RENAME COLUMN <a> TO <b>
+  ALTER TABLE <t> DROP COLUMN <c>
+  ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)
+  ALTER TABLE <t> DROP CONSTRAINT <name>
 
 MERGE aliases are fixed to ``t``/``s`` — the names TxTable.merge
 binds conditions over — so condition text passes through verbatim.
@@ -547,6 +554,100 @@ def _exec_restore(spark: SparkSession, stmt: str, tables: dict) -> dict:
     return {"op": "restore", "table": key, "version": version}
 
 
+# -------------------------------------------------------------------- DDL --
+
+def _exec_create(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    """``CREATE TABLE <name> LOCATION '<path>' [PARTITIONED BY (…)]
+    AS <query>`` → ``TxTable.create``.  The new handle is registered
+    into the caller's ``tables`` dict under <name> so subsequent
+    statements can reference it."""
+    m = re.match(
+        rf"CREATE\s+TABLE\s+({_IDENT})\s+LOCATION\s+'([^']+)'\s*",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"unsupported CREATE TABLE shape (need LOCATION '<path>' "
+            f"AS <query>): {stmt[:80]!r}"
+        )
+    name, path, rest = _unquote(m.group(1)), m.group(2), stmt[m.end() :]
+    pby = None
+    pm = re.match(
+        r"PARTITIONED\s+BY\s*\(([^)]*)\)\s*", rest, re.IGNORECASE
+    )
+    if pm:
+        pby = [_unquote(c.strip()) for c in pm.group(1).split(",")]
+        rest = rest[pm.end() :]
+    am = re.match(r"AS\s+(.+)$", rest.strip(), re.IGNORECASE | re.DOTALL)
+    if not am:
+        raise ValueError(
+            f"CREATE TABLE {name}: expected 'AS <query>', got "
+            f"{rest[:40]!r}"
+        )
+    if name in tables:
+        raise ValueError(f"table name {name!r} already registered")
+    from .txtable import TxTable
+
+    df = spark.sql(am.group(1)).persist()
+    try:
+        n = df.count()
+        t = TxTable.create(spark, path, df, partition_by=pby)
+    finally:
+        df.unpersist()
+    tables[name] = t
+    return {"op": "create", "table": name, "rows": n, "version": 1}
+
+
+def _exec_alter(spark: SparkSession, stmt: str, tables: dict) -> dict:
+    m = re.match(
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unsupported ALTER TABLE shape: {stmt[:60]!r}")
+    key, table = _resolve_table(m.group(1), tables)
+    action = m.group(2).strip()
+    am = re.match(
+        rf"ADD\s+COLUMN\s+({_IDENT})\s+([A-Za-z0-9_()<>, ]+?)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if am:
+        v = table.add_column(_unquote(am.group(1)), am.group(2).strip())
+        return {"op": "add_column", "table": key, "version": v}
+    rm = re.match(
+        rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if rm:
+        v = table.rename_column(_unquote(rm.group(1)), _unquote(rm.group(2)))
+        return {"op": "rename_column", "table": key, "version": v}
+    dm = re.match(
+        rf"DROP\s+COLUMN\s+({_IDENT})\s*$", action, re.IGNORECASE
+    )
+    if dm:
+        v = table.drop_column(_unquote(dm.group(1)))
+        return {"op": "drop_column", "table": key, "version": v}
+    cm = re.match(
+        rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)\s*$",
+        action,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if cm:
+        v = table.add_constraint(_unquote(cm.group(1)), cm.group(2).strip())
+        return {"op": "add_constraint", "table": key, "version": v}
+    xm = re.match(
+        rf"DROP\s+CONSTRAINT\s+({_IDENT})\s*$", action, re.IGNORECASE
+    )
+    if xm:
+        v = table.drop_constraint(_unquote(xm.group(1)))
+        return {"op": "drop_constraint", "table": key, "version": v}
+    raise ValueError(f"unsupported ALTER TABLE action: {action[:60]!r}")
+
+
 # --------------------------------------------------------------- dispatcher --
 
 def execute_dml(
@@ -576,8 +677,13 @@ def execute_dml(
         return _exec_vacuum(spark, stmt, tables)
     if head == "RESTORE":
         return _exec_restore(spark, stmt, tables)
+    if head == "CREATE":
+        return _exec_create(spark, stmt, tables)
+    if head == "ALTER":
+        return _exec_alter(spark, stmt, tables)
     raise ValueError(
-        f"unsupported DML statement {head!r}: INSERT INTO / UPDATE / "
+        f"unsupported DML statement {head!r}: INSERT / UPDATE / "
         "DELETE FROM / MERGE INTO mutate; OPTIMIZE / VACUUM / RESTORE "
-        "maintain; run read-only SQL through spark.sql"
+        "maintain; CREATE TABLE … AS / ALTER TABLE evolve; run "
+        "read-only SQL through spark.sql"
     )

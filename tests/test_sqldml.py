@@ -243,3 +243,48 @@ def test_insert_overwrite_and_identity_targets(spark, tmp_path):
             "INSERT INTO i (k, row_id) SELECT id, id FROM range(2)",
             {"i": ti},
         )
+
+
+def test_create_table_as_and_alter(spark, tmp_path):
+    """CTAS + ALTER TABLE: the full table lifecycle is SQL-drivable —
+    create partitioned, evolve the schema through the column-mapping
+    ops, gate with a CHECK constraint, all dispatched to engine ops."""
+    tables = {}
+    res = execute_dml(
+        spark,
+        "CREATE TABLE leads LOCATION '%s' PARTITIONED BY (p) AS "
+        "SELECT id AS k, id %% 2 AS p, id * 1.0 AS price "
+        "FROM range(0, 20)" % (tmp_path / "c"),
+        tables,
+    )
+    assert res == {"op": "create", "table": "leads", "rows": 20, "version": 1}
+    t = tables["leads"]
+    assert t.snapshot().partition_by == ("p",)
+    assert all("__txp_p=" in f for f in t.snapshot().files)
+    execute_dml(spark, "ALTER TABLE leads ADD COLUMN note string", tables)
+    execute_dml(
+        spark, "ALTER TABLE leads RENAME COLUMN price TO amount", tables
+    )
+    execute_dml(
+        spark,
+        "ALTER TABLE leads ADD CONSTRAINT amt_pos CHECK (amount >= 0)",
+        tables,
+    )
+    with pytest.raises(Exception):
+        execute_dml(
+            spark, "UPDATE leads SET amount = -5 WHERE k = 1", tables
+        )
+    execute_dml(spark, "ALTER TABLE leads DROP CONSTRAINT amt_pos", tables)
+    execute_dml(spark, "UPDATE leads SET amount = -5 WHERE k = 1", tables)
+    execute_dml(spark, "ALTER TABLE leads DROP COLUMN note", tables)
+    assert t.read().columns == ["k", "p", "amount"]
+    assert t.read().filter(F.col("amount") < 0).count() == 1
+    with pytest.raises(ValueError, match="already registered"):
+        execute_dml(
+            spark,
+            "CREATE TABLE leads LOCATION '%s' AS SELECT 1 AS x"
+            % (tmp_path / "c2"),
+            tables,
+        )
+    with pytest.raises(ValueError, match="ALTER TABLE action"):
+        execute_dml(spark, "ALTER TABLE leads SET TBLPROPERTIES x", tables)
