@@ -288,3 +288,67 @@ def test_create_table_as_and_alter(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="ALTER TABLE action"):
         execute_dml(spark, "ALTER TABLE leads SET TBLPROPERTIES x", tables)
+
+
+def test_sql_route_matches_ingest_engine(spark, tmp_path):
+    """Reference-parity pin: the generated-SQL route (INSERT INTO …
+    SELECT TRY_CAST + UPDATE … WHERE Ingestion_date IS NULL — the
+    statements big_uery_handler.py:158-165/:188-192 emit) must
+    produce EXACTLY what the reconciliation engine (sources/ingest.py
+    reconcile + stamp_ingestion_date) computes on the same dirty
+    input — two spellings, one semantics."""
+    from datetime import date
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_pipeline_fresh_picked_leads_spark.sources.ingest import (
+        reconcile,
+        stamp_ingestion_date,
+    )
+
+    raw = spark.range(0, 40).select(
+        F.concat(
+            F.col("id").cast("string"),
+            F.when(F.col("id") % 7 == 0, F.lit("x")).otherwise(F.lit("")),
+        ).alias("k"),
+        (F.col("id") * 1.5).cast("string").alias("amount"),
+        F.lit("dropme").alias("utm_campaign"),  # input-only: dropped
+    )
+    target = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("note", StringType()),  # target-only: NULL
+            StructField("Ingestion_date", DateType()),
+        ]
+    )
+    engine = stamp_ingestion_date(
+        reconcile(raw, target), run_date=date(2024, 6, 1)
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "sqlroute"), engine.limit(0)
+    )
+    raw.createOrReplaceTempView("sqlroute_landing")
+    execute_dml(
+        spark,
+        "INSERT INTO t (k, amount, note) SELECT TRY_CAST(k AS BIGINT),"
+        " TRY_CAST(amount AS DOUBLE), CAST(NULL AS STRING) "
+        "FROM sqlroute_landing",
+        {"t": t},
+    )
+    execute_dml(
+        spark,
+        "UPDATE t SET Ingestion_date = DATE '2024-06-01' "
+        "WHERE Ingestion_date IS NULL",
+        {"t": t},
+    )
+    got = {tuple(r) for r in t.read().collect()}
+    want = {tuple(r) for r in engine.collect()}
+    assert got == want and len(want) == 40
