@@ -521,3 +521,20 @@ def test_repartitioned_to_is_the_spec_change_path(spark, tmp_path):
     # the source is untouched throughout
     assert t.snapshot().partition_by == ("p",)
     assert t.read().count() == 299
+
+
+def test_repartitioned_to_carries_colmap_tables_logically(
+    spark, tmp_path
+):
+    """A column-mapped source (renamed/dropped columns) repartitions
+    through its LOGICAL read — the new table starts identity-mapped
+    with the current logical schema, old physical names left behind."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "val")
+    t.add_column("extra", "integer")
+    t2 = t.repartitioned_to(str(tmp_path / "r"), None)
+    snap = t2.snapshot()
+    assert snap.colmap is None, "fresh table starts identity-mapped"
+    assert t2.read().columns == ["k", "p", "val", "extra"]
+    assert t2.read().count() == 300
+    assert t2.read().filter(F.col("k") == 1).first().val == "v1"
