@@ -507,3 +507,78 @@ def test_update_range_matches_update_and_prunes(spark, tmp_path):
     v = t.snapshot().version
     assert t.delete_range("k", 500, 600) == 0
     assert t.snapshot().version == v + 1
+
+
+def test_sink_commit_races_engine_append_both_land(spark, tmp_path):
+    """The native sink's driver-side commit (_commit_append) vs a
+    racing ENGINE append on the same partitioned table: the sink's
+    blind append must retry against the new head and land WITHOUT
+    dropping the racer's files, the partition spec, or either side's
+    stats (r13 — the sink now carries partition_by + new-file stats,
+    so the race path has more state to preserve than in r9)."""
+    import json as _json
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_fresh_picked_leads_spark.streaming import (
+        txtable_source as src,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b")], "k bigint, p bigint, v string"
+    )
+    t = TxTable.create(
+        spark, root, base, partition_by=["p"], stats_cols=["k"]
+    )
+    # stage a sink task file under the partition layout (p=1)
+    d = os.path.join(root, "data", uuid.uuid4().hex, "__txp_p=1")
+    os.makedirs(d)
+    path = os.path.join(d, "part-00000.parquet")
+    pq.write_table(
+        pa.table({"k": [10], "p": [1], "v": ["sink"]}), path
+    )
+    stats = {path: {"rows": 1, "min": {"k": 10, "p": 1}, "max": {"k": 10, "p": 1}}}
+
+    real = src.txlog.write_manifest
+    fired = {"n": 0}
+
+    def racing_write(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            TxTable(spark, root).append(
+                spark.createDataFrame([(20, 2, "eng")], "k bigint, p bigint, v string")
+            )
+        return real(*a, **kw)
+
+    src.txlog.write_manifest = racing_write
+    try:
+        v = src._commit_append(
+            root,
+            base.schema,
+            [path],
+            txn="race-sink-1",
+            wrote_pby=["p"],
+            new_stats=stats,
+        )
+    finally:
+        src.txlog.write_manifest = real
+    t2 = TxTable(spark, root)
+    snap = t2.snapshot()
+    assert snap.version == v == 3  # create + racer + sink
+    got = {r.k for r in t2.read().collect()}
+    assert got == {1, 2, 10, 20}, "both writers' rows must land"
+    assert snap.partition_by == ("p",), "spec must ride the retried commit"
+    assert path in snap.stats and snap.stats[path]["rows"] == 1
+    # the racer's file kept its stats through the sink's rebase
+    racer_files = [f for f in snap.files if f != path]
+    assert all(f in snap.stats for f in racer_files)
+    # replaying the sink txn no-ops
+    v2 = src._commit_append(
+        root, base.schema, [path], txn="race-sink-1",
+        wrote_pby=["p"], new_stats=stats,
+    )
+    assert v2 == 3 and TxTable(spark, root).read().count() == 4
