@@ -538,3 +538,42 @@ def test_repartitioned_to_carries_colmap_tables_logically(
     assert t2.read().columns == ["k", "p", "val", "extra"]
     assert t2.read().count() == 300
     assert t2.read().filter(F.col("k") == 1).first().val == "v1"
+
+
+def test_sink_commit_refuses_mid_stream_spec_change(spark, tmp_path):
+    """A table dropped+recreated with a DIFFERENT spec under a live
+    stream: linking files laid out under the old spec would silently
+    break file-per-partition-value, so the commit refuses (r13 guard,
+    the partition analogue of the mid-stream-rename refusal)."""
+    import shutil as _sh
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_fresh_picked_leads_spark.streaming import (
+        txtable_source as src,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1, "a")], "k bigint, p bigint, v string")
+    TxTable.create(spark, root, df, partition_by=["p"])
+    # a task file staged under the OLD spec's layout
+    d = os.path.join(root, "data", uuid.uuid4().hex, "__txp_p=1")
+    os.makedirs(d)
+    path = os.path.join(d, "part-00000.parquet")
+    pq.write_table(pa.table({"k": [9], "p": [1], "v": ["x"]}), path)
+    # the table is dropped and recreated UNPARTITIONED mid-stream
+    _sh.rmtree(os.path.join(root, "_txlog"))
+    TxTable.create(spark, root, df)
+    with pytest.raises(ValueError, match="partition spec changed"):
+        src._commit_append(
+            root, df.schema, [path], txn=None, wrote_pby=["p"]
+        )
+    # and the reverse: spec appeared under an unpartitioned stream
+    root2 = str(tmp_path / "u")
+    TxTable.create(spark, root2, df, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition spec changed"):
+        src._commit_append(
+            root2, df.schema, [path], txn=None, wrote_pby=None
+        )
