@@ -56,7 +56,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["execute_dml"]
+__all__ = ["execute_dml", "set_report_rows"]
+
+# INSERT reports rows-affected by default (SQL convention), which
+# costs a persist + one extra pass over the inserted data.  At scale
+# flip this off: rows comes back None and the insert is single-pass.
+_REPORT_ROWS = True
+
+
+def set_report_rows(enabled: bool) -> None:
+    global _REPORT_ROWS
+    _REPORT_ROWS = bool(enabled)
 
 _IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)"
 
@@ -264,19 +274,25 @@ def _exec_insert(spark: SparkSession, stmt: str, tables: dict) -> dict:
                 df = df.withColumn(
                     field.name, F.lit(None).cast(field.dataType)
                 )
-    # pin the query result: the rows-affected count and the append/
-    # overwrite (constraint scan + write) would otherwise each
-    # recompute the SELECT — at scale that doubles an arbitrarily
-    # expensive query
-    df = df.select(*target_cols).persist()
+    df = df.select(*target_cols)
+    n = None
+    if _REPORT_ROWS:
+        # pin the query result: the rows-affected count and the
+        # append/overwrite (constraint scan + write) would otherwise
+        # each recompute the SELECT.  A 100 TB deployment flips
+        # set_report_rows(False): rows=None, single pass, no
+        # persist-spill of the full insert.
+        df = df.persist()
     try:
-        n = df.count()
+        if _REPORT_ROWS:
+            n = df.count()
         if overwrite:
             version = table.overwrite(df)
         else:
             version = table.append(df)
     finally:
-        df.unpersist()
+        if _REPORT_ROWS:
+            df.unpersist()
     return {
         "op": "insert_overwrite" if overwrite else "insert",
         "table": key,
@@ -589,12 +605,17 @@ def _exec_create(spark: SparkSession, stmt: str, tables: dict) -> dict:
         raise ValueError(f"table name {name!r} already registered")
     from .txtable import TxTable
 
-    df = spark.sql(am.group(1)).persist()
+    df = spark.sql(am.group(1))
+    n = None
+    if _REPORT_ROWS:
+        df = df.persist()
     try:
-        n = df.count()
+        if _REPORT_ROWS:
+            n = df.count()
         t = TxTable.create(spark, path, df, partition_by=pby)
     finally:
-        df.unpersist()
+        if _REPORT_ROWS:
+            df.unpersist()
     tables[name] = t
     return {"op": "create", "table": name, "rows": n, "version": 1}
 

@@ -803,7 +803,12 @@ def _write_task(
     ONE file per value under the engine's ``__txp_<phys>=<value>``
     path layout — the file-per-partition-value invariant holds
     without a Spark session, so the native sink now accepts
-    partitioned targets.  ``stats_cols`` min/max/rows ride back to
+    partitioned targets.  File-count shape: a trigger writes up to
+    tasks × values-per-task files; for HIGH-cardinality specs,
+    pre-repartition the stream on the partition column
+    (``df.repartition(col)`` before writeStream) so each value lands
+    in one task — the engine's arrange=True does the same shuffle,
+    which a post-plan writer cannot inject itself.  ``stats_cols`` min/max/rows ride back to
     the driver per file (spec columns are single-valued per file, so
     min==max and partition pruning works on sink-written files
     exactly as on engine-written ones)."""

@@ -352,3 +352,36 @@ def test_sql_route_matches_ingest_engine(spark, tmp_path):
     got = {tuple(r) for r in t.read().collect()}
     want = {tuple(r) for r in engine.collect()}
     assert got == want and len(want) == 40
+
+
+def test_set_report_rows_single_pass(spark, tmp_path):
+    """set_report_rows(False): INSERT/CTAS skip the persist + count
+    pass (the 100 TB single-pass mode) — rows comes back None, the
+    data still lands."""
+    from etl_pipeline_fresh_picked_leads_spark.sources import sqldml
+
+    t = _mk(spark, tmp_path)
+    sqldml.set_report_rows(False)
+    try:
+        n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        res = execute_dml(
+            spark,
+            "INSERT INTO t SELECT id, id * 1.0, 'SP' FROM range(50, 55)",
+            {"t": t},
+        )
+        assert res["rows"] is None
+        assert (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            == n_before
+        )
+        tables = {}
+        res = execute_dml(
+            spark,
+            "CREATE TABLE c LOCATION '%s' AS SELECT 1 AS x"
+            % (tmp_path / "c"),
+            tables,
+        )
+        assert res["rows"] is None and tables["c"].read().count() == 1
+    finally:
+        sqldml.set_report_rows(True)
+    assert t.read().filter(F.col("pri") == "SP").count() == 5
