@@ -428,3 +428,114 @@ def dup_span_signals(
             ).otherwise(F.lit(0.0)).alias("dup_fraction"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame, n: int = 5, pins: "list | None" = None
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the rewrite half of the Lee et
+    al. 2022 operation (``dup_span_signals`` is the detection half):
+    every cross-doc duplicated word n-gram keeps exactly ONE
+    occurrence corpus-wide (the minimum (doc_id, pos) — deterministic
+    at any parallelism) and every other occurrence's n token
+    positions are removed; each document is rebuilt from its
+    surviving tokens.  Self-repetition within one doc is NOT touched
+    (that is ``repetition_signals``' job — here dup means >= 2
+    distinct docs).
+
+    Returns (doc_id, text, n_tokens_before, n_tokens_after) — text
+    lowercased/whitespace-normalized (the tokenizer's domain, same as
+    every text operator here).
+
+    Plan shape, all linear in corpus tokens (no quadratic stage):
+    positional grams (one explode, projected tokens, persisted once)
+    -> groupBy gram keeping min-occurrence + distinct-doc count ->
+    join instances to dup grams (non-canonical survivors only) ->
+    explode each into its n covered positions (duplicated-content-
+    sized) -> one token-level LEFT ANTI join (doc_id, pos) -> one
+    groupBy doc_id rebuilding the token array in position order.
+    The anti-join and rebuild shuffles are corpus-token-sized — the
+    same class as the gram shuffle the detection half already pays.
+    """
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.size("toks").alias("n_tokens"), "toks")
+    toked = toked.persist()
+    toked.count()  # grams + token-position explode both reuse this
+    caches = [toked]
+    idx = F.sequence(F.lit(0), F.col("n_tokens") - n)
+    gram = lambda i: F.struct(  # noqa: E731
+        i.alias("pos"),
+        F.xxhash64(
+            *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
+        ).alias("g"),
+    )
+    inst = (
+        toked.filter(F.col("n_tokens") >= n)
+        .select("doc_id", F.explode(F.transform(idx, gram)).alias("pg"))
+        .select("doc_id", "pg.pos", "pg.g")
+    )
+    inst = inst.persist()
+    inst.count()
+    caches.append(inst)
+    dup = (
+        inst.groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("g", "keep.doc_id", "keep.pos")
+    )
+    removed_pos = (
+        inst.alias("i")
+        .join(dup.alias("d"), "g")
+        .filter(  # the canonical occurrence survives
+            (F.col("i.doc_id") != F.col("d.doc_id"))
+            | (F.col("i.pos") != F.col("d.pos"))
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.explode(
+                F.sequence(F.col("i.pos"), F.col("i.pos") + (n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_pos = toked.select(
+        "doc_id", F.posexplode("toks").alias("tpos", "tok")
+    )
+    rebuilt = (
+        tok_pos.join(removed_pos, ["doc_id", "tpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_tokens_after"),
+        )
+    )
+    out = (
+        toked.select("doc_id", F.col("n_tokens").alias("n_tokens_before"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens_before",
+            F.coalesce(
+                "n_tokens_after", F.lit(0).cast("long")
+            ).alias("n_tokens_after"),
+        )
+    )
+    if pins is not None:
+        pins.extend(caches)
+        return out
+    from . import checkpoint_release
+
+    return checkpoint_release(out, caches)

@@ -1202,3 +1202,55 @@ def test_ivf_append_hot_cell_local_refit(embeddings, monkeypatch, tmp_path):
         best_cos(new),
         best_cos(old),
     )
+
+
+def test_remove_dup_spans_exact_semantics(spark):
+    """remove_dup_spans (r13): every cross-doc duplicated n-gram keeps
+    exactly ONE occurrence corpus-wide (min (doc_id, pos)); covered
+    positions elsewhere are removed; self-repetition and clean docs
+    are untouched; short/empty docs pass through."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        remove_dup_spans,
+    )
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7"  # 7 tokens -> 3 overlapping 5-grams
+    rows = [
+        (1, "u1 u2 " + boiler + " u3"),         # canonical holder
+        (2, "p q " + boiler + " r s"),          # loses the boilerplate
+        (3, "s1 s2 s3 s4 s5 s1 s2 s3 s4 s5"),   # SELF-repeat: untouched
+        (4, "lone words only here"),            # < n tokens of overlap
+        (5, ""),                                # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in remove_dup_spans(docs, n=5).collect()}
+    assert len(out) == 5
+    assert out[1].text == "u1 u2 " + boiler + " u3"
+    assert out[1].n_tokens_after == out[1].n_tokens_before == 10
+    assert out[2].text == "p q r s"
+    assert out[2].n_tokens_before == 11 and out[2].n_tokens_after == 4
+    assert out[3].text == rows[2][1]  # self-repeat preserved
+    assert out[4].text == "lone words only here"
+    assert out[5].text == "" and out[5].n_tokens_before == 0
+
+
+def test_remove_dup_spans_determinism_and_no_leak(spark):
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"x{i} " + "c1 c2 c3 c4 c5" + f" y{i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    a = sorted(map(tuple, remove_dup_spans(docs, n=5).collect()))
+    b = sorted(map(tuple, remove_dup_spans(docs.repartition(7), n=5).collect()))
+    assert a == b, "result must not depend on partitioning"
+    # each direct call may leave exactly ONE persistent RDD — its own
+    # localCheckpoint result (the srp_lsh no-leak convention); the
+    # corpus-sized toked/inst caches must be gone
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after - n_before <= 2, "corpus caches leaked"
+    # doc 0 keeps the shared gram; every other doc loses those 5 tokens
+    got = {r[0]: r for r in a}
+    assert got[0][3] == 7 and all(got[i][3] == 2 for i in range(1, 6))
