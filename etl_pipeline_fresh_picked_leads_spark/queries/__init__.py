@@ -109,6 +109,12 @@ from . import tpch  # noqa: E402,F401
 # sink).  After a green r13 run no registered query's newest driver
 # row predates r9, and the treadmill cadence (one full cycle ≈ 4-5
 # rounds) is established.
+# r14 PLANNING NOTE: the next stale cohort (r9) is 45 queries — 5
+# canaries + 45 = 50 with ZERO slots for new queries.  r14 must
+# either split the r9 cohort across r14/r15 (oldest-registered
+# first; run tools/rotation.py) or displace canaries for its new
+# IDs; any NEW query must be in the window (test_registry_drift)
+# and remove_dup_spans' registration is already queued for it.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",

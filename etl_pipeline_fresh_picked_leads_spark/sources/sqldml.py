@@ -68,6 +68,7 @@ def set_report_rows(enabled: bool) -> None:
     global _REPORT_ROWS
     _REPORT_ROWS = bool(enabled)
 
+
 _IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)"
 
 
