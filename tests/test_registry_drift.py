@@ -58,3 +58,29 @@ def test_driver_window_is_exactly_ordered_prefix():
     assert list(QUERIES)[: len(_DRIVER_WINDOW)] == list(_DRIVER_WINDOW)
     # entries past index 49 silently fall outside the driver's check
     assert len(_DRIVER_WINDOW) <= DRIVER_CHECKS_PER_ROUND
+
+
+def test_rotation_tool_cohort_math(tmp_path):
+    """tools/rotation.py: newest-green only counts fully-matching
+    rows (a hash mismatch or an err must NOT advance a query's
+    freshness — that is exactly the staleness the rotation exists to
+    burn down)."""
+    import json
+
+    from tools.rotation import newest_green
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_a": ok, "q_b": ok, "q_c": ok})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "q_a": ok,                                 # advances
+                "q_b": {**ok, "hash_match": False},        # must NOT
+                "q_c": {**ok, "err": "boom"},              # must NOT
+            }
+        )
+    )
+    green = newest_green(str(tmp_path))
+    assert green == {"q_a": 2, "q_b": 1, "q_c": 1}

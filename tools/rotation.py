@@ -30,10 +30,12 @@ CANARIES = [
 WINDOW = 50
 
 
-def newest_green() -> dict[str, int]:
+def newest_green(repo_dir: str = REPO) -> dict[str, int]:
     out: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(f.split("_r")[1].split(".")[0])
+    for f in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        # parse from the BASENAME: a repo path containing "_r" would
+        # otherwise split wrong
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         for q, v in json.load(open(f)).items():
             ok = (
                 v.get("rows_match")
