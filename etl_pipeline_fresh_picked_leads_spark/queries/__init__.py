@@ -109,35 +109,44 @@ from . import tpch  # noqa: E402,F401
 # sink).  After a green r13 run no registered query's newest driver
 # row predates r9, and the treadmill cadence (one full cycle ≈ 4-5
 # rounds) is established.
-# r14 PLANNING NOTE: the next stale cohort (r9) is 45 queries — 5
-# canaries + 45 = 50 with ZERO slots for new queries.  r14 must
-# either split the r9 cohort across r14/r15 (oldest-registered
-# first; run tools/rotation.py) or displace canaries for its new
-# IDs; any NEW query must be in the window (test_registry_drift)
-# and remove_dup_spans' registration is already queued for it.
+# Round-14 rotation (VERDICT r13 #2 — the planned r9-cohort SPLIT):
+# the stale cohort is 45 queries, so 5 canaries + 45 leaves zero
+# slots; r14 windows the 39 OLDEST-REGISTERED stale entries (which
+# happen to end exactly at q_text_dup_spans — the one member whose
+# implementation r14 also changed: the 128-bit gram key + cache
+# release, so it must re-verify regardless) and defers the 6
+# newest-registered (q_dedup_cluster, q_dedup_cluster_star,
+# q_dedup_apply, q_sample_pergroup, q_map_in_arrow,
+# q_sketch_quantile_rollup — all r9-green, unchanged since) to r15.
+# The remaining 6 slots go to r14's new/behavior-changed queries:
+# q_text_remove_dup_spans (VERDICT #1), the SQL SELECT/maintain/
+# identity-sink additions (#4/#5/#6), and the two plan-fingerprint
+# promotions q_dedup_fuzzy + q_sim_ann_ivf (#8, output schema
+# changed).  r15 plan: 5 canaries + the 6 deferred r9 entries + the
+# r10 cohort (45) exceeds 50 by 6 — split again, oldest-registered
+# first; run tools/rotation.py.
 _DRIVER_WINDOW = [
     # canaries: cheap, always-green, exercised every round
     "q_scan_parquet", "q_agg_group", "q_join_inner", "q_win_rownum",
     "q_topk_pergroup",
-    # r8-last-verified cohort, complete (43)
-    "q_ingest_reconcile", "q_ingest_stamp",
-    "q_scan_csv_infer", "q_scan_json_infer", "q_scan_orc",
-    "q_sql_interface", "q_matview_incremental", "q_scd2_merge",
-    "q_txtable_changefeed", "q_txtable_constraint", "q_txtable_history",
-    "q_txtable_merge", "q_txtable_rename", "q_txtable_replace_where",
-    "q_txtable_restore", "q_txtable_timetravel",
-    "q_filter_null", "q_filter_cmp", "q_filter_between",
-    "q_filter_in", "q_filter_like", "q_project", "q_try_cast",
-    "q_map_json_struct", "q_str_fuzzy", "q_udf_cogroup",
-    "q_stream_cdc_apply", "q_stream_scd2",
-    "q_dedup_embed_lsh", "q_sim_join_auto",
-    "q_pack_chunks", "q_quality_filter", "q_sample_stratified",
-    "q_text_chunk", "q_text_decontaminate", "q_text_pii_redact",
-    "q_text_repetition", "q_text_tfidf",
-    "q_dq_report", "q_funnel_steps", "q_graph_closure",
-    "q_retention_cohorts", "q_sessionize_batch",
-    # round-13 new queries (2 slots)
-    "q_txtable_sql_dml", "q_stream_txtable_sink_partitioned",
+    # r9-last-verified cohort, oldest-registered 39 of 45
+    "q_txtable_delete_dv", "q_txtable_update_dv", "q_txtable_clone",
+    "q_txtable_cdf",
+    "q_join_left", "q_join_right", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_broadcast", "q_join_cross", "q_join_theta",
+    "q_join_range", "q_join_asof", "q_join_multikey", "q_join_bucketed",
+    "q_agg_global", "q_agg_approx_cd", "q_agg_percentile_approx",
+    "q_agg_histogram",
+    "q_win_percent_rank", "q_time_strings", "q_geo_wkt",
+    "q_variant_json", "q_udtf_lateral",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark", "q_stream_dedup", "q_stream_static_join",
+    "q_stream_stream_join", "q_stream_stateful",
+    "q_stream_txtable_source", "q_stream_txtable_sink",
+    "q_scan_binaryfile", "q_multimodal_features", "q_embed_quantize",
+    "q_text_dup_spans",
+    # round-14 new / behavior-changed queries
+    "q_text_remove_dup_spans",
 ]
 
 

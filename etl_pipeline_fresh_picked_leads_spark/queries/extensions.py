@@ -1127,6 +1127,83 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_signals(read_table(spark, sf_dir, "documents"), n=5)
 
 
+# Exact duplicated-span REMOVAL (Lee et al. 2022 rewrite half): the
+# oracle re-derives the surviving tokens declaratively — positional
+# 5-grams, cross-doc dup grams, canonical occurrence = min (doc_id,
+# pos) via ROW_NUMBER, non-canonical instances expand to their 5
+# covered positions, anti-join, ordered string_agg rebuild.  String
+# grams on the oracle side vs the engine's 128-bit two-lane hash key:
+# collision-free at sf0.01 by construction, so outputs match exactly.
+_REMOVE_DUP_SPAN_ORACLE = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 3), i ->
+             struct_pack(pos := i - 1,
+                         g := t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   || ' ' || t[i+3] || ' ' || t[i+4]))) AS u
+    FROM toked WHERE len(t) >= 5
+  )
+),
+dup AS (SELECT g FROM inst GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+ranked AS (
+  SELECT i.doc_id, i.pos,
+         ROW_NUMBER() OVER (PARTITION BY i.g
+                            ORDER BY i.doc_id, i.pos) AS rn
+  FROM inst i JOIN dup USING (g)
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + k.k AS tpos
+  FROM ranked CROSS JOIN generate_series(0, 4) AS k(k)
+  WHERE rn > 1
+),
+tok AS (
+  SELECT doc_id, u.tpos AS tpos, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1), j ->
+             struct_pack(tpos := j - 1, tok := t[j]))) AS u
+    FROM toked
+  )
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.tpos) AS text,
+         COUNT(*) AS n_after
+  FROM tok t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.tpos = r.tpos
+  WHERE r.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(rb.text, '') AS text,
+       CAST(b.n_tokens AS INT) AS n_tokens_before,
+       CAST(COALESCE(rb.n_after, 0) AS BIGINT) AS n_tokens_after
+FROM (SELECT doc_id, len(t) AS n_tokens FROM toked) b
+LEFT JOIN rebuilt rb USING (doc_id)
+"""
+
+
+@query("q_text_remove_dup_spans", oracle=_REMOVE_DUP_SPAN_ORACLE)
+def q_text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (r14, VERDICT r13 #1): every
+    cross-doc duplicated word 5-gram keeps its minimum (doc_id, pos)
+    occurrence corpus-wide and loses every other occurrence's 5 token
+    positions; documents are rebuilt from surviving tokens
+    (operators/text.remove_dup_spans — linear stages, 128-bit
+    two-lane gram key).  The oracle re-derives the exact surviving
+    token sequence per document in DuckDB."""
+    from ..operators.text import remove_dup_spans
+
+    return remove_dup_spans(read_table(spark, sf_dir, "documents"), n=5)
+
+
 @query("q_text_repetition", oracle=_REPETITION_ORACLE)
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style bigram repetition signals (top-bigram fraction,

@@ -861,8 +861,18 @@ def _write_task(
     groups = pdf.groupby(list(partition_by), dropna=False, sort=False)
     for i, (_key, idx) in enumerate(groups.indices.items()):
         seq = sorted(int(j) for j in idx)
+        # segment values come from the ARROW column, not pdf: pandas
+        # promotes an int64 column with any NULL to float64, so the
+        # pdf value would write '__txp_p=1.0' while the engine writes
+        # '__txp_p=1' — the same logical partition would split across
+        # path keys and compact/vacuum(partition=)/maintain()'s
+        # path-parsed cohorts would silently miss sink-written files
+        # (ADVICE r13).  as_py() preserves int, and None maps to the
+        # Hive null marker inside _part_seg.
         segs = [
-            _part_seg(phys.get(c, c), pdf[c].iloc[seq[0]])
+            _part_seg(
+                phys.get(c, c), tbl.column(phys.get(c, c))[seq[0]].as_py()
+            )
             for c in partition_by
         ]
         d = os.path.join(out_dir, *segs)

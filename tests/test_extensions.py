@@ -1254,3 +1254,44 @@ def test_remove_dup_spans_determinism_and_no_leak(spark):
     # doc 0 keeps the shared gram; every other doc loses those 5 tokens
     got = {r[0]: r for r in a}
     assert got[0][3] == 7 and all(got[i][3] == 2 for i in range(1, 6))
+
+
+def test_dup_span_gram_key_survives_64bit_collision(spark):
+    """VERDICT r13 #1 regression: span keys must not rely on ONE
+    64-bit hash — at 100 TB gram counts the birthday bound makes
+    single-lane collisions routine, and remove_dup_spans deletes on
+    key equality without verification.  Force EVERY gram onto one
+    first-lane value (``_h1`` override — a simulated total collision);
+    the second key lane must still separate grams, so both operators'
+    outputs are bit-identical to the default run.  Under a
+    single-lane key this forced collision marks every gram duplicated
+    and strips innocent documents."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        dup_span_signals,
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        # 8 all-unique docs (no cross-doc grams) + one true clone pair
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i} g{i}") for i in range(8)]
+        + [(100, "z1 z2 z3 z4 z5"), (101, "z1 z2 z3 z4 z5")],
+        "doc_id bigint, text string",
+    )
+    collide = lambda words: F.lit(7)  # noqa: E731
+    base = sorted(map(tuple, remove_dup_spans(docs, n=5).collect()))
+    forced = sorted(
+        map(tuple, remove_dup_spans(docs, n=5, _h1=collide).collect())
+    )
+    assert forced == base, "a 64-bit-lane collision changed the rewrite"
+    got = {r[0]: r for r in base}
+    # the true clone pair still dedups: min (doc_id, pos) keeps 100
+    assert got[100][3] == 5 and got[101][3] == 0
+    # and the unique docs keep every token
+    assert all(got[i][3] == 7 for i in range(8))
+    sig_base = sorted(map(tuple, dup_span_signals(docs, n=5).collect()))
+    sig_forced = sorted(
+        map(tuple, dup_span_signals(docs, n=5, _h1=collide).collect())
+    )
+    assert sig_forced == sig_base, "collision perturbed detection stats"

@@ -188,10 +188,25 @@ def test_quantize_is_map_only_after_stats(spark):
 def test_dup_spans_three_shuffles_and_broadcast_dup_grams(spark):
     # positional-gram groupBy + doc window + final doc groupBy = 3;
     # the dup-gram set joins back as a broadcast, never a shuffle of
-    # the full gram-instance table a second time
-    df = QUERIES["q_text_dup_spans"](spark, SF_SMALL)
-    assert n_exchanges(df) <= 3, formatted_plan(df)
-    assert has_broadcast_join(df)
+    # the full gram-instance table a second time.  Probed at the
+    # OPERATOR with caller-owned pins: the registered query releases
+    # its grams cache via checkpoint (r14), which truncates the
+    # returned plan to Scan ExistingRDD and would make these asserts
+    # vacuous.
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        dup_span_signals,
+    )
+
+    pins: list = []
+    df = dup_span_signals(
+        read_table(spark, SF_SMALL, "documents"), n=5, pins=pins
+    )
+    try:
+        assert n_exchanges(df) <= 3, formatted_plan(df)
+        assert has_broadcast_join(df)
+    finally:
+        for p in pins:
+            p.unpersist()
 
 
 def test_bucketed_join_query_has_zero_exchanges(spark):

@@ -260,6 +260,51 @@ def test_native_streaming_sink_partitioned_and_null_values(
     assert t2.read().filter(F.col("region").isNull()).count() == 2
 
 
+def test_native_sink_nullable_int_partition_paths(spark, tmp_path):
+    """ADVICE r13 (medium): an int64 partition column with any NULL in
+    the batch becomes float64 in pandas, so path values derived from
+    the pandas frame wrote '__txp_p=1.0' while the engine writes
+    '__txp_p=1' — the same logical partition split across path keys
+    and partition-scoped maintenance silently missed sink files.  The
+    writer now derives segment values from the ARROW column; sink and
+    engine paths must be byte-identical."""
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "ni")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(0, 1), (1, None)], "k bigint, p bigint"),
+        partition_by=["p"],
+    )
+    engine_files = set(t.snapshot().files)
+    engine_segs = {f.split("/")[-2] for f in engine_files}
+    spark.createDataFrame(
+        [(2, 1), (3, 2), (4, None)], "k bigint, p bigint"
+    ).write.format("txtable").mode("append").option("path", root).save()
+    t2 = TxTable(spark, root)
+    sink_files = set(t2.snapshot().files) - engine_files
+    sink_segs = {f.split("/")[-2] for f in sink_files}
+    assert "__txp_p=1" in sink_segs and "__txp_p=1.0" not in sink_segs
+    assert engine_segs <= {"__txp_p=1", "__txp_p=2",
+                           "__txp_p=__HIVE_DEFAULT_PARTITION__"}
+    assert sink_segs <= {"__txp_p=1", "__txp_p=2",
+                         "__txp_p=__HIVE_DEFAULT_PARTITION__"}
+    # one logical partition = one path key across both writers
+    # (partitions() lists path-parsed values — strings by contract)
+    parts = {p["p"]: p["n_rows"] for p in t2.partitions()}
+    assert parts == {"1": 2, "2": 1, None: 2}
+    # partition-scoped maintenance sees the sink-written file
+    t2.compact(target_bytes=1 << 30, partition={"p": 1})
+    after = t2.snapshot()
+    assert len([f for f in after.files if "__txp_p=1/" in f or
+                f.split("/")[-2] == "__txp_p=1"]) == 1
+    assert t2.read().filter(F.col("p") == 1).count() == 2
+
+
 def test_native_sink_still_refuses_identity(spark, tmp_path):
     from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
         register,
