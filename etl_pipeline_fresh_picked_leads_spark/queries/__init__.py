@@ -146,7 +146,7 @@ _DRIVER_WINDOW = [
     "q_scan_binaryfile", "q_multimodal_features", "q_embed_quantize",
     "q_text_dup_spans",
     # round-14 new / behavior-changed queries
-    "q_text_remove_dup_spans",
+    "q_text_remove_dup_spans", "q_txtable_sql_select",
 ]
 
 

@@ -1805,6 +1805,78 @@ def q_txtable_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SELECT_ORACLE = """
+SELECT n_nationkey,
+       n_name AS name_v1,
+       CASE WHEN n_nationkey % 5 = 0 THEN 'EDITED_' || n_name
+            ELSE n_name END AS name_now
+FROM nation
+"""
+
+
+@query("q_txtable_sql_select", oracle=_SQL_SELECT_ORACLE)
+def q_txtable_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SELECT over TxTable with per-reference time travel (r14,
+    VERDICT r13 #4 — sources/sqldml.execute_sql): a BigQuery-
+    habituated user's first statement is a SELECT with
+    ``FOR SYSTEM_TIME AS OF`` (the reference consumes everything as
+    SQL text, big_uery_handler.py:158-165); here the SAME statement
+    self-joins the live table against ``FOR VERSION AS OF 1``, each
+    reference resolving through the engine's committed-read path
+    (colmap, DVs, manifest schema) via a snapshot temp view.
+
+    v1 = nation as created; v2 = every 5th nation's name upserted to
+    ``EDITED_…`` (modular pick — regeneration-proof).  In-query
+    asserts pin the timestamp spelling: a history()-derived bound for
+    v1 (both the Delta ``FOR TIMESTAMP`` and BigQuery
+    ``FOR SYSTEM_TIME`` spellings) returns exactly the version-pinned
+    count.  The oracle re-derives both states from nation
+    declaratively."""
+    import shutil
+
+    from ..sources.sqldml import execute_sql
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "sqlselect_nation")
+    shutil.rmtree(root, ignore_errors=True)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    t = TxTable.create(spark, root, nation)
+    t.upsert(
+        nation.filter(F.col("n_nationkey") % 5 == 0).withColumn(
+            "n_name", F.concat(F.lit("EDITED_"), F.col("n_name"))
+        ),
+        key="n_nationkey",
+    )
+    tables = {"leads": t}
+    ts_v1 = {e["version"]: e["timestamp"] for e in t.history()}[1]
+    n_v1 = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM leads FOR VERSION AS OF 1",
+        tables,
+    ).collect()[0].n
+    for spelling in ("TIMESTAMP", "SYSTEM_TIME"):
+        n_ts = execute_sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM leads FOR {spelling} AS OF "
+            f"'{ts_v1.isoformat()}'",
+            tables,
+        ).collect()[0].n
+        assert n_ts == n_v1, (spelling, n_ts, n_v1)
+    return execute_sql(
+        spark,
+        """
+        SELECT cur.n_nationkey AS n_nationkey,
+               old.n_name AS name_v1,
+               cur.n_name AS name_now
+        FROM leads cur
+        JOIN leads FOR VERSION AS OF 1 AS old
+          ON cur.n_nationkey = old.n_nationkey
+        """,
+        tables,
+    )
+
+
 _SQL_DML_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_totalprice, o_orderpriority,

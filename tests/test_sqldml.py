@@ -385,3 +385,140 @@ def test_set_report_rows_single_pass(spark, tmp_path):
     finally:
         sqldml.set_report_rows(True)
     assert t.read().filter(F.col("pri") == "SP").count() == 5
+
+
+def test_merge_refuses_delete_listed_before_update(spark, tmp_path):
+    """ADVICE r13: the engine's clause order is fixed (UPDATE before
+    DELETE); a statement listing DELETE first would silently diverge
+    from Delta/ANSI listed-order evaluation on rows satisfying both
+    conditions — it must refuse, never reorder silently."""
+    t = _mk(spark, tmp_path)
+    _df(spark, 0, 5, pri="S").createOrReplaceTempView("dml_ord_src")
+    with pytest.raises(ValueError, match="UPDATE before DELETE"):
+        execute_dml(
+            spark,
+            """
+            MERGE INTO t AS t USING dml_ord_src AS s ON t.k = s.k
+            WHEN MATCHED AND t.k % 3 = 0 THEN DELETE
+            WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET pri = s.pri
+            """,
+            {"t": t},
+        )
+    # delete-only and update-then-delete orderings still parse
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO t AS t USING dml_ord_src AS s ON t.k = s.k
+        WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET pri = s.pri
+        WHEN MATCHED AND t.k % 3 = 0 THEN DELETE
+        """,
+        {"t": t},
+    )
+    assert res["updated"] == 3 and res["deleted"] == 1  # 0,2,4 upd; 3 del
+
+
+def test_merge_source_paren_in_string_literal(spark, tmp_path):
+    """ADVICE r13: the USING (<query>) close-paren scan is quote-aware
+    — a ')' inside a string literal in the subquery must not truncate
+    it."""
+    t = _mk(spark, tmp_path)
+    res = execute_dml(
+        spark,
+        "MERGE INTO t t USING (SELECT id AS k, id * 1.0 AS price, "
+        "'a)b(c' AS pri FROM range(20, 23)) s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": t},
+    )
+    assert res["inserted"] == 3
+    assert t.read().filter(F.col("pri") == "a)b(c").count() == 3
+
+
+def test_execute_sql_current_and_version_pins(spark, tmp_path):
+    """execute_sql (r14, VERDICT r13 #4): SELECT over a registered
+    TxTable with per-reference time travel — a self-join of the
+    current snapshot against FOR VERSION AS OF 1 sees both states."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.sqldml import (
+        execute_sql,
+    )
+
+    t = _mk(spark, tmp_path)  # v1: keys 0..9, pri P
+    execute_dml(
+        spark, "UPDATE t SET pri = 'Q' WHERE k % 2 = 0", {"t": t}
+    )
+    # current state
+    got = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE pri = 'Q'", {"t": t}
+    ).collect()
+    assert got[0].n == 5
+    # pinned state: v1 has no Q rows
+    got = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1 WHERE pri = 'Q'",
+        {"t": t},
+    ).collect()
+    assert got[0].n == 0
+    # self-join current vs pinned, explicit aliases + qualifiers
+    got = execute_sql(
+        spark,
+        """
+        SELECT cur.k AS k, cur.pri AS now_pri, old.pri AS then_pri
+        FROM t cur JOIN t FOR VERSION AS OF 1 AS old ON cur.k = old.k
+        WHERE cur.pri <> old.pri
+        """,
+        {"t": t},
+    ).collect()
+    assert len(got) == 5 and all(
+        r.now_pri == "Q" and r.then_pri == "P" for r in got
+    )
+
+
+def test_execute_sql_timestamp_and_system_time_pins(spark, tmp_path):
+    from etl_pipeline_fresh_picked_leads_spark.sources.sqldml import (
+        execute_sql,
+    )
+
+    t = _mk(spark, tmp_path)
+    execute_dml(spark, "DELETE FROM t WHERE k >= 5", {"t": t})
+    # history()-derived probe bounds (never wall-clock literals):
+    # tz-aware datetimes, passed as quoted ISO strings
+    ts = {e["version"]: e["timestamp"].isoformat() for e in t.history()}
+    for spelling in ("TIMESTAMP", "SYSTEM_TIME"):
+        got = execute_sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM t FOR {spelling} AS OF '{ts[1]}'",
+            {"t": t},
+        ).collect()
+        assert got[0].n == 10, spelling
+    got = execute_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t FOR TIMESTAMP AS OF '{ts[2]}'",
+        {"t": t},
+    ).collect()
+    assert got[0].n == 5
+
+
+def test_execute_sql_guards(spark, tmp_path):
+    from etl_pipeline_fresh_picked_leads_spark.sources.sqldml import (
+        execute_sql,
+    )
+
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(spark, "DELETE FROM t", {"t": t})
+    with pytest.raises(ValueError, match="shadows"):
+        execute_sql(
+            spark,
+            "WITH t AS (SELECT 1 AS x) SELECT * FROM t",
+            {"t": t},
+        )
+    with pytest.raises(ValueError, match="no registered TxTable"):
+        execute_sql(spark, "SELECT 1 AS one", {"t": t})
+    with pytest.raises(ValueError, match="integer"):
+        execute_sql(spark, "SELECT * FROM t FOR VERSION AS OF 'x'", {"t": t})
+    # a string literal containing the table name must not rewrite
+    got = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n, 't' AS tag FROM t",
+        {"t": t},
+    ).collect()
+    assert got[0].n == 10 and got[0].tag == "t"
