@@ -147,6 +147,7 @@ _DRIVER_WINDOW = [
     "q_text_dup_spans",
     # round-14 new / behavior-changed queries
     "q_text_remove_dup_spans", "q_txtable_sql_select",
+    "q_txtable_maintain", "q_stream_txtable_sink_identity",
 ]
 
 

@@ -992,6 +992,103 @@ def q_txtable_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_txtable_maintain",
+    oracle="""
+    WITH b AS (SELECT min(o_orderstatus) AS lo, max(o_orderstatus) AS hi
+               FROM orders)
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders, b
+    WHERE NOT (o_orderstatus IN (b.lo, b.hi) AND o_orderkey % 10 = 3)
+    """,
+)
+def q_txtable_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLICY-DRIVEN MAINTENANCE in one call (r14, VERDICT r13 #6 —
+    TxTable.maintain, shipped r13 with tests only): compact-if-
+    fragmented + purge_dvs + vacuum as a scheduled job.  The
+    qualification pass is METADATA-only (manifest file counts + path
+    parsing, zero data scans), so in-query asserts pin that
+
+    - only the fragmented partition compacts (the lowest status
+      landed in 3 stripe commits; every other partition holds 1
+      file),
+    - purge_dvs rewrites only DV-carrying files (the highest status'
+      file — its deleted fraction crossed the threshold; compaction
+      already materialized the fragmented partition's DVs),
+    - the MIDDLE partitions' files survive byte-identical (same
+      paths carried by reference — the zero-data-scan evidence), and
+    - vacuum reclaims everything the rewrites stranded.
+
+    Partition picks are DATA-DERIVED (min/max status, mirrored in the
+    oracle) and the delete predicate is modular — both regeneration-
+    proof.  At 100 TB this is the nightly job: decide from metadata,
+    touch only qualifying fragmentation, cost ∝ the mess, never ∝
+    the table."""
+    import shutil
+
+    from ..sources.txtable import TxTable
+
+    root = os.path.join(_SCRATCH, "maintain_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    statuses = sorted(
+        r[0] for r in o.select("o_orderstatus").distinct().collect()
+    )
+    assert len(statuses) >= 3, statuses  # need an untouched middle
+    lo, hi = statuses[0], statuses[-1]
+    lo_rows = o.filter(F.col("o_orderstatus") == lo)
+    stripe = F.pmod(F.xxhash64("o_orderkey"), F.lit(3))
+    t = TxTable.create(
+        spark,
+        root,
+        lo_rows.filter(stripe == 0),
+        partition_by=["o_orderstatus"],
+        stats_cols=["o_orderkey"],
+    )
+    t.append(lo_rows.filter(stripe == 1))
+    t.append(lo_rows.filter(stripe == 2))  # lo partition: 3 files
+    t.append(o.filter(F.col("o_orderstatus") != lo))  # 1 file each
+    n_del = t.delete_dv(
+        F.col("o_orderstatus").isin(lo, hi)
+        & (F.col("o_orderkey") % 10 == 3)
+    )
+    assert n_del > 0
+    before = t.snapshot()
+    assert before.dvs, "delete_dv must leave deletion vectors"
+    mid_files = {
+        f
+        for f in before.files
+        if f"__txp_o_orderstatus={lo}" not in f
+        and f"__txp_o_orderstatus={hi}" not in f
+    }
+    assert mid_files
+    report = t.maintain(
+        {
+            "compact": {"min_files": 3, "target_bytes": 1 << 30},
+            "purge_dvs": {"min_deleted_frac": 0.01},
+            "vacuum": {"retain": 1, "min_age_seconds": 0},
+        }
+    )
+    # metadata-only qualification: exactly the fragmented partition
+    assert report["compacted"] == [{"o_orderstatus": lo}], report
+    # the hi partition's DV'd file crossed the purge threshold
+    assert report["purged"] is not None, report
+    assert report["vacuumed"], "rewrites must strand reclaimable files"
+    after = t.snapshot()
+    # middle partitions: same paths, carried by reference, never read
+    assert mid_files <= set(after.files), "non-qualifying files touched"
+    assert all(os.path.exists(f) for f in mid_files)
+    # every DV materialized by compact/purge; lo partition defragged
+    assert not after.dvs, after.dvs
+    lo_files = [
+        f for f in after.files if f"__txp_o_orderstatus={lo}" in f
+    ]
+    assert len(lo_files) == 1, lo_files
+    return t.read()
+
+
+@query(
     "q_txtable_merge",
     oracle="""
     WITH t AS (

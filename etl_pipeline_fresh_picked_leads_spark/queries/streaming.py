@@ -1178,6 +1178,136 @@ def q_stream_txtable_sink_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_txtable_sink_identity",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS grp,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), n0 AS (SELECT n FROM s WHERE grp = 0),
+    tot AS (SELECT SUM(n) AS n FROM s)
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN grp = 0 THEN 1
+                ELSE (SELECT n FROM n0) + 1 END AS BIGINT) AS min_id,
+           CAST(CASE WHEN grp = 0 THEN (SELECT n FROM n0)
+                ELSE (SELECT n FROM tot) END AS BIGINT) AS max_id,
+           CAST(CASE WHEN grp = 0
+                THEN (SELECT n FROM n0) * ((SELECT n FROM n0) + 1) // 2
+                ELSE (SELECT n FROM tot) * ((SELECT n FROM tot) + 1) // 2
+                     - (SELECT n FROM n0) * ((SELECT n FROM n0) + 1) // 2
+                END AS BIGINT) AS sum_id
+    FROM s
+    """,
+)
+def q_stream_txtable_sink_identity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming append into an IDENTITY table (r14, VERDICT r13 #5 —
+    the last capability-matrix gap): the native manifest-only sink
+    REFUSES identity targets (asserted in-query — id assignment needs
+    the engine's transactional watermark, and there is no sound
+    manifest-only spelling), so the sanctioned path is
+    ``txtable_sink_prepared`` (foreachBatch + engine-assisted
+    ``TxTable.append``), which assigns per-partition offset blocks
+    under the pin and tags each commit with the batch's
+    order-insensitive content fingerprint.
+
+    Exactly-once under BOTH replay modes, asserted in-query: a
+    same-checkpoint re-drain sees no new batches, and a checkpoint-
+    LOSS re-drain replays the same per-file batch contents whose
+    fingerprint txns no-op BEFORE id assignment — the watermark never
+    double-advances, no id is ever assigned twice.
+
+    The oracle checks the id-block ALGEBRA per stripe (count/min/max/
+    arithmetic-series sum — q_txtable_identity's pattern): the seeded
+    stripe owns ids 1..n0 and the two streamed batches own
+    n0+1..total as a union, invariant to the batch delivery order
+    (row-level placement is partitioning-dependent by design)."""
+    from ..sources.txtable import TxTable
+    from ..streaming.sinks import txtable_sink_prepared
+    from ..streaming.txtable_source import register
+
+    register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), "fpl_spark_scratch", "txsink_identity_q"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "t")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    seed = o.filter(F.col("o_orderkey") % 3 == 0)
+    t = TxTable.create(spark, root, seed, identity="row_id")
+    n0 = seed.count()
+    assert t.snapshot().identity["next"] == n0 + 1
+    # capability matrix: the native sink refuses identity targets,
+    # naming the sanctioned path
+    try:
+        o.limit(1).write.format("txtable").mode("append").option(
+            "path", root
+        ).save()
+        raise AssertionError("native sink must refuse identity tables")
+    except Exception as e:  # Py4J wraps the ValueError
+        assert "txtable_sink_prepared" in str(e), e
+    for i, m in enumerate((1, 2)):
+        tmp = os.path.join(base, f"tmp{i}")
+        o.filter(F.col("o_orderkey") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, src), os.path.join(landing, f"b{i}.parquet")
+        )
+    schema = spark.read.parquet(landing).schema
+
+    def drain(chk: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")  # per-file batches: a
+            # checkpoint-loss replay re-delivers identical contents
+            .parquet(landing)
+        )
+        q = txtable_sink_prepared(
+            stream, spark, root, os.path.join(base, chk)
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("identity sink stream did not finish")
+
+    drain("chk")
+    t = TxTable(spark, root)
+    total = o.count()
+    assert t.snapshot().identity["next"] == total + 1
+    v = t.snapshot().version
+    drain("chk")  # same-checkpoint replay: no new batches
+    assert TxTable(spark, root).snapshot().version == v, "replay no-op"
+    drain("chk_lost")  # checkpoint loss: fingerprint txns must no-op
+    t = TxTable(spark, root)
+    assert t.snapshot().version == v, "lost-checkpoint replay committed"
+    assert t.snapshot().identity["next"] == total + 1, (
+        "watermark advanced on replay"
+    )
+    return (
+        t.read()
+        .groupBy(
+            F.when(F.col("o_orderkey") % 3 == 0, 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_id").alias("min_id"),
+            F.max("row_id").alias("max_id"),
+            F.sum("row_id").alias("sum_id"),
+        )
+    )
+
+
+@query(
     "q_stream_txtable_cdf_delta",
     oracle="""
     SELECT 'update_preimage' AS _change_type,
