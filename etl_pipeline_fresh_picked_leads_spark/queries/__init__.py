@@ -148,6 +148,7 @@ _DRIVER_WINDOW = [
     # round-14 new / behavior-changed queries
     "q_text_remove_dup_spans", "q_txtable_sql_select",
     "q_txtable_maintain", "q_stream_txtable_sink_identity",
+    "q_dedup_fuzzy", "q_sim_ann_ivf",
 ]
 
 

@@ -142,19 +142,59 @@ def _assert_planted_offset(df: DataFrame, id_col: str, offset: int) -> None:
         )
 
 
-@query("q_dedup_fuzzy", oracle=_FUZZY_ORACLE)
+_FUZZY_PLAN_ORACLE = _FUZZY_ORACLE.replace(
+    "TRUE AS recall_hi_ok FROM (",
+    "TRUE AS recall_hi_ok, TRUE AS plan_band_ok FROM (",
+)
+
+
+def _band_plan_ok(docs: DataFrame) -> bool:
+    """Plan fingerprint of the LSH banding stage (r14, VERDICT r13
+    #8): compile — never execute — the band-candidate plan over a
+    rep-shaped signatures frame (the exact ``_band_candidates``
+    composition the query runs) and pin the scale-critical
+    invariants: candidates come from a KEY-partitioned equi-join
+    (never a cartesian/nested-loop all-pairs plan), within the
+    operator's shuffle budget, all-JVM.  Explain-only: no job runs;
+    a de-optimization now fails the DRIVER gate, not just pytest."""
+    from ..operators.dedup import _band_candidates, minhash_signatures
+    from ..plans import formatted_plan, n_exchanges
+
+    reps = (
+        minhash_signatures(docs, 3)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.array_sort("shingles").alias("sh"), "sig")
+    )
+    cand = _band_candidates(reps)
+    plan = formatted_plan(cand)
+    return (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and n_exchanges(cand) <= 4
+        and "ArrowEval" not in plan
+        and "BatchEvalPython" not in plan
+    )
+
+
+@query("q_dedup_fuzzy", oracle=_FUZZY_PLAN_ORACLE)
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard >= 0.5, contract-oracle
     form (rows-only history: r1-r5; recall vs the exact q_dedup_ngram
     ground truth additionally asserted in tests).  Both sides branch
     off ONE persisted shingle pass (dedup.lsh_pairs_with_exact) — the
-    corpus is tokenized once, not twice."""
+    corpus is tokenized once, not twice.  ``plan_band_ok`` (r14)
+    rides every row: the banding stage's plan fingerprint (no
+    all-pairs join, bounded shuffles, all-JVM) is TRUE on the oracle
+    side, so a plan regression fails the hash gate."""
     from ..operators.dedup import lsh_pairs_with_exact
 
     docs = read_table(spark, sf_dir, "documents")
+    plan_ok = _band_plan_ok(docs)
     pins: list = []
     exact, lsh = lsh_pairs_with_exact(docs, threshold=0.5, pins=pins)
-    return _lsh_recall_contract(exact, lsh, pins)
+    return _lsh_recall_contract(exact, lsh, pins).withColumn(
+        "plan_band_ok", F.lit(bool(plan_ok))
+    )
 
 
 _NGRAM_ORACLE = """
@@ -494,7 +534,13 @@ SELECT vec_id, cosine, TRUE AS recall_ok FROM topk
 """
 
 
-@query("q_sim_ann_ivf", oracle=_ANN_IVF_ORACLE)
+_ANN_IVF_PLAN_ORACLE = _ANN_IVF_ORACLE.replace(
+    "TRUE AS recall_ok FROM topk",
+    "TRUE AS recall_ok, TRUE AS plan_ok FROM topk",
+)
+
+
+@query("q_sim_ann_ivf", oracle=_ANN_IVF_PLAN_ORACLE)
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for vec 0 (nlist=16, nprobe=4) in
     contract-oracle form (VERDICT r5 item 4, the q_agg_approx_cd
@@ -503,14 +549,40 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     set recovered >= 8 of the 10 (floor 0.8, margin under the 0.9
     recall the tests pin at sf0.01 and sf0.1).  A broken IVF routing
     flips the flag on every row and fails the hash gate; at 100 TB
-    you keep only the IVF side (rows-only history: r1-r5)."""
+    you keep only the IVF side (rows-only history: r1-r5).
+
+    ``plan_ok`` (r14, VERDICT r13 #8) pins the IVF probe's plan
+    fingerprint at the gate: the probe set and query vector BROADCAST
+    (they are nprobe- and 1-row-sized by construction — never a
+    shuffle of the corpus side), the global top-k plans as
+    TakeOrderedAndProject (never a full sort), no cartesian product,
+    and the shuffle count stays at the operator's minimum.  Computed
+    explain-only from the LAZY ivf_topk frame; TRUE on the oracle
+    side, so a plan regression fails the hash gate."""
+    from ..plans import (
+        formatted_plan,
+        has_broadcast_join,
+        has_take_ordered,
+        n_exchanges,
+    )
+
     emb = read_table(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb, 0, k=10)
-    approx = ivf_topk(emb, 0, k=10, nlist=16, nprobe=4).select("vec_id")
+    approx_full = ivf_topk(emb, 0, k=10, nlist=16, nprobe=4)
+    plan = formatted_plan(approx_full)
+    plan_ok = (
+        "CartesianProduct" not in plan
+        and has_broadcast_join(approx_full)
+        and has_take_ordered(approx_full)
+        and n_exchanges(approx_full) <= 3
+    )
+    approx = approx_full.select("vec_id")
     rec = exact.join(approx, "vec_id", "left_semi").agg(
         (F.count(F.lit(1)) >= F.lit(8)).alias("recall_ok")
     )
-    return exact.crossJoin(F.broadcast(rec))
+    return exact.crossJoin(F.broadcast(rec)).withColumn(
+        "plan_ok", F.lit(bool(plan_ok))
+    )
 
 
 _ANN_IVF_APPEND_ORACLE = _ANN_IVF_ORACLE.replace(
