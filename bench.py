@@ -125,8 +125,18 @@ HEADLINE = [
     # streaming partitioned-sink query stays out with the rest of the
     # J-tier (micro-batch startup would dominate the measurement).
     "q_txtable_sql_dml",
+    # r14: the full-scan I/O canary (see _MIN3 note), exact
+    # duplicated-span REMOVAL (the Lee et al. rewrite half: gram
+    # groupBy + anti-join + position-ordered rebuild), and
+    # policy-driven maintenance (metadata qualification + scoped
+    # compact + purge_dvs + vacuum in one call)
+    "q_scan_parquet",
+    "q_text_remove_dup_spans",
+    "q_txtable_maintain",
 ]
-_R13_ADDITIONS = ["q_txtable_sql_dml"]
+_R14_ADDITIONS = [
+    "q_scan_parquet", "q_text_remove_dup_spans", "q_txtable_maintain"
+]
 
 # The BENCH_r01 query set — a FIXED cross-round subtotal (VERDICT r8
 # item 7): the headline total grows every round as queries are added,
@@ -141,10 +151,10 @@ BASELINE15 = [
     "q_win_running",
 ]
 
-# Last round's headline set (BENCH_r12), for the other fixed
+# Last round's headline set (BENCH_r13), for the other fixed
 # comparison: common_prev_total isolates "did anything we both ran
 # get slower" from "we added new queries".
-PREV_HEADLINE = [q for q in HEADLINE if q not in _R13_ADDITIONS]
+PREV_HEADLINE = [q for q in HEADLINE if q not in _R14_ADDITIONS]
 
 # Fixed TxTable-tier subtotal (VERDICT r9 #7): the transactional tier
 # is the fastest-growing slice of the headline; like BASELINE15 this
@@ -161,7 +171,12 @@ TXTABLE_TIER = [
 # with no plan change (min-of-3 isolation confirmed) — its timed
 # region includes a multi-commit table build whose first-run I/O noise
 # min-of-2 doesn't reliably shave.  One extra run stabilizes it.
-_MIN3 = {"q_agg_group", "q_txtable_zorder"}
+# r14 (VERDICT r13 #7): q_scan_parquet is the SECOND canary — the
+# 6-row q_agg_group canary under-tracks I/O-phase box swings (r13's
+# three-phase session falsely flagged q_txtable_constraint), so
+# regression flags now require >1.25x under BOTH normalizations
+# before printing.
+_MIN3 = {"q_agg_group", "q_txtable_zorder", "q_scan_parquet"}
 
 
 def load_prev_round(repo_dir: str) -> "dict | None":
@@ -197,12 +212,21 @@ def regression_verdicts(
     canary: "float | None",
     prev: "dict | None",
     threshold: float = 1.25,
+    io_canary: "float | None" = None,
 ) -> tuple["dict | None", list[str]]:
     """Per-query canary-normalized ratio vs last round (r13, VERDICT
     r12 #8 — the adjudication done by hand every round, mechanized):
     ratio = (steady/canary) / (prev_steady/prev_canary).  Box-speed
     cancels on both sides; > threshold flags a real slowdown
-    candidate.  Returns (ratio map, flagged ids)."""
+    candidate.  Returns (ratio map, flagged ids).
+
+    r14 (VERDICT r13 #7): when BOTH rounds carry the I/O canary
+    (q_scan_parquet, ``canary_io_sec``), a flag must exceed the
+    threshold under BOTH normalizations — the 6-row CPU canary
+    under-tracks I/O-phase box swings (r13's false flag on
+    q_txtable_constraint), and a genuine query regression moves the
+    ratio under every honest denominator.  Rounds before the I/O
+    canary existed degrade to CPU-only flagging."""
     if not prev or not canary:
         return None, []
     prev_canary = prev.get("canary_sec")
@@ -214,9 +238,16 @@ def regression_verdicts(
         pt = prev_q.get(qid)
         if pt and pt > 0:
             ratios[qid] = round((t / canary) / (pt / prev_canary), 3)
-    flagged = sorted(
-        q for q, r in ratios.items() if r > threshold
-    )
+    flagged = [q for q, r in sorted(ratios.items()) if r > threshold]
+    prev_io = prev.get("canary_io_sec")
+    if io_canary and prev_io:
+        flagged = [
+            q
+            for q in flagged
+            if prev_q.get(q)
+            and (steady[q] / io_canary) / (prev_q[q] / prev_io)
+            > threshold
+        ]
     return ratios, flagged
 
 
@@ -243,12 +274,15 @@ def build_outputs(
     # A broken canary must be VISIBLE, not silently un-normalized
     # (ADVICE r5): normalized figures are null when the canary errored.
     canary = steady.get("q_agg_group")
+    io_canary = steady.get("q_scan_parquet")  # r14 second canary
     normalized = (
         {qid: round(t / canary, 3) for qid, t in steady.items()}
         if canary
         else None
     )
-    ratios, flagged = regression_verdicts(steady, canary, prev)
+    ratios, flagged = regression_verdicts(
+        steady, canary, prev, io_canary=io_canary
+    )
     detail = {
         "queries_single_shot": timings,
         "queries_steady": steady,
@@ -266,11 +300,28 @@ def build_outputs(
         "min_of_3_queries": sorted(_MIN3),  # r13: zorder joins the club
         "canary_steady_sec": canary,
         "canary_single_shot_sec": timings.get("q_agg_group"),
+        # r14: the I/O canary (full parquet scan, min-of-3) — flags in
+        # regressions_over_1_25x now require >threshold under BOTH
+        # canary normalizations (VERDICT r13 #7)
+        "canary_io": "q_scan_parquet",
+        "canary_io_steady_sec": io_canary,
         # r13 size diet: the prev-headline subtotal moved here from
         # the final line (the 51-query map left it 18 bytes over the
         # 1.5 KB budget); normalized_vs_prev supersedes it anyway
         "common_prev_total": round(
             sum(steady.get(q, 0.0) for q in PREV_HEADLINE), 3
+        ),
+        # r14 size diet: total_steady/total_normalized/txtable_total
+        # and the queries_kind marker live ONLY here now — the
+        # 54-query worst-case final line outgrew the 1.5 KB budget
+        # when the I/O canary landed.  `queries` in the final line is
+        # the steady min-of-2 map (unchanged semantics since r7).
+        "total_normalized": (
+            round(total_steady / canary, 3) if canary else None
+        ),
+        "queries_kind": "steady_min_of_2",
+        "txtable_total": round(
+            sum(steady.get(q, 0.0) for q in TXTABLE_TIER), 3
         ),
         "errors": errors,
         "sf": sf,
@@ -279,30 +330,18 @@ def build_outputs(
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        # `queries` switched semantics in r7 (single-shot -> steady);
-        # the marker keeps cross-round per-query comparisons honest —
-        # r1-r6 lines carried JIT-inflated single-shot timings, so an
-        # unmarked r7 map would read as a spurious ~35% speedup, and
-        # sum(queries) intentionally no longer equals `value`.
-        "queries_kind": "steady_min_of_2",
+        # steady min-of-2 map (semantics marker queries_kind moved to
+        # the detail artifact in r14's size diet; unchanged since r7)
         "queries": {q: round(t, 2) for q, t in steady.items()},
-        # r12 size diet (the 50-query map pushed the worst case past
-        # the 1.5 KB budget): `value` IS the single-shot total and the
-        # canary is q_agg_group min-of-3 — both documented here and in
-        # BENCH_DETAIL.json (which keeps every dropped alias:
-        # total_single_shot, canary name, canary_kind, n_queries).
-        "total_steady": total_steady,
+        # r12/r14 size diet: `value` IS the single-shot total; steady
+        # totals/normalized/txtable subtotal live in BENCH_DETAIL.json.
+        # The two canaries MUST stay here — next round's
+        # regression_verdicts reads them from this committed line.
         "canary_sec": canary,
-        "total_normalized": (
-            round(total_steady / canary, 3) if canary else None
-        ),
-        # fixed cross-round subtotals (steady): the r1 query set and
-        # last round's headline set — see BASELINE15 / PREV_HEADLINE
+        "canary_io_sec": io_canary,
+        # fixed cross-round subtotal (steady): the r1 query set
         "baseline15_total": round(
             sum(steady.get(q, 0.0) for q in BASELINE15), 3
-        ),
-        "txtable_total": round(
-            sum(steady.get(q, 0.0) for q in TXTABLE_TIER), 3
         ),
         "n_errors": len(errors),
         "sf": sf,

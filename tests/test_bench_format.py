@@ -55,7 +55,10 @@ def test_normalized_uses_steady_pass():
     assert detail["queries_normalized"]["q_other"] == 2.0
     assert detail["canary_steady_sec"] == 1.0
     assert final["canary_sec"] == 1.0
-    assert final["total_normalized"] == 3.0
+    # r14 size diet: the steady/normalized totals live in the detail
+    # artifact only (the I/O canary pushed the final line past 1.5 KB)
+    assert detail["total_normalized"] == 3.0
+    assert detail["total_steady"] == 3.0
     # Historical single-shot total is preserved under its old name.
     assert final["value"] == 10.0
     assert detail["total_single_shot"] == 10.0
@@ -68,7 +71,7 @@ def test_canary_failure_stays_visible():
         timings, steady, {"q_agg_group": "boom"}, 0.1
     )
     assert detail["queries_normalized"] is None
-    assert final["total_normalized"] is None
+    assert detail["total_normalized"] is None
     assert final["canary_sec"] is None
     assert final["n_errors"] == 1
 
@@ -124,3 +127,33 @@ def test_detail_carries_regression_fields():
     assert all(v == 1.0 for v in detail["normalized_vs_prev"].values())
     # the final driver line must NOT grow from the new fields
     assert "normalized_vs_prev" not in final
+
+
+def test_regression_flags_require_both_canaries():
+    """r14 (VERDICT r13 #7): a >1.25x flag must hold under BOTH the
+    CPU and the I/O canary normalization when both rounds carry them
+    — an I/O-phase box swing moves one denominator but not a genuine
+    query regression."""
+    prev = {
+        "queries": {"q_a": 1.0},
+        "canary_sec": 1.0,
+        "canary_io_sec": 1.0,
+    }
+    steady = {"q_a": 2.0}
+    # CPU-normalized ratio 2.0 but the I/O canary also doubled (an
+    # I/O-phase swing): io-normalized ratio 1.0 -> suppressed
+    ratios, flagged = bench.regression_verdicts(
+        steady, 1.0, prev, io_canary=2.0
+    )
+    assert ratios["q_a"] == 2.0 and flagged == []
+    # both normalizations exceed the threshold -> flagged
+    _, flagged = bench.regression_verdicts(
+        steady, 1.0, prev, io_canary=1.0
+    )
+    assert flagged == ["q_a"]
+    # a prev round without the I/O canary degrades to CPU-only flags
+    prev_old = {"queries": {"q_a": 1.0}, "canary_sec": 1.0}
+    _, flagged = bench.regression_verdicts(
+        steady, 1.0, prev_old, io_canary=1.0
+    )
+    assert flagged == ["q_a"]
