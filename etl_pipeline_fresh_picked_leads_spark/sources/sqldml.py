@@ -57,6 +57,10 @@ big_uery_handler.py:158-165):
   SELECT/WITH … FROM <t> [FOR VERSION AS OF <n>
                          | FOR {TIMESTAMP|SYSTEM_TIME} AS OF <ts>]
                          [[AS] alias] …
+  SELECT … FROM TABLE_CHANGES('<t>', <start> [, <end>]) [alias] …
+                                      -- Delta CDF TVF; versions
+                                      -- inclusive, -> read_changes
+  DESCRIBE HISTORY <t>                -- commit log as a DataFrame
 
 Every reference to a REGISTERED table name (optionally carrying its
 own time-travel pin — BigQuery's ``FOR SYSTEM_TIME AS OF`` and
@@ -775,6 +779,45 @@ _POST_REF_KEYWORDS = frozenset(
 
 _VIEW_SEQ = itertools.count()
 
+# Delta's change-feed TVF spelling: TABLE_CHANGES('t', start [, end])
+# with start/end COMMIT VERSIONS, inclusive.  The engine's
+# read_changes(since, until) means "committed AFTER since", so the
+# rewrite maps start -> since=start-1.
+_TABLE_CHANGES = re.compile(
+    r"\bTABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _describe_history(spark: SparkSession, stmt: str, tables: dict):
+    """``DESCRIBE HISTORY <t>`` → the commit log as a DataFrame
+    (Delta's observability spelling over ``TxTable.history()``)."""
+    m = re.fullmatch(
+        rf"DESCRIBE\s+HISTORY\s+({_IDENT})", stmt, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            f"unsupported DESCRIBE shape (only DESCRIBE HISTORY <t>): "
+            f"{stmt[:60]!r}"
+        )
+    _, table = _resolve_table(m.group(1), tables)
+    rows = [
+        (
+            e["version"],
+            e["op"],
+            e["txn"],
+            e["timestamp"],
+            e["n_files"],
+            e["n_rows"],
+        )
+        for e in table.history()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, txn string, timestamp timestamp, "
+        "n_files int, n_rows bigint",
+    )
+
 
 def execute_sql(
     spark: SparkSession, statement: str, tables: dict
@@ -798,11 +841,28 @@ def execute_sql(
     mutations go through ``execute_dml``."""
     stmt = _strip(statement)
     head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "DESCRIBE":
+        return _describe_history(spark, stmt, tables)
     if head not in ("SELECT", "WITH"):
         raise ValueError(
-            f"execute_sql handles read-only SELECT/WITH statements, "
-            f"got {head!r} — mutations go through execute_dml"
+            f"execute_sql handles read-only SELECT/WITH (and DESCRIBE "
+            f"HISTORY) statements, got {head!r} — mutations go through "
+            "execute_dml"
         )
+    # TABLE_CHANGES('t', start [, end]) — rewritten FIRST (its quoted
+    # table name would otherwise be invisible to the ref rewriter);
+    # alias the view yourself if the query needs qualified columns
+    tc_edits: list[tuple[int, int, str]] = []
+    for m in _TABLE_CHANGES.finditer(stmt):
+        key, table = _resolve_table(m.group(1), tables)
+        since = int(m.group(2)) - 1  # Delta start-inclusive -> after
+        until = int(m.group(3)) if m.group(3) else None
+        df = table.read_changes(since, until)
+        view = f"_txsql_cdf_{key}_{next(_VIEW_SEQ)}"
+        df.createOrReplaceTempView(view)
+        tc_edits.append((m.start(), m.end(), view))
+    for start, end, repl in reversed(tc_edits):
+        stmt = stmt[:start] + repl + stmt[end:]
     mask = _quote_mask(stmt)
     for name in tables:
         if re.search(
@@ -846,7 +906,7 @@ def execute_sql(
             # (``leads.col``) keep resolving against the view
             repl = f"{view} AS {key}"
         edits.append((m.start(), m.end(), repl))
-    if not edits:
+    if not edits and not tc_edits:
         raise ValueError(
             "statement references no registered TxTable; run plain "
             f"SQL through spark.sql (registered: {sorted(tables)})"

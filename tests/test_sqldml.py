@@ -522,3 +522,40 @@ def test_execute_sql_guards(spark, tmp_path):
         {"t": t},
     ).collect()
     assert got[0].n == 10 and got[0].tag == "t"
+
+
+def test_execute_sql_table_changes_and_describe_history(spark, tmp_path):
+    """r14: the Delta CDF TVF spelling and DESCRIBE HISTORY.
+    TABLE_CHANGES('t', start[, end]) takes INCLUSIVE commit versions
+    (rewritten to read_changes(start-1, end))."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.sqldml import (
+        execute_sql,
+    )
+
+    t = _mk(spark, tmp_path)  # v1: keys 0..9
+    execute_dml(spark, "DELETE FROM t WHERE k >= 8", {"t": t})  # v2
+    execute_dml(
+        spark,
+        "INSERT INTO t SELECT id, id * 1.0, 'N' FROM range(20, 23)",
+        {"t": t},
+    )  # v3
+    got = execute_sql(
+        spark,
+        "SELECT _change_type, COUNT(*) AS n "
+        "FROM TABLE_CHANGES('t', 2, 2) GROUP BY 1",
+        {"t": t},
+    ).collect()
+    assert {r._change_type: r.n for r in got} == {"delete": 2}
+    got = execute_sql(
+        spark,
+        "SELECT c.k AS k FROM TABLE_CHANGES('t', 2, 3) c "
+        "WHERE c._change_type = 'insert' ORDER BY k",
+        {"t": t},
+    ).collect()
+    assert [r.k for r in got] == [20, 21, 22]
+    hist = execute_sql(spark, "DESCRIBE HISTORY t", {"t": t}).collect()
+    assert [r.version for r in hist] == [3, 2, 1]
+    assert hist[0].op == "append" and hist[-1].op in ("create", "overwrite")
+    assert all(r.timestamp is not None for r in hist)
+    with pytest.raises(ValueError, match="DESCRIBE HISTORY"):
+        execute_sql(spark, "DESCRIBE DETAIL t", {"t": t})
