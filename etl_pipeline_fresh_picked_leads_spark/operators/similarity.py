@@ -910,11 +910,20 @@ def ivf_topk(
     nprobe: int = 4,
     replicas: int = 4,
     two_level: int | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` centroid
     partitions nearest the query.  Candidate count ~ n * nprobe *
     replicas / nlist; recall grows with nprobe and replicas
-    (nprobe = nlist degenerates to exact)."""
+    (nprobe = nlist degenerates to exact).
+
+    Cache lifetime (r14): the persisted assignments frame (corpus ×
+    replicas rows) follows the pins protocol — pin-less calls
+    checkpoint the k-row result and release it in ``finally``; before
+    r14 every call LEAKED it for the session (the r7 hygiene rule:
+    a leaked persist subsidizes the next same-plan run and lies to
+    the bench).  Pass ``pins`` to keep the returned plan lazy (the
+    plan-fingerprint probe in q_sim_ann_ivf needs it)."""
     centroids, assignments = ivf_assign(
         vecs, nlist, replicas=replicas, two_level=two_level
     )
@@ -946,12 +955,18 @@ def ivf_topk(
         .dropDuplicates(["vec_id"])
     )
     cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
-    return (
+    out = (
         cands.crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+    if pins is not None:  # caller owns the cache lifetime
+        pins.append(assignments)
+        return out
+    from . import checkpoint_release
+
+    return checkpoint_release(out, [assignments])
 
 
 def ivf_self_join(

@@ -568,7 +568,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb, 0, k=10)
-    approx_full = ivf_topk(emb, 0, k=10, nlist=16, nprobe=4)
+    pins: list = []  # keeps ivf_topk's plan lazy for the fingerprint;
+    # released via _release_after (r14 cache hygiene — pin-less calls
+    # checkpoint, which would truncate the probed plan)
+    approx_full = ivf_topk(emb, 0, k=10, nlist=16, nprobe=4, pins=pins)
     plan = formatted_plan(approx_full)
     plan_ok = (
         "CartesianProduct" not in plan
@@ -580,9 +583,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = exact.join(approx, "vec_id", "left_semi").agg(
         (F.count(F.lit(1)) >= F.lit(8)).alias("recall_ok")
     )
-    return exact.crossJoin(F.broadcast(rec)).withColumn(
+    out = exact.crossJoin(F.broadcast(rec)).withColumn(
         "plan_ok", F.lit(bool(plan_ok))
     )
+    return _release_after(out, pins)
 
 
 _ANN_IVF_APPEND_ORACLE = _ANN_IVF_ORACLE.replace(
