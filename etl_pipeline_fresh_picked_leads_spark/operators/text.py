@@ -103,7 +103,9 @@ def term_frequencies(docs: DataFrame, top_n: int = 5) -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, pins: "list | None" = None
+) -> DataFrame:
     """Top-k terms per document by smoothed tf-idf
     (``tf * (ln((N+1)/(df+1)) + 1)``).
 
@@ -113,7 +115,11 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     stream), a key join tf x df, and a per-doc group-limit window.
     The corpus size N joins in as a broadcast 1-row aggregate — no
     driver-side collect.  Scores round to 6 dp before ranking so the
-    oracle ranks the same values (ties break on term)."""
+    oracle ranks the same values (ties break on term).
+
+    Cache lifetime (r14): the persisted tf table follows the pins
+    protocol — pin-less calls checkpoint the result and release it;
+    before r14 every call leaked tf for the session."""
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
@@ -136,7 +142,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term")
     )
-    return (
+    out = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("score", score)
@@ -144,6 +150,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+    if pins is not None:  # caller owns the cache lifetime
+        pins.append(tf)
+        return out
+    from . import checkpoint_release
+
+    return checkpoint_release(out, [tf])
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:

@@ -2203,7 +2203,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp.count()  # both sides of the self-join must reuse, not recompute
     # the full-text md5 scan (persist-before-self-join rule)
     a, b = fp.alias("a"), fp.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -2215,6 +2215,9 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+    # r14 cache hygiene: the fingerprint cache previously leaked for
+    # the session (the matrix result is |sources|^2-sized — tiny)
+    return _release_after(out, [fp])
 
 
 _PIPELINE_ORACLE = r"""

@@ -134,11 +134,27 @@ def test_repetition_partial_aggregates(spark):
 
 def test_tfidf_broadcasts_corpus_count(spark):
     """The 1-row corpus-size aggregate must broadcast into the score
-    projection, never shuffle against the vocab-sized tf table."""
-    df = QUERIES["q_text_tfidf"](spark, SF_SMALL)
-    plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "partial_count" in plan  # tf/df aggregates combine map-side
+    projection, never shuffle against the vocab-sized tf table.
+    Probed at the OPERATOR with caller-owned pins (r14: the pin-less
+    path checkpoints to release the tf cache, truncating the plan)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    pins: list = []
+    df = tfidf_top_terms(
+        read_table(spark, SF_SMALL, "documents"), k=3, pins=pins
+    )
+    try:
+        plan = formatted_plan(df)
+        assert (
+            "BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan
+        )
+        assert "partial_count" in plan  # tf/df aggregates combine map-side
+    finally:
+        for p in pins:
+            p.unpersist()
 
 
 def test_funnel_is_two_aggregations_no_joins(spark):
