@@ -843,19 +843,29 @@ def _write_task(
         )
     scols = [c for c in (stats_cols or []) if c in pdf.columns]
 
-    def _stats_of(slice_pdf) -> dict:
-        return {
-            "rows": int(len(slice_pdf)),
-            "min": {c: _stat_py(slice_pdf[c].min()) for c in scols},
-            "max": {c: _stat_py(slice_pdf[c].max()) for c in scols},
-        }
+    def _stats_of(slice_tbl) -> dict:
+        # stats from the ARROW slice, not pandas: the same float64
+        # promotion that broke partition path values (above) turns an
+        # int64-with-NULL column's min/max into 1.0 where the engine
+        # writes 1 — numerically equal for pruning, but the delta-
+        # manifest stats-equality guard would then always fall back to
+        # full form for sink-written survivors.  min_max skips nulls;
+        # an all-null column yields None on both writers.
+        import pyarrow.compute as pc
+
+        mins, maxs = {}, {}
+        for c in scols:
+            mm = pc.min_max(slice_tbl.column(phys.get(c, c)))
+            mins[c] = _stat_py(mm["min"].as_py())
+            maxs[c] = _stat_py(mm["max"].as_py())
+        return {"rows": slice_tbl.num_rows, "min": mins, "max": maxs}
 
     out_dir = os.path.join(root, "data", _uuid.uuid4().hex)
     if not partition_by:
         os.makedirs(out_dir)
         path = os.path.join(out_dir, "part-00000.parquet")
         pq.write_table(tbl, path)
-        stats = {path: _stats_of(pdf)} if scols else {}
+        stats = {path: _stats_of(tbl)} if scols else {}
         return _WroteFiles([path], tbl.num_rows, hsum, stats)
     files, stats = [], {}
     groups = pdf.groupby(list(partition_by), dropna=False, sort=False)
@@ -878,10 +888,11 @@ def _write_task(
         d = os.path.join(out_dir, *segs)
         os.makedirs(d)
         path = os.path.join(d, f"part-{i:05d}.parquet")
-        pq.write_table(tbl.take(seq), path)
+        part_tbl = tbl.take(seq)
+        pq.write_table(part_tbl, path)
         files.append(path)
         if scols:
-            stats[path] = _stats_of(pdf.iloc[seq])
+            stats[path] = _stats_of(part_tbl)
     return _WroteFiles(sorted(files), tbl.num_rows, hsum, stats)
 
 

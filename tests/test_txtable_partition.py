@@ -297,6 +297,14 @@ def test_native_sink_nullable_int_partition_paths(spark, tmp_path):
     # (partitions() lists path-parsed values — strings by contract)
     parts = {p["p"]: p["n_rows"] for p in t2.partitions()}
     assert parts == {"1": 2, "2": 1, None: 2}
+    # stats from the Arrow slice: int columns stay INT (pandas would
+    # promote the nulled batch to float64 and record 1.0/2.0)
+    snap = t2.snapshot()
+    for f in sink_files:
+        st = (snap.stats or {}).get(f)
+        if st and st["min"].get("p") is not None:
+            assert isinstance(st["min"]["p"], int), st
+            assert isinstance(st["max"]["p"], int), st
     # partition-scoped maintenance sees the sink-written file
     t2.compact(target_bytes=1 << 30, partition={"p": 1})
     after = t2.snapshot()
