@@ -368,10 +368,11 @@ def dup_span_signals(
 
     Plan shape (all JVM, one explode + one groupBy + one window):
 
-    1. positional n-grams: ``transform(sequence(...))`` over the
-       projected token array (never inline under the Generate — the
-       explode-recompute trap), persisted once because the dup-gram
-       counts and the coverage join both consume it;
+    1. positional n-grams: ``explode(transform(sequence(...)))``,
+       the exploded frame persisted once because the dup-gram counts
+       and the coverage join both consume it (inline-under-Generate
+       measured flat in doc length on Spark 4.1 — see the in-code
+       note);
     2. grams seen in >= 2 distinct docs (groupBy gram — map-side
        partial count_distinct);
     3. coverage: per doc, sorted dup-gram positions; each position
@@ -405,20 +406,23 @@ def dup_span_signals(
     gram = lambda i: F.struct(  # noqa: E731
         i.alias("pos"), _gram_key(F.col("toks"), i, n, _h1).alias("g")
     )
-    # the grams ARRAY is projected and persisted BEFORE the explode:
-    # Generate re-evaluates an inline expensive child once per OUTPUT
-    # element (the operators/dedup.py trap — quadratic in per-doc
-    # token count for long documents); exploding the cached column is
-    # a plain attribute read (ADVICE r13)
-    grammed = (
+    # the inline ``explode(transform(...))`` is SAFE here — measured
+    # r14 (PLANS.md): the gram pass is flat in per-doc token count
+    # from 50 to 20,000 tokens/doc (~0.25 s per 100k grams), i.e.
+    # Spark 4.1's Generate materializes the transform array once per
+    # row; it does NOT hit the dedup.py inline-child re-evaluation
+    # trap for this shape.  Projecting + persisting the array column
+    # instead was ~3x SLOWER (nested-array cache serialization).  The
+    # EXPLODED frame persists because both branches below reuse it.
+    ex = (
         toked.filter(F.col("n_tokens") >= n)
-        .select("doc_id", "n_tokens", F.transform(idx, gram).alias("pgs"))
+        .select(
+            "doc_id", "n_tokens", F.explode(F.transform(idx, gram)).alias("pg")
+        )
+        .select("doc_id", "n_tokens", "pg.pos", "pg.g")
         .persist()
     )
-    grammed.count()  # both branches below must reuse, not recompute
-    ex = grammed.select(
-        "doc_id", "n_tokens", F.explode("pgs").alias("pg")
-    ).select("doc_id", "n_tokens", "pg.pos", "pg.g")
+    ex.count()  # both branches below must reuse, not recompute
 
     def dup_positions(grams):
         dg = (
@@ -479,14 +483,15 @@ def dup_span_signals(
         )
     )
     if pins is not None:  # caller owns the cache lifetime
-        pins.append(grammed)
+        pins.append(ex)
         return out
     from . import checkpoint_release
 
     # pin-less calls release the grams cache themselves — the r7
     # cache-hygiene rule (a leaked persist subsidizes the next
-    # same-plan run and lies to the bench)
-    return checkpoint_release(out, [grammed])
+    # same-plan run and lies to the bench; r13's steady numbers for
+    # this operator were subsidized exactly that way)
+    return checkpoint_release(out, [ex])
 
 
 def remove_dup_spans(
@@ -535,21 +540,19 @@ def remove_dup_spans(
     gram = lambda i: F.struct(  # noqa: E731
         i.alias("pos"), _gram_key(F.col("toks"), i, n, _h1).alias("g")
     )
-    # project + persist the grams ARRAY before exploding (the
-    # Generate inline-child re-evaluation trap would otherwise make
-    # this pass quadratic in per-doc token count, ADVICE r13); the
-    # dup groupBy and the instance join both re-explode from the
-    # cache — a plain attribute read
-    grammed = (
+    # inline explode is safe and fastest here — measured r14: flat in
+    # per-doc token count to 20k tokens/doc on Spark 4.1 (the array
+    # materializes once per row; see dup_span_signals note); the
+    # EXPLODED instances persist because the dup groupBy and the
+    # instance join both consume them
+    inst = (
         toked.filter(F.col("n_tokens") >= n)
-        .select("doc_id", F.transform(idx, gram).alias("pgs"))
+        .select("doc_id", F.explode(F.transform(idx, gram)).alias("pg"))
+        .select("doc_id", "pg.pos", "pg.g")
         .persist()
     )
-    grammed.count()
-    caches.append(grammed)
-    inst = grammed.select(
-        "doc_id", F.explode("pgs").alias("pg")
-    ).select("doc_id", "pg.pos", "pg.g")
+    inst.count()
+    caches.append(inst)
     dup = (
         inst.groupBy("g")
         .agg(
