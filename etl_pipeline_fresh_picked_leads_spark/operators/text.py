@@ -498,6 +498,7 @@ def remove_dup_spans(
     docs: DataFrame,
     n: int = 5,
     pins: "list | None" = None,
+    key_slices: int = 1,
     _h1=None,
 ) -> DataFrame:
     """Exact duplicated-span REMOVAL — the rewrite half of the Lee et
@@ -523,6 +524,17 @@ def remove_dup_spans(
     groupBy doc_id rebuilding the token array in position order.
     The anti-join and rebuild shuffles are corpus-token-sized — the
     same class as the gram shuffle the detection half already pays.
+
+    ``key_slices=K`` bounds the GRAM-stage peak shuffle to 1/K (the
+    same knob as ``dup_span_signals``): the dup-gram groupBy and the
+    instance join run K passes over the persisted instances, each
+    restricted to the grams whose first hash lane lands in one
+    residue class — EXACT, because every instance of a gram shares
+    ``g.h1`` and therefore its slice.  Only the removed POSITIONS
+    (duplicated-content-sized) survive each pass into the union; the
+    token-level anti-join and rebuild then run once.  K trades
+    wall-clock (K cache re-scans) for peak shuffle footprint — the
+    100 TB capacity knob.  K=1 is the single-pass plan.
 
     Removal happens on KEY equality with no downstream verification,
     so the gram key must not collide at scale: it is the 128-bit
@@ -553,30 +565,47 @@ def remove_dup_spans(
     )
     inst.count()
     caches.append(inst)
-    dup = (
-        inst.groupBy("g")
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min(F.struct("doc_id", "pos")).alias("keep"),
+
+    def removed_positions(grams: DataFrame) -> DataFrame:
+        dup = (
+            grams.groupBy("g")
+            .agg(
+                F.count_distinct("doc_id").alias("nd"),
+                F.min(F.struct("doc_id", "pos")).alias("keep"),
+            )
+            .filter(F.col("nd") >= 2)
+            .select("g", "keep.doc_id", "keep.pos")
         )
-        .filter(F.col("nd") >= 2)
-        .select("g", "keep.doc_id", "keep.pos")
-    )
-    removed_pos = (
-        inst.alias("i")
-        .join(dup.alias("d"), "g")
-        .filter(  # the canonical occurrence survives
-            (F.col("i.doc_id") != F.col("d.doc_id"))
-            | (F.col("i.pos") != F.col("d.pos"))
+        return (
+            grams.alias("i")
+            .join(dup.alias("d"), "g")
+            .filter(  # the canonical occurrence survives
+                (F.col("i.doc_id") != F.col("d.doc_id"))
+                | (F.col("i.pos") != F.col("d.pos"))
+            )
+            .select(
+                F.col("i.doc_id").alias("doc_id"),
+                F.explode(
+                    F.sequence(F.col("i.pos"), F.col("i.pos") + (n - 1))
+                ).alias("tpos"),
+            )
         )
-        .select(
-            F.col("i.doc_id").alias("doc_id"),
-            F.explode(
-                F.sequence(F.col("i.pos"), F.col("i.pos") + (n - 1))
-            ).alias("tpos"),
-        )
-        .distinct()
-    )
+
+    if key_slices <= 1:
+        removed_pos = removed_positions(inst).distinct()
+    else:
+        # slice on the first hash lane — every instance of a gram
+        # shares g.h1, so each pass is exact over its key range
+        parts = [
+            removed_positions(
+                inst.filter(F.pmod(F.col("g.h1"), F.lit(key_slices)) == i)
+            )
+            for i in range(key_slices)
+        ]
+        removed_pos = parts[0]
+        for p in parts[1:]:
+            removed_pos = removed_pos.unionAll(p)
+        removed_pos = removed_pos.distinct()
     tok_pos = toked.select(
         "doc_id", F.posexplode("toks").alias("tpos", "tok")
     )

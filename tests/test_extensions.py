@@ -1295,3 +1295,25 @@ def test_dup_span_gram_key_survives_64bit_collision(spark):
         map(tuple, dup_span_signals(docs, n=5, _h1=collide).collect())
     )
     assert sig_forced == sig_base, "collision perturbed detection stats"
+
+
+def test_remove_dup_spans_key_slicing_is_exact(spark):
+    """remove_dup_spans(key_slices=K) decomposes the gram stage into
+    K exact passes (slice = pmod of the first key lane; all instances
+    of a gram share it): the rewritten corpus must be identical to
+    the single-pass run."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"x{i} " + "c1 c2 c3 c4 c5 c6" + f" y{i} z{i % 3}")
+         for i in range(12)]
+        + [(50, "q1 q2 q3 q4 q5"), (51, "q1 q2 q3 q4 q5")],
+        "doc_id bigint, text string",
+    )
+    one = sorted(map(tuple, remove_dup_spans(docs, n=5).collect()))
+    sliced = sorted(
+        map(tuple, remove_dup_spans(docs, n=5, key_slices=3).collect())
+    )
+    assert one == sliced

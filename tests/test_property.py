@@ -599,3 +599,68 @@ def test_txtable_op_sequences_match_reference_model(spark, data, tmp_path_factor
             for r in state.values()
         )
         assert snap == want, (v, snap, want)
+
+
+def _ref_remove_dup_spans(rows, n=5):
+    """Pure-Python reference of operators/text.remove_dup_spans:
+    positional n-grams, cross-doc dup grams keep min (doc_id, pos),
+    other occurrences' n positions removed, docs rebuilt."""
+    toks = {
+        d: [t for t in (txt or "").lower().strip().split() if t]
+        for d, txt in rows
+    }
+    inst: dict = {}
+    for d, ts in sorted(toks.items()):
+        for p in range(len(ts) - n + 1):
+            inst.setdefault(tuple(ts[p : p + n]), []).append((d, p))
+    removed: dict = {}
+    for occ in inst.values():
+        if len({d for d, _ in occ}) >= 2:
+            keep = min(occ)
+            for d, p in occ:
+                if (d, p) != keep:
+                    removed.setdefault(d, set()).update(range(p, p + n))
+    out = {}
+    for d, ts in toks.items():
+        kept = [
+            t for i, t in enumerate(ts) if i not in removed.get(d, set())
+        ]
+        out[d] = (" ".join(kept), len(ts), len(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_remove_dup_spans_matches_python_reference(spark, data):
+    """remove_dup_spans == the brute-force reference on random small
+    corpora over a tiny vocabulary (dense 5-gram collisions), at any
+    partitioning and under key slicing."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.text import (
+        remove_dup_spans,
+    )
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    n_docs = data.draw(st.integers(2, 7))
+    rows = []
+    for d in range(n_docs):
+        toks = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=14)
+        )
+        rows.append((d, " ".join(toks)))
+    expect = _ref_remove_dup_spans(rows, n=5)
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ks = data.draw(st.sampled_from([1, 3]))
+    got = {
+        r.doc_id: (r.text, r.n_tokens_before, r.n_tokens_after)
+        for r in remove_dup_spans(
+            docs.repartition(data.draw(st.sampled_from([1, 5]))),
+            n=5,
+            key_slices=ks,
+        ).collect()
+    }
+    assert got == expect
