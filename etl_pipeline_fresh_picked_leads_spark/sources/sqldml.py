@@ -61,6 +61,8 @@ big_uery_handler.py:158-165):
                                       -- Delta CDF TVF; versions
                                       -- inclusive, -> read_changes
   DESCRIBE HISTORY <t>                -- commit log as a DataFrame
+  DESCRIBE DETAIL <t>                 -- one-row table summary
+  SHOW PARTITIONS <t>                 -- metadata-only listing
 
 Every reference to a REGISTERED table name (optionally carrying its
 own time-travel pin — BigQuery's ``FOR SYSTEM_TIME AS OF`` and
@@ -78,6 +80,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -789,18 +792,51 @@ _TABLE_CHANGES = re.compile(
 )
 
 
-def _describe_history(spark: SparkSession, stmt: str, tables: dict):
-    """``DESCRIBE HISTORY <t>`` → the commit log as a DataFrame
-    (Delta's observability spelling over ``TxTable.history()``)."""
+def _describe(spark: SparkSession, stmt: str, tables: dict):
+    """``DESCRIBE HISTORY <t>`` → the commit log; ``DESCRIBE DETAIL
+    <t>`` → the one-row table summary (Delta's observability
+    spellings over ``TxTable.history()`` / the head snapshot)."""
     m = re.fullmatch(
-        rf"DESCRIBE\s+HISTORY\s+({_IDENT})", stmt, re.IGNORECASE
+        rf"DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})", stmt, re.IGNORECASE
     )
     if not m:
         raise ValueError(
-            f"unsupported DESCRIBE shape (only DESCRIBE HISTORY <t>): "
-            f"{stmt[:60]!r}"
+            f"unsupported DESCRIBE shape (DESCRIBE HISTORY <t> or "
+            f"DESCRIBE DETAIL <t>): {stmt[:60]!r}"
         )
-    _, table = _resolve_table(m.group(1), tables)
+    _, table = _resolve_table(m.group(2), tables)
+    if m.group(1).upper() == "DETAIL":
+        snap = table.snapshot()
+        if snap is None:
+            raise ValueError(f"{table.root!r} has no committed version")
+        n_rows = None
+        # per-file row stats are UPPER BOUNDS once deletion vectors
+        # exist — report unknown rather than confidently wrong
+        if snap.stats and not snap.dvs and set(snap.stats) >= set(snap.files):
+            rows_per = [
+                (snap.stats.get(f) or {}).get("rows") for f in snap.files
+            ]
+            if all(r is not None for r in rows_per):
+                n_rows = sum(rows_per)
+        size = sum(
+            os.path.getsize(f) for f in snap.files if os.path.exists(f)
+        )
+        row = (
+            "txtable",
+            table.root,
+            snap.version,
+            len(snap.files),
+            size,
+            n_rows,
+            list(snap.partition_by or ()),
+            sorted((snap.constraints or {}).keys()),
+        )
+        return spark.createDataFrame(
+            [row],
+            "format string, location string, version int, "
+            "num_files int, size_bytes bigint, n_rows bigint, "
+            "partition_columns array<string>, constraints array<string>",
+        )
     rows = [
         (
             e["version"],
@@ -817,6 +853,33 @@ def _describe_history(spark: SparkSession, stmt: str, tables: dict):
         "version int, op string, txn string, timestamp timestamp, "
         "n_files int, n_rows bigint",
     )
+
+
+def _show_partitions(spark: SparkSession, stmt: str, tables: dict):
+    """``SHOW PARTITIONS <t>`` → the metadata-only partition listing
+    (path-parsed canonical string values + file/row counts; raises
+    on unpartitioned tables, matching ``TxTable.partitions``)."""
+    m = re.fullmatch(
+        rf"SHOW\s+PARTITIONS\s+({_IDENT})", stmt, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            f"unsupported SHOW shape (only SHOW PARTITIONS <t>): "
+            f"{stmt[:60]!r}"
+        )
+    _, table = _resolve_table(m.group(1), tables)
+    snap = table.snapshot()
+    spec = list(snap.partition_by or ()) if snap else []
+    parts = table.partitions()
+    rows = [
+        tuple(p[c] for c in spec) + (p["n_files"], p["n_rows"])
+        for p in parts
+    ]
+    schema = (
+        ", ".join(f"`{c}` string" for c in spec)
+        + ", n_files int, n_rows bigint"
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def execute_sql(
@@ -842,12 +905,14 @@ def execute_sql(
     stmt = _strip(statement)
     head = stmt.split(None, 1)[0].upper() if stmt else ""
     if head == "DESCRIBE":
-        return _describe_history(spark, stmt, tables)
+        return _describe(spark, stmt, tables)
+    if head == "SHOW":
+        return _show_partitions(spark, stmt, tables)
     if head not in ("SELECT", "WITH"):
         raise ValueError(
             f"execute_sql handles read-only SELECT/WITH (and DESCRIBE "
-            f"HISTORY) statements, got {head!r} — mutations go through "
-            "execute_dml"
+            f"HISTORY/DETAIL, SHOW PARTITIONS) statements, got "
+            f"{head!r} — mutations go through execute_dml"
         )
     # TABLE_CHANGES('t', start [, end]) — rewritten FIRST (its quoted
     # table name would otherwise be invisible to the ref rewriter);

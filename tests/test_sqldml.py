@@ -559,3 +559,38 @@ def test_execute_sql_table_changes_and_describe_history(spark, tmp_path):
     assert all(r.timestamp is not None for r in hist)
     with pytest.raises(ValueError, match="DESCRIBE HISTORY"):
         execute_sql(spark, "DESCRIBE DETAIL t", {"t": t})
+
+
+def test_execute_sql_show_partitions_and_describe_detail(spark, tmp_path):
+    from etl_pipeline_fresh_picked_leads_spark.sources.sqldml import (
+        execute_sql,
+    )
+
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "sp"),
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+        ),
+        partition_by=["p"],
+    )
+    t.add_constraint("k_pos", "k >= 0")
+    got = {
+        r.p: (r.n_files, r.n_rows)
+        for r in execute_sql(spark, "SHOW PARTITIONS sp", {"sp": t}).collect()
+    }
+    assert set(got) == {"0", "1", "2"}
+    assert sum(n for _, n in got.values()) == 40
+    d = execute_sql(spark, "DESCRIBE DETAIL sp", {"sp": t}).collect()
+    assert len(d) == 1
+    row = d[0]
+    assert row.format == "txtable" and row.version == t.snapshot().version
+    assert row.num_files == len(t.snapshot().files)
+    assert row.partition_columns == ["p"] and row.constraints == ["k_pos"]
+    assert row.n_rows == 40 and row.size_bytes > 0
+    # DVs make per-file row counts upper bounds -> n_rows goes unknown
+    t.delete_dv(F.col("k") % 7 == 0)
+    row2 = execute_sql(spark, "DESCRIBE DETAIL sp", {"sp": t}).collect()[0]
+    assert row2.n_rows is None
+    with pytest.raises(ValueError, match="SHOW PARTITIONS"):
+        execute_sql(spark, "SHOW TABLES", {"sp": t})
