@@ -557,8 +557,8 @@ def test_execute_sql_table_changes_and_describe_history(spark, tmp_path):
     assert [r.version for r in hist] == [3, 2, 1]
     assert hist[0].op == "append" and hist[-1].op in ("create", "overwrite")
     assert all(r.timestamp is not None for r in hist)
-    with pytest.raises(ValueError, match="DESCRIBE HISTORY"):
-        execute_sql(spark, "DESCRIBE DETAIL t", {"t": t})
+    with pytest.raises(ValueError, match="DESCRIBE"):
+        execute_sql(spark, "DESCRIBE EXTENDED t", {"t": t})
 
 
 def test_execute_sql_show_partitions_and_describe_detail(spark, tmp_path):
