@@ -113,7 +113,10 @@ def _unquote(name: str) -> str:
 def _strip(stmt: str) -> str:
     """Drop line comments (quote-aware: a ``--`` inside a string
     literal is content, and a quote inside a comment must not open a
-    string) and the trailing semicolon."""
+    string) and the trailing semicolon.  Keeps its OWN incremental
+    scan (comment removal changes the quote context the later chars
+    see, so a precomputed mask of the raw text would be wrong);
+    escape handling mirrors ``_char_states``."""
     out = []
     q: str | None = None
     i, n = 0, len(stmt)
@@ -121,9 +124,13 @@ def _strip(stmt: str) -> str:
         ch = stmt[i]
         if q is not None:
             out.append(ch)
+            if ch == "\\" and q in ("'", '"') and i + 1 < n:
+                out.append(stmt[i + 1])  # backslash-escaped char
+                i += 2
+                continue
             if ch == q:
-                if q == "'" and i + 1 < n and stmt[i + 1] == "'":
-                    out.append("'")
+                if i + 1 < n and stmt[i + 1] == q:
+                    out.append(q)  # doubled delimiter
                     i += 2
                     continue
                 q = None
@@ -140,32 +147,82 @@ def _strip(stmt: str) -> str:
     return "".join(out).strip().rstrip(";").strip()
 
 
+def _char_states(s: str):
+    """ONE quote/paren scanner for every mask in this module (r14
+    review: four hand-rolled near-copies had already diverged on
+    escape handling).  Returns ``(inq, depth, close_of)``:
+
+    - ``inq[i]``   — char i sits inside a quoted literal/identifier
+      (delimiters included);
+    - ``depth[i]`` — paren depth OUTSIDE quotes in effect at char i
+      (an opening paren carries its outer depth, a closing paren the
+      depth it returns to — i.e. a top-level pair reads 0 on both);
+    - ``close_of`` — opening-paren index → its matching close.
+
+    Escapes: a backslash escapes the next char inside ``'``/``"``
+    literals (Spark's default parser mode — the doubled-quote-only
+    handling the first draft had let ``\\'`` desynchronize the mask
+    and rewrite text INSIDE literals); doubled delimiters escape in
+    all three quote kinds."""
+    n = len(s)
+    inq = [False] * n
+    depth = [0] * n
+    close_of: dict[int, int] = {}
+    stack: list[int] = []
+    q: str | None = None
+    d = 0
+    i = 0
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            inq[i] = True
+            depth[i] = d
+            if ch == "\\" and q in ("'", '"') and i + 1 < n:
+                inq[i + 1] = True
+                depth[i + 1] = d
+                i += 2
+                continue
+            if ch == q:
+                if i + 1 < n and s[i + 1] == q:
+                    inq[i + 1] = True
+                    depth[i + 1] = d
+                    i += 2
+                    continue
+                q = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            q = ch
+            inq[i] = True
+            depth[i] = d
+            i += 1
+            continue
+        if ch == "(":
+            depth[i] = d
+            d += 1
+            stack.append(i)
+        elif ch == ")":
+            d -= 1
+            depth[i] = d
+            if stack:
+                close_of[stack.pop()] = i
+        else:
+            depth[i] = d
+        i += 1
+    return inq, depth, close_of
+
+
 def _top_mask(s: str) -> list[bool]:
     """Per-character flag: True where the character sits at paren
     depth 0 and outside any quoted literal/identifier — the only
-    places clause keywords and separators are allowed to match."""
-    mask = [False] * len(s)
-    depth = 0
-    q: str | None = None
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if q is not None:
-            if ch == q:
-                if q == "'" and i + 1 < len(s) and s[i + 1] == "'":
-                    i += 2  # doubled quote inside a string literal
-                    continue
-                q = None
-        elif ch in ("'", '"', "`"):
-            q = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0:
-            mask[i] = True
-        i += 1
-    return mask
+    places clause keywords and separators are allowed to match.
+    (Paren characters themselves are never top, preserving the
+    original scanner's behavior.)"""
+    inq, depth, _ = _char_states(s)
+    return [
+        (not inq[i]) and depth[i] == 0 and s[i] not in "()"
+        for i in range(len(s))
+    ]
 
 
 def _quote_mask(s: str) -> list[bool]:
@@ -173,24 +230,8 @@ def _quote_mask(s: str) -> list[bool]:
     quoted literal/identifier, at ANY paren depth — table references
     inside subqueries must still rewrite, so ``execute_sql`` masks
     quotes only (unlike ``_top_mask``)."""
-    mask = [True] * len(s)
-    q: str | None = None
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if q is not None:
-            mask[i] = False
-            if ch == q:
-                if q == "'" and i + 1 < len(s) and s[i + 1] == "'":
-                    mask[i + 1] = False
-                    i += 2
-                    continue
-                q = None
-        elif ch in ("'", '"', "`"):
-            q = ch
-            mask[i] = False
-        i += 1
-    return mask
+    inq, _, _ = _char_states(s)
+    return [not b for b in inq]
 
 
 def _match_paren(s: str) -> int:
@@ -198,27 +239,10 @@ def _match_paren(s: str) -> int:
     paren inside a string literal or quoted identifier is content
     (ADVICE r13 — a raw depth counter truncated subqueries containing
     ``'('`` in a literal)."""
-    depth = 0
-    q: str | None = None
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if q is not None:
-            if ch == q:
-                if q == "'" and i + 1 < len(s) and s[i + 1] == "'":
-                    i += 2
-                    continue
-                q = None
-        elif ch in ("'", '"', "`"):
-            q = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                return i
-        i += 1
-    raise ValueError(f"unbalanced parentheses: {s[:60]!r}")
+    _, _, close_of = _char_states(s)
+    if 0 not in close_of:
+        raise ValueError(f"unbalanced parentheses: {s[:60]!r}")
+    return close_of[0]
 
 
 def _find_top(s: str, pattern: str) -> list[re.Match]:
@@ -914,71 +938,99 @@ def execute_sql(
             f"HISTORY/DETAIL, SHOW PARTITIONS) statements, got "
             f"{head!r} — mutations go through execute_dml"
         )
-    # TABLE_CHANGES('t', start [, end]) — rewritten FIRST (its quoted
-    # table name would otherwise be invisible to the ref rewriter);
-    # alias the view yourself if the query needs qualified columns
-    tc_edits: list[tuple[int, int, str]] = []
-    for m in _TABLE_CHANGES.finditer(stmt):
-        key, table = _resolve_table(m.group(1), tables)
-        since = int(m.group(2)) - 1  # Delta start-inclusive -> after
-        until = int(m.group(3)) if m.group(3) else None
-        df = table.read_changes(since, until)
-        view = f"_txsql_cdf_{key}_{next(_VIEW_SEQ)}"
-        df.createOrReplaceTempView(view)
-        tc_edits.append((m.start(), m.end(), view))
-    for start, end, repl in reversed(tc_edits):
-        stmt = stmt[:start] + repl + stmt[end:]
-    mask = _quote_mask(stmt)
-    for name in tables:
-        if re.search(
-            rf"\b{re.escape(name)}\s+AS\s*\(", stmt, re.IGNORECASE
-        ):
-            raise ValueError(
-                f"CTE name {name!r} shadows a registered TxTable — "
-                "rename the CTE (the snapshot rewrite would capture it)"
-            )
-    names = sorted(tables, key=len, reverse=True)
-    alt = "|".join(re.escape(n) for n in names)
-    edits: list[tuple[int, int, str]] = []
-    for m in re.finditer(rf"\b({alt})\b{_FOR_AS_OF}", stmt, re.IGNORECASE):
-        if not all(mask[m.start() : m.start(1) + len(m.group(1))]):
-            continue  # inside a quoted literal/identifier
-        before = stmt[: m.start()].rstrip()
-        name_end = m.start(1) + len(m.group(1))
-        after_name = stmt[name_end : name_end + 1]
-        if before.endswith(".") or after_name == ".":
-            continue  # qualified column reference, not a table ref
-        key, table = _resolve_table(m.group(1), tables)
-        kind = m.group(2).upper() if m.group(2) else None
-        if kind is None:
-            df = table.read()
-        elif kind == "VERSION":
-            if m.group(3).startswith("'"):
+    created: list[str] = []  # temp views, dropped once the result
+    # plan is built — the plan embeds the resolved snapshot at
+    # spark.sql() time, so per-call views must not accumulate for the
+    # session (the same leak class the pins protocol covers; r14
+    # review)
+    try:
+        # TABLE_CHANGES('t', start [, end]) — rewritten FIRST (its
+        # quoted table name would otherwise be invisible to the ref
+        # rewriter), quote-masked so the spelling inside a string
+        # literal is content, never a change-feed scan; alias the view
+        # yourself if the query needs qualified columns
+        mask = _quote_mask(stmt)
+        tc_edits: list[tuple[int, int, str]] = []
+        for m in _TABLE_CHANGES.finditer(stmt):
+            if not mask[m.start()]:
+                continue  # inside a quoted literal
+            key, table = _resolve_table(m.group(1), tables)
+            since = int(m.group(2)) - 1  # Delta start-inclusive -> after
+            until = int(m.group(3)) if m.group(3) else None
+            df = table.read_changes(since, until)
+            view = f"_txsql_cdf_{key}_{next(_VIEW_SEQ)}"
+            df.createOrReplaceTempView(view)
+            created.append(view)
+            tc_edits.append((m.start(), m.end(), view))
+        for start, end, repl in reversed(tc_edits):
+            stmt = stmt[:start] + repl + stmt[end:]
+        mask = _quote_mask(stmt)
+        for name in tables:
+            # both CTE spellings shadow: WITH t AS (...) and the
+            # column-list form WITH t (a, b) AS (...)
+            if re.search(
+                rf"\b{re.escape(name)}\s*(?:\([^()]*\))?\s+AS\s*\(",
+                stmt,
+                re.IGNORECASE,
+            ):
                 raise ValueError(
-                    f"FOR VERSION AS OF takes an integer, got {m.group(3)}"
+                    f"CTE name {name!r} shadows a registered TxTable — "
+                    "rename the CTE (the snapshot rewrite would "
+                    "capture it)"
                 )
-            df = table.read(version=int(m.group(3)))
-        else:  # TIMESTAMP | SYSTEM_TIME — ISO string or epoch seconds
-            df = table.read(timestamp=_parse_literal(m.group(3)))
-        view = f"_txsql_{key}_{next(_VIEW_SEQ)}"
-        df.createOrReplaceTempView(view)
-        tail = stmt[m.end() :]
-        am = re.match(r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", tail)
-        if am and am.group(1).lower() not in _POST_REF_KEYWORDS:
-            repl = view  # explicit alias follows — keep it
-        else:
-            # re-alias to the table name so qualified columns
-            # (``leads.col``) keep resolving against the view
-            repl = f"{view} AS {key}"
-        edits.append((m.start(), m.end(), repl))
-    if not edits and not tc_edits:
-        raise ValueError(
-            "statement references no registered TxTable; run plain "
-            f"SQL through spark.sql (registered: {sorted(tables)})"
-        )
-    for start, end, repl in reversed(edits):
-        stmt = stmt[:start] + repl + stmt[end:]
-    return spark.sql(stmt)
+        names = sorted(tables, key=len, reverse=True)
+        alt = "|".join(re.escape(n) for n in names)
+        edits: list[tuple[int, int, str]] = []
+        for m in re.finditer(
+            rf"\b({alt})\b{_FOR_AS_OF}", stmt, re.IGNORECASE
+        ):
+            if not all(mask[m.start() : m.start(1) + len(m.group(1))]):
+                continue  # inside a quoted literal/identifier
+            before = stmt[: m.start()].rstrip()
+            name_end = m.start(1) + len(m.group(1))
+            after_name = stmt[name_end : name_end + 1]
+            if before.endswith(".") or after_name == ".":
+                continue  # qualified column reference, not a table ref
+            if re.search(r"(?i)\bAS\s*$", before):
+                continue  # alias DEFINITION position ("… AS leads"):
+                # a column/relation alias equal to a registered name
+                # is not a table reference
+            key, table = _resolve_table(m.group(1), tables)
+            kind = m.group(2).upper() if m.group(2) else None
+            if kind is None:
+                df = table.read()
+            elif kind == "VERSION":
+                if m.group(3).startswith("'"):
+                    raise ValueError(
+                        f"FOR VERSION AS OF takes an integer, got "
+                        f"{m.group(3)}"
+                    )
+                df = table.read(version=int(m.group(3)))
+            else:  # TIMESTAMP | SYSTEM_TIME — ISO string or epoch secs
+                df = table.read(timestamp=_parse_literal(m.group(3)))
+            view = f"_txsql_{key}_{next(_VIEW_SEQ)}"
+            df.createOrReplaceTempView(view)
+            created.append(view)
+            tail = stmt[m.end() :]
+            am = re.match(r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", tail)
+            if am and am.group(1).lower() not in _POST_REF_KEYWORDS:
+                repl = view  # explicit alias follows — keep it
+            else:
+                # re-alias to the table name so qualified columns
+                # (``leads.col``) keep resolving against the view
+                repl = f"{view} AS {key}"
+            edits.append((m.start(), m.end(), repl))
+        if not edits and not tc_edits:
+            raise ValueError(
+                "statement references no registered TxTable; run plain "
+                f"SQL through spark.sql (registered: {sorted(tables)})"
+            )
+        for start, end, repl in reversed(edits):
+            stmt = stmt[:start] + repl + stmt[end:]
+        return spark.sql(stmt)
+    finally:
+        for view in created:
+            spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------------------------- dispatcher --

@@ -594,3 +594,67 @@ def test_execute_sql_show_partitions_and_describe_detail(spark, tmp_path):
     assert row2.n_rows is None
     with pytest.raises(ValueError, match="SHOW PARTITIONS"):
         execute_sql(spark, "SHOW TABLES", {"sp": t})
+
+
+def test_execute_sql_review_hardening(spark, tmp_path):
+    """r14 review findings: backslash-escaped quotes keep the mask in
+    sync, TABLE_CHANGES inside a literal is content, the CTE
+    column-list form still refuses, an AS-alias equal to a table name
+    never rewrites, and per-call temp views are dropped."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.sqldml import (
+        execute_sql,
+    )
+
+    t = _mk(spark, tmp_path)  # keys 0..9
+    # backslash-escaped quote inside a literal: the ' t ' inside must
+    # NOT rewrite; the trailing FROM t must
+    got = execute_sql(
+        spark,
+        "SELECT 'x\\' t \\'y' AS s, COUNT(*) AS n FROM t",
+        {"t": t},
+    ).collect()
+    assert got[0].n == 10 and got[0].s == "x' t 'y"
+    # TABLE_CHANGES spelling inside a literal is content — no CDF scan
+    got = execute_sql(
+        spark,
+        "SELECT \"see TABLE_CHANGES('t', 2)\" AS hint, COUNT(*) AS n "
+        "FROM t",
+        {"t": t},
+    ).collect()
+    assert got[0].hint == "see TABLE_CHANGES('t', 2)" and got[0].n == 10
+    # CTE column-list form shadows too
+    with pytest.raises(ValueError, match="shadows"):
+        execute_sql(
+            spark,
+            "WITH t (a) AS (SELECT 1) SELECT a FROM t",
+            {"t": t},
+        )
+    # a column alias equal to the registered name is not a table ref
+    got = execute_sql(
+        spark,
+        "SELECT k AS t FROM t WHERE k < 3",
+        {"t": t},
+    ).collect()
+    assert sorted(r.t for r in got) == [0, 1, 2]
+    # per-call temp views are dropped once the plan is built (and the
+    # returned frame stays collectable after the drop)
+    before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    df = execute_sql(spark, "SELECT COUNT(*) AS n FROM t", {"t": t})
+    after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert not {v for v in after - before if v.startswith("_txsql")}
+    assert df.collect()[0].n == 10
+
+
+def test_merge_source_backslash_escaped_paren_literal(spark, tmp_path):
+    """_match_paren shares the escape-aware scanner: a \\' followed
+    by ')' inside the USING (<query>) literal must not truncate it."""
+    t = _mk(spark, tmp_path)
+    res = execute_dml(
+        spark,
+        "MERGE INTO t t USING (SELECT id AS k, id * 1.0 AS price, "
+        "'a\\')' AS pri FROM range(30, 32)) s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": t},
+    )
+    assert res["inserted"] == 2
+    assert t.read().filter(F.col("pri") == "a')").count() == 2
