@@ -31,15 +31,109 @@ recovery for speed, which is the right trade in local mode).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..functions.fingerprint import df_fingerprint
+from ..functions.fingerprint import fingerprint_cols
 
 # Which backend the most recent closure() call used ("doubling" or
 # "star") — observability for tests and oracle queries pinning the
 # automatic selection (VERDICT r7 item 6); scalar-only, never data.
 LAST_BACKEND: str | None = None
+
+# How the most recent component/closure call EXECUTED its backend:
+# "local" (driver finish below the broadcast-class threshold) or
+# "distributed" (the iterative loops).  Observability only — results
+# are bit-identical by construction and pinned equal in tests.
+LAST_EXECUTION: str | None = None
+
+# r15 (optimization round, guide §1.2 step 1): every iterative graph
+# loop here pays a FIXED per-round cost (2-4 stages of scheduling, a
+# localCheckpoint or parquet-spill materialization) that dwarfs the
+# data work once the frontier is broadcast-class — measured 10.7 s for
+# large-star/small-star on a 25-edge ring and 8.7 s for min-label on a
+# few-hundred-pair dedup graph at sf0.1, i.e. >95% pure overhead.  So
+# below this row threshold the loop is replaced by the SAME algorithm
+# run on the driver (union-find for components — identical to the
+# star/min-label fixpoint: component = min reachable id; memoized
+# pointer-chase for forests — identical to the doubling fixpoint, with
+# the same cycle⇒None contract), and the result ships back as one
+# broadcast join.  This is the broadcast-join pattern applied to
+# iteration: decisions computed where the data is small, the big side
+# touched once.  2M rows ≈ 32 MB of longs on the driver — the same
+# class as the session's 64 MB broadcast threshold; override (or
+# disable with 0) via the env knob for cluster profiles.  The
+# distributed loops are unchanged above the threshold and remain
+# pinned by tests, which also pin local == distributed on the same
+# graphs.
+_LOCAL_ROWS_ENV = "SPARK_GRAFT_GRAPH_LOCAL_ROWS"
+
+
+def _local_rows_limit() -> int:
+    try:
+        return int(os.environ.get(_LOCAL_ROWS_ENV, str(2_000_000)))
+    except ValueError:  # pragma: no cover - malformed override
+        return 2_000_000
+
+
+def _uf_component_min(pairs) -> dict:
+    """Union-find over an edge iterable -> {node: min id of its
+    component} — the exact fixpoint both distributed component loops
+    converge to.  Python int/str comparison matches Spark's ordering
+    for the integer and UTF8-binary string keys the engine uses."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    mins: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in mins or v < mins[r]:
+            mins[r] = v
+    return {v: mins[find(v)] for v in parent}
+
+
+def _labels_out(
+    vertices: DataFrame,
+    id_col: str,
+    comp: dict,
+    label_type,
+    out_col: str = "component",
+) -> DataFrame:
+    """(id, out_col) for every vertex: computed labels via one
+    broadcast join, untouched vertices their own id — the exact output
+    contract of the distributed loops."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = vertices.sparkSession
+    schema = StructType(
+        [
+            StructField("vid", label_type),
+            StructField("_lbl", label_type),
+        ]
+    )
+    ldf = spark.createDataFrame(list(comp.items()), schema)
+    ids = vertices.select(F.col(id_col).alias("vid"))
+    return ids.join(F.broadcast(ldf), "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.coalesce(F.col("_lbl"), F.col("vid")).alias(out_col),
+    )
 
 
 def connected_components(
@@ -55,31 +149,65 @@ def connected_components(
     ``max_iter`` non-converged rounds (pathological diameter) it falls
     back to ``connected_components_star``, which is O(log^2 n) rounds
     regardless of diameter."""
-    # undirected: materialize both directions once
+    global LAST_EXECUTION
+    # undirected: materialize both directions once (edge count observed
+    # during the same job — it decides local vs distributed execution)
+    obs_e = Observation()
     und = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(
             edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
         )
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    if (obs_e.get["n"] or 0) <= _local_rows_limit():
+        # broadcast-class frontier: finish on the driver (see the
+        # module threshold note).  Min-label semantics: only edges
+        # whose BOTH endpoints are labeled vertices propagate (an
+        # endpoint outside the vertex set carries no label), so filter
+        # before collecting.
+        LAST_EXECUTION = "local"
+        vin = vertices.select(F.col(id_col).alias("vid"))
+        filt = und.join(
+            vin.withColumnRenamed("vid", "d"), "d", "left_semi"
+        ).join(vin.withColumnRenamed("vid", "s"), "s", "left_semi")
+        comp = _uf_component_min(
+            (r.s, r.d) for r in filt.select("s", "d").collect()
+        )
+        return _labels_out(
+            vertices, id_col, comp, vertices.schema[id_col].dataType
+        )
+    LAST_EXECUTION = "distributed"
+    # Convergence probe = count of rows the round CHANGED (nmin <
+    # label), observed DURING the round's own localCheckpoint job
+    # (r15, guide §1.4 applied to iteration: one job per round, not
+    # checkpoint + separate agg).  Type-agnostic on purpose — the
+    # pre-r15 sum(label) probe ANSI-crashed on STRING vertex ids in
+    # the distributed loop (latent: every driver graph is numeric;
+    # caught by the r15 local==distributed string-id parity test) —
+    # and it sees the fixpoint in the round that reaches it, where
+    # sum-comparison needed one more round to observe no movement.
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    # min-propagation monotonically lowers labels, so sum(label) strictly
-    # decreases every round until fixpoint — a 1-row convergence probe
-    # instead of a change-count join.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.d == labels.vid)
             .groupBy("s")
             .agg(F.min("label").alias("nmin"))
         )
+        obs = Observation()
         labels = (
             labels.join(
                 neighbor_min, labels.vid == neighbor_min.s, "left"
+            )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("nmin") < F.col("label"), 1)
+                ).alias("chg"),
             )
             .select(
                 "vid",
@@ -89,12 +217,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        if not (obs.get["chg"] or 0):
             return labels.select(
                 F.col("vid").alias(id_col), F.col("label").alias("component")
             )
-        prev_sum = cur_sum
     # Pathological diameter (a >25-hop chain in a near-dup graph means
     # something very unusual, but correctness must not depend on graph
     # shape): hand off to the diameter-independent algorithm.
@@ -132,6 +258,8 @@ def connected_components_star(
     round for the same quadratic-re-analysis reason as min-label
     propagation (module docstring).
     """
+    global LAST_EXECUTION
+    obs_e = Observation()
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -139,8 +267,20 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    if (obs_e.get["n"] or 0) <= _local_rows_limit():
+        # broadcast-class edge set: the star fixpoint IS component =
+        # min id over the undirected graph (including non-vertex
+        # endpoint ids, which contraction passes through) — compute it
+        # on the driver (module threshold note) and join out.
+        LAST_EXECUTION = "local"
+        comp = _uf_component_min(
+            (r.u, r.v) for r in e.select("u", "v").collect()
+        )
+        return _labels_out(vertices, id_col, comp, e.schema["u"].dataType)
+    LAST_EXECUTION = "distributed"
     probe_prev = None
     for _ in range(max_iter):
         # -- large-star ---------------------------------------------
@@ -169,15 +309,20 @@ def connected_components_star(
         center_edge = mins2.select(
             F.col("m").alias("u"), F.col("c").alias("v")
         )
+        obs = Observation()
         e = (
             re_pointed.union(center_edge)
             .select(
                 F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
             )
             .distinct()
+            # order-insensitive (count, hash-sum) probe computed DURING
+            # the checkpoint job (r15) — no separate fingerprint pass
+            .observe(obs, *fingerprint_cols(["u", "v"]))
             .localCheckpoint(eager=True)
         )
-        probe = df_fingerprint(e, ["u", "v"])
+        row = obs.get
+        probe = (row["fp_n"], row["fp_h"] or 0)
         if probe_prev == probe:
             break
         probe_prev = probe
@@ -347,11 +492,11 @@ def _pointer_double(
     cluster the spill is the standard durable iteration checkpoint
     anyway.  The final result is localCheckpoint-ed (single op, no
     loop) so the spill directory can be deleted before returning."""
-    import os
     import shutil
     import tempfile
     import uuid
 
+    global LAST_EXECUTION
     spark = verts.sparkSession
     scratch = os.path.join(
         tempfile.gettempdir(),
@@ -366,26 +511,81 @@ def _pointer_double(
         return spark.read.parquet(p)
 
     try:
+        # convergence probes ride the spill write via ``observe`` (r15):
+        # one job per round — the previous per-round df_fingerprint was
+        # a second full pass over the freshly spilled table.
+        obs0 = Observation()
         nxt = spill(
-            verts.join(e_norm, verts.id == e_norm.child, "left").select(
-                verts.id, F.coalesce("parent", verts.id).alias("nxt")
-            ),
+            verts.join(e_norm, verts.id == e_norm.child, "left")
+            .select(verts.id, F.coalesce("parent", verts.id).alias("nxt"))
+            .observe(obs0, F.count(F.lit(1)).alias("n")),
             "init",
         )
-        prev = df_fingerprint(nxt, ["id", "nxt"])
-        n = prev[0]  # |V|, free: the fingerprint already counted it
+        n = obs0.get["n"]  # |V|, free: counted during the init write
+        if (n or 0) <= _local_rows_limit():
+            # broadcast-class pointer table: memoized pointer-chase on
+            # the driver (module threshold note) — the exact doubling
+            # fixpoint (root = chase terminus; only parentless nodes
+            # self-point at init, so a self-pointer IS a genuine root)
+            # with the same cycle ⇒ None contract (a walk longer than
+            # |V| cannot happen in a forest).
+            LAST_EXECUTION = "local"
+            nx = {r.id: r.nxt for r in nxt.collect()}
+            roots: dict = {}
+            for v0 in nx:
+                chain = []
+                x = v0
+                while x not in roots:
+                    step = nx.get(x, x)
+                    if step == x:
+                        roots[x] = x
+                        break
+                    chain.append(x)
+                    if len(chain) > len(nx):
+                        return None  # cycle: not a forest
+                    x = step
+                r = roots[x]
+                for c in chain:
+                    roots[c] = r
+            from pyspark.sql.types import StructField, StructType
+
+            id_t = nxt.schema["id"].dataType
+            # no checkpoint needed: the frame is driver-local data
+            # with no lineage into the spill dir the finally removes
+            return spark.createDataFrame(
+                list(roots.items()),
+                StructType(
+                    [StructField("id", id_t), StructField("root", id_t)]
+                ),
+            )
+        LAST_EXECUTION = "distributed"
         # Depth <= |V|, so a forest is at fixpoint within
-        # ceil(log2 |V|) rounds (+1 to OBSERVE the fixpoint via an
-        # unchanged fingerprint) — burning all 64 rounds to detect an
+        # ceil(log2 |V|) rounds (+1 to OBSERVE the fixpoint via a
+        # change-free composition) — burning all 64 rounds to detect an
         # odd cycle would be ~60 wasted full-table self-joins.
         bound = min(max_rounds, max(1, (max(int(n), 2) - 1).bit_length()) + 1)
         prev_dir = os.path.join(scratch, "init")
         for r in range(bound):
             a, b = nxt.alias("a"), nxt.alias("b")
+            obs = Observation()
+            # pending = rows whose pointer this composition CHANGES
+            # (new nxt = b.nxt, old nxt = b.id): 0 pending means the
+            # round reproduced its input — the fixpoint, observed in
+            # the same job that writes it (old shape: spill, then a
+            # separate fingerprint job, then one MORE round to see the
+            # fingerprint repeat)
             nxt = spill(
-                a.join(b, F.col("a.nxt") == F.col("b.id")).select(
-                    F.col("a.id").alias("id"), F.col("b.nxt").alias("nxt")
-                ),
+                a.join(b, F.col("a.nxt") == F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.col("b.nxt").alias("nxt"),
+                    (F.col("b.id") != F.col("b.nxt")).alias("_moved"),
+                )
+                .observe(
+                    obs,
+                    F.sum(F.col("_moved").cast("long")).alias("pending"),
+                )
+                .drop("_moved"),
                 f"r{r}",
             )
             # only the latest spill is ever re-read: drop the previous
@@ -393,10 +593,8 @@ def _pointer_double(
             # copies, not rounds x table size
             shutil.rmtree(prev_dir, ignore_errors=True)
             prev_dir = os.path.join(scratch, f"r{r}")
-            fp = df_fingerprint(nxt, ["id", "nxt"])
-            if fp == prev:
+            if not (obs.get["pending"] or 0):
                 break
-            prev = fp
         else:
             return None  # no fixpoint within the depth bound: cyclic
         # A genuine root has no parent edge; a 2^k-cycle's

@@ -546,7 +546,10 @@ def remove_dup_spans(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).select("doc_id", F.size("toks").alias("n_tokens"), "toks")
     toked = toked.persist()
-    toked.count()  # grams + token-position explode both reuse this
+    # no eager count (r15, guide §1.2): computing ``inst`` below scans
+    # every toked partition, so inst.count() fills BOTH caches in one
+    # pass — the separate toked.count() was a second full tokenize of
+    # the corpus
     caches = [toked]
     idx = F.sequence(F.lit(0), F.col("n_tokens") - n)
     gram = lambda i: F.struct(  # noqa: E731

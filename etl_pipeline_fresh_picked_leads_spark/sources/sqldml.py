@@ -111,12 +111,17 @@ def _unquote(name: str) -> str:
 
 
 def _strip(stmt: str) -> str:
-    """Drop line comments (quote-aware: a ``--`` inside a string
-    literal is content, and a quote inside a comment must not open a
-    string) and the trailing semicolon.  Keeps its OWN incremental
-    scan (comment removal changes the quote context the later chars
-    see, so a precomputed mask of the raw text would be wrong);
-    escape handling mirrors ``_char_states``."""
+    """Drop line comments and ``/* */`` block comments (quote-aware:
+    comment markers inside a string literal are content, and a quote
+    inside a comment must not open a string — ADVICE r14: an
+    apostrophe in a block comment desynchronized every later mask)
+    and the trailing semicolon.  Keeps its OWN incremental scan
+    (comment removal changes the quote context the later chars see,
+    so a precomputed mask of the raw text would be wrong); escape
+    handling mirrors ``_char_states``.  Block comments are non-nested
+    (Spark's lexer nests them, but a nested comment in DML text is
+    vanishingly rare and the failure is loud: the unmatched ``*/``
+    tail stays visible to the grammar checks)."""
     out = []
     q: str | None = None
     i, n = 0, len(stmt)
@@ -140,6 +145,14 @@ def _strip(stmt: str) -> str:
         elif ch == "-" and i + 1 < n and stmt[i + 1] == "-":
             while i < n and stmt[i] != "\n":
                 i += 1
+            continue
+        elif ch == "/" and i + 1 < n and stmt[i + 1] == "*":
+            end = stmt.find("*/", i + 2)
+            if end == -1:
+                i = n  # unterminated: comment runs to end of statement
+            else:
+                out.append(" ")  # keep token separation (a/**/b)
+                i = end + 2
             continue
         else:
             out.append(ch)
@@ -967,9 +980,14 @@ def execute_sql(
         mask = _quote_mask(stmt)
         for name in tables:
             # both CTE spellings shadow: WITH t AS (...) and the
-            # column-list form WITH t (a, b) AS (...)
+            # column-list form WITH t (a, b) AS (...); quoted
+            # definitions (`t` / "t") shadow too (ADVICE r14 — a
+            # backtick-quoted CTE slipped past the guard and its bare
+            # references were silently rewritten to the table)
+            esc = re.escape(name)
             if re.search(
-                rf"\b{re.escape(name)}\s*(?:\([^()]*\))?\s+AS\s*\(",
+                rf"(?:\b{esc}\b|`{esc}`|\"{esc}\")"
+                rf"\s*(?:\([^()]*\))?\s+AS\s*\(",
                 stmt,
                 re.IGNORECASE,
             ):
@@ -981,6 +999,9 @@ def execute_sql(
         names = sorted(tables, key=len, reverse=True)
         alt = "|".join(re.escape(n) for n in names)
         edits: list[tuple[int, int, str]] = []
+        saw_shadowed = False  # registered name seen, but only in
+        # alias/qualified positions — the statement is valid SQL that
+        # simply never reads the TxTable
         for m in re.finditer(
             rf"\b({alt})\b{_FOR_AS_OF}", stmt, re.IGNORECASE
         ):
@@ -990,11 +1011,24 @@ def execute_sql(
             name_end = m.start(1) + len(m.group(1))
             after_name = stmt[name_end : name_end + 1]
             if before.endswith(".") or after_name == ".":
+                saw_shadowed = True
                 continue  # qualified column reference, not a table ref
             if re.search(r"(?i)\bAS\s*$", before):
+                saw_shadowed = True
                 continue  # alias DEFINITION position ("… AS leads"):
                 # a column/relation alias equal to a registered name
                 # is not a table reference
+            pre_tok = re.search(r"([A-Za-z_][A-Za-z0-9_]*|\)|`)\s*$", before)
+            if pre_tok and (
+                pre_tok.group(1) in (")", "`")
+                or pre_tok.group(1).upper() not in ("FROM", "JOIN")
+            ):
+                # bare alias position (ADVICE r14): "FROM orders leads"
+                # / "SELECT k leads" / "(SELECT …) leads" — the token
+                # before a genuine table reference in a SELECT/WITH
+                # statement is FROM, JOIN, a comma, or an opening paren
+                saw_shadowed = True
+                continue
             key, table = _resolve_table(m.group(1), tables)
             kind = m.group(2).upper() if m.group(2) else None
             if kind is None:
@@ -1020,7 +1054,7 @@ def execute_sql(
                 # (``leads.col``) keep resolving against the view
                 repl = f"{view} AS {key}"
             edits.append((m.start(), m.end(), repl))
-        if not edits and not tc_edits:
+        if not edits and not tc_edits and not saw_shadowed:
             raise ValueError(
                 "statement references no registered TxTable; run plain "
                 f"SQL through spark.sql (registered: {sorted(tables)})"

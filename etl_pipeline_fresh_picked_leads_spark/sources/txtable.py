@@ -61,7 +61,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .. import txlog
@@ -1084,18 +1084,136 @@ class TxTable:
             constraints=cons,
         )
 
+    @staticmethod
+    def _footer_bound_ok(v) -> bool:
+        """Is ``v`` (a parquet-footer min/max) a value the footer fast
+        path can trust to EQUAL the Spark-aggregate form?  ints, bools
+        and strings are exact (Python str comparison is code-point
+        order == Spark's UTF8-binary collation; parquet-mr drops
+        over-long binary stats rather than truncating, so a present
+        string bound is the exact value); floats are exact unless NaN
+        (parquet NaN statistics are unreliable by spec) or ±0.0
+        (measured on this Spark: a file holding both -0.0 and 0.0
+        footers as min=-0.0/max=0.0 while the aggregate returns the
+        first-encountered sign for both — row-order-dependent, so any
+        zero bound falls back to the scan); dates render
+        to the identical ISO string the manifests store.  datetimes are
+        REJECTED: Spark's default parquet timestamp encoding (INT96)
+        carries no stats anyway, and a micros-encoded file's footer
+        datetime may differ in tz-awareness from the collected form —
+        the scan path stays authoritative for those."""
+        import datetime
+        import math
+
+        if isinstance(v, (bool, int, str)):
+            return True
+        if isinstance(v, float):
+            return not math.isnan(v) and v != 0.0
+        return isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        )
+
+    def _stats_from_footers(
+        self, files: list[str], phys: dict
+    ) -> dict | None:
+        """Per-file stats from the parquet FOOTERS — metadata-only, no
+        Spark job (r15, guide §1/§6: the per-commit stats pass was a
+        second full scan of every freshly written file).  Returns None
+        whenever any needed bound is missing or of a type the fast
+        path can't prove equal to the Spark-aggregate form
+        (``_footer_bound_ok``) — the caller then falls back to the
+        original aggregate scan, so this path can change COST only,
+        never stats values.  Driver cost is one footer read per file
+        (threaded); commit sizes are file-count-bounded, never
+        row-count-bounded."""
+        import pyarrow.parquet as _pq
+
+        need = {phys.get(c, c): c for c in (self.stats_cols or [])}
+
+        def one(f: str):
+            md = _pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                # parity: the aggregate scan emits no group for an
+                # empty file, so it never gets a stats entry
+                return f, None
+            per: dict[str, list] = {}
+            seen: set[str] = set()
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    cc = rg.column(i)
+                    p = cc.path_in_schema
+                    if p not in need:
+                        continue
+                    seen.add(p)
+                    st = cc.statistics
+                    if st is None:
+                        raise ValueError("no statistics")
+                    if st.has_null_count and st.null_count == cc.num_values:
+                        continue  # all-NULL chunk: contributes no bound
+                    if not st.has_min_max:
+                        raise ValueError("no min/max")
+                    mn, mx = st.min, st.max
+                    if not (
+                        self._footer_bound_ok(mn)
+                        and self._footer_bound_ok(mx)
+                    ):
+                        raise ValueError("untrusted bound type")
+                    cur = per.get(p)
+                    if cur is None:
+                        per[p] = [mn, mx]
+                    else:
+                        cur[0] = min(cur[0], mn)
+                        cur[1] = max(cur[1], mx)
+            if seen != set(need):
+                # a stats column absent from this file's schema: the
+                # scan path resolves presence against the UNION schema
+                # — ambiguous here, let it decide
+                raise ValueError("stats column missing from file")
+            entry = {
+                "rows": md.num_rows,
+                "min": {
+                    lc: (per[pc][0] if pc in per else None)
+                    for pc, lc in need.items()
+                },
+                "max": {
+                    lc: (per[pc][1] if pc in per else None)
+                    for pc, lc in need.items()
+                },
+            }
+            return f, entry
+
+        try:
+            if len(files) > 4:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(files))
+                ) as pool:
+                    results = list(pool.map(one, files))
+            else:
+                results = [one(f) for f in files]
+        except Exception:
+            return None  # any surprise → the scan path is authoritative
+        return {f: e for f, e in results if e is not None}
+
     def _stats_for(
         self, files: list[str], colmap: list[dict] | None = None
     ) -> dict:
         """Per-file row count + min/max of ``stats_cols`` for freshly
-        written files: one aggregate scan grouped by source file.
-        Stats are keyed by LOGICAL name; the aggregation reads the
-        physical columns when a colmap is in force."""
+        written files: parquet-footer metadata when every bound is
+        footer-exact (``_stats_from_footers`` — no Spark job), else
+        one aggregate scan grouped by source file.  Stats are keyed by
+        LOGICAL name; the aggregation reads the physical columns when
+        a colmap is in force."""
         from urllib.parse import unquote, urlparse
 
         if not files:
             return {}
         phys = {c["name"]: c["phys"] for c in (colmap or [])}
+        footer = self._stats_from_footers(files, phys)
+        if footer is not None:
+            return footer
         df = self.spark.read.parquet(*files).withColumn(
             "_fp", F.col("_metadata.file_path")
         )
@@ -2452,35 +2570,47 @@ class TxTable:
                 base, op, set(), [], read_files=read_files
             )
             return 0
+        # r15 (guide §1.4/§5): the affected slice used to be re-scanned
+        # four times (match count, validation, rewrite, CDF) — persist
+        # it once and let the match count ride the first action via
+        # ``observe`` (placed BELOW the transform, so a DELETE's
+        # filtered-out matches are still counted).
         hit = self._read_files(
             affected, base.schema_json, cm, dvs=self._dvs_of(base)
-        )
-        n = hit.filter(where).count()
-        rewritten = transform(hit)
-        if validate:  # UPDATE can move rows INTO violation; DELETE can't
-            self._validate_constraints(rewritten, base, op)
-            # an update of a generation INPUT must keep the generated
-            # column consistent (stricter than Delta's recompute:
-            # callers update both; documented)
-            self._validate_generated(
-                rewritten, self._gen_of(base), op
+        ).persist()
+        try:
+            obs = Observation()
+            rewritten = transform(
+                hit.observe(obs, F.count(F.when(where, 1)).alias("n"))
             )
-        new = self._write_data(rewritten, cm)
-        cdf = None
-        if n > 0:
-            matched = hit.filter(where)
-            pre_tag = "delete" if post_of is None else "update_preimage"
-            changes = matched.withColumn("_change_type", F.lit(pre_tag))
-            if post_of is not None:
-                changes = changes.unionByName(
-                    post_of(matched).withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    )
+            if validate:  # UPDATE can move rows INTO violation;
+                # DELETE can't
+                self._validate_constraints(rewritten, base, op)
+                # an update of a generation INPUT must keep the
+                # generated column consistent (stricter than Delta's
+                # recompute: callers update both; documented)
+                self._validate_generated(
+                    rewritten, self._gen_of(base), op
                 )
-            cdf = self._write_cdf(changes, parts=len(affected))
-        self._commit_vs_appends(
-            base, op, set(affected), new, cdf=cdf, read_files=read_files
-        )
+            new = self._write_data(rewritten, cm)
+            n = int(obs.get["n"] or 0)
+            cdf = None
+            if n > 0:
+                matched = hit.filter(where)
+                pre_tag = "delete" if post_of is None else "update_preimage"
+                changes = matched.withColumn("_change_type", F.lit(pre_tag))
+                if post_of is not None:
+                    changes = changes.unionByName(
+                        post_of(matched).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                cdf = self._write_cdf(changes, parts=len(affected))
+            self._commit_vs_appends(
+                base, op, set(affected), new, cdf=cdf, read_files=read_files
+            )
+        finally:
+            hit.unpersist()
         return n
 
     @staticmethod
@@ -3180,11 +3310,13 @@ class TxTable:
             if bad:
                 raise ValueError(f"merge update targets unknown columns {bad}")
         # four consumers before the clause join materializes (key-bound
-        # agg, broadcast distinct keys, ambiguity check, the s side of
+        # agg, broadcast distinct keys, ambiguity flag, the s side of
         # the full outer) — a source derived from the table itself
-        # would re-run its whole lineage per job (CLAUDE.md trap)
+        # would re-run its whole lineage per job (CLAUDE.md trap).
+        # No eager count (r15): the consumers run SEQUENTIALLY, so the
+        # first job (the candidate-bounds agg below) materializes the
+        # cache; the explicit count was one extra pass over the source.
         src = source.select(*cols, *extra).persist()
-        src.count()
         cm = self._colmap_or_none(base)
         has_matched_clause = update is not None or delete_condition is not None
         bkeys = F.broadcast(src.select(*keys).distinct())
@@ -3222,28 +3354,6 @@ class TxTable:
             hit = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(base.schema_json))
             )
-        if affected and has_matched_clause:
-            # Delta's ambiguous-merge guard: >1 source rows hitting the
-            # same target row has no deterministic outcome.  Batch-sized
-            # aggregation + broadcast semi-join — never table-sized.
-            dups = (
-                src.groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .select(*keys)
-            )
-            n_ambiguous = (
-                hit.select(*keys)
-                .join(F.broadcast(dups), keys, "left_semi")
-                .count()
-            )
-            if n_ambiguous:
-                src.unpersist()  # expected error path: release the pin
-                raise ValueError(
-                    f"merge: {n_ambiguous} target row(s) matched by "
-                    "multiple source rows; deduplicate the source on "
-                    f"{keys} first (Delta raises here too)"
-                )
         tm, sm = "_t_marker", "_s_marker"
         while tm in cols or tm in extra:  # user column shaped like ours
             tm = "_" + tm
@@ -3294,11 +3404,65 @@ class TxTable:
         keep = (matched & ~do_delete) | (~src_only & ~matched) | do_insert
         j = j.persist()
         try:
-            n_upd, n_del, n_ins = j.agg(
+            clause_counts = [
                 F.count(F.when(do_update, 1)),
                 F.count(F.when(do_delete, 1)),
                 F.count(F.when(do_insert, 1)),
-            ).first()
+            ]
+            if affected and has_matched_clause:
+                # Delta's ambiguous-merge guard (>1 source rows hitting
+                # one target row has no deterministic outcome), folded
+                # into the SAME aggregate job as the clause counts
+                # (r15 — it was a separate scan of the affected files):
+                # a batch-sized dup-key flag broadcast-joins onto the
+                # persisted clause join; any matched row carrying the
+                # flag is ambiguous.  The probe join exists only under
+                # this agg — the result/CDF frames still read the bare
+                # persisted join.
+                taken = set(cols) | set(extra)
+                dup_col = "_dup_src"
+                while dup_col in taken:  # user column shaped like ours
+                    dup_col = "_" + dup_col
+                dks = []
+                for i in range(len(keys)):
+                    dk = f"_dk{i}"
+                    while dk in taken:
+                        dk = "_" + dk
+                    dks.append(dk)
+                dupflag = F.broadcast(
+                    src.groupBy(*keys)
+                    .agg((F.count(F.lit(1)) > F.lit(1)).alias(dup_col))
+                    .select(
+                        *[
+                            F.col(k).alias(dk)
+                            for k, dk in zip(keys, dks)
+                        ],
+                        dup_col,
+                    )
+                )
+                dcond = None
+                for k, dk in zip(keys, dks):
+                    c = F.col(f"s.{k}") == F.col(dk)
+                    dcond = c if dcond is None else (dcond & c)
+                n_upd, n_del, n_ins, n_amb = (
+                    j.join(dupflag, dcond, "left")
+                    .agg(
+                        *clause_counts,
+                        F.count(
+                            F.when(matched & F.col(dup_col), 1)
+                        ),
+                    )
+                    .first()
+                )
+                if n_amb:
+                    raise ValueError(
+                        f"merge: {n_amb} matched pair(s) involve a "
+                        "target row matched by multiple source rows; "
+                        f"deduplicate the source on {keys} first "
+                        "(Delta raises here too)"
+                    )
+            else:
+                n_upd, n_del, n_ins = j.agg(*clause_counts).first()
             changed = (n_upd + n_del) > 0
             if changed and dv_mode:
                 # merge-on-read: only fired rows materialize — updated
@@ -3488,38 +3652,53 @@ class TxTable:
             else []
         )
         cdf = None
-        if affected:
-            hit = self._read_files(
-                affected, base.schema_json, cm, dvs=self._dvs_of(base)
+        hit = None
+        try:
+            if affected:
+                # r15 (guide §1.4/§5): the replaced slice used to be
+                # re-scanned three times (delete count, CDF preimages,
+                # the kept-rows rewrite) — persist it once and let the
+                # count ride the rewrite job via ``observe`` (below the
+                # kept-filter, so filtered-out matches still count).
+                hit = self._read_files(
+                    affected, base.schema_json, cm, dvs=self._dvs_of(base)
+                ).persist()
+                obs = Observation()
+                kept = hit.observe(
+                    obs, F.count(F.when(pred, 1)).alias("n")
+                ).filter(~pred.eqNullSafe(F.lit(True)))
+                new_data = kept.unionByName(df)
+                # exact CDF (r10): the replaced slice's rows tag
+                # 'delete', the incoming frame tags 'insert' — the
+                # rewritten files' kept rows never re-emit.  A
+                # no-overlap replace (affected == []) needs no sidecar:
+                # added files == df.
+                cdf = self._write_cdf(
+                    hit.filter(pred)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        df.withColumn("_change_type", F.lit("insert"))
+                    ),
+                    parts=len(affected),
+                )
+            else:
+                new_data = df
+            new = (
+                self._write_data(new_data, cm) if (affected or n_ins) else []
             )
-            n_del = hit.filter(pred).count()
-            kept = hit.filter(~pred.eqNullSafe(F.lit(True)))
-            new_data = kept.unionByName(df)
-            # exact CDF (r10): the replaced slice's rows tag 'delete',
-            # the incoming frame tags 'insert' — the rewritten files'
-            # kept rows never re-emit.  A no-overlap replace
-            # (affected == []) needs no sidecar: added files == df.
-            cdf = self._write_cdf(
-                hit.filter(pred)
-                .withColumn("_change_type", F.lit("delete"))
-                .unionByName(
-                    df.withColumn("_change_type", F.lit("insert"))
-                ),
-                parts=len(affected),
+            n_del = int(obs.get["n"] or 0) if affected else 0
+            version = self._commit_vs_appends(
+                base,
+                "replace_where",
+                set(affected),
+                new,
+                txn=txn,
+                cdf=cdf,
+                read_files=set(search),
             )
-        else:
-            n_del = 0
-            new_data = df
-        new = self._write_data(new_data, cm) if (affected or n_ins) else []
-        version = self._commit_vs_appends(
-            base,
-            "replace_where",
-            set(affected),
-            new,
-            txn=txn,
-            cdf=cdf,
-            read_files=set(search),
-        )
+        finally:
+            if hit is not None:
+                hit.unpersist()
         return {"deleted": n_del, "inserted": n_ins, "version": version}
 
     def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 6):

@@ -868,17 +868,33 @@ def _write_task(
         stats = {path: _stats_of(tbl)} if scols else {}
         return _WroteFiles([path], tbl.num_rows, hsum, stats)
     files, stats = [], {}
-    groups = pdf.groupby(list(partition_by), dropna=False, sort=False)
-    for i, (_key, idx) in enumerate(groups.indices.items()):
-        seq = sorted(int(j) for j in idx)
-        # segment values come from the ARROW column, not pdf: pandas
-        # promotes an int64 column with any NULL to float64, so the
-        # pdf value would write '__txp_p=1.0' while the engine writes
-        # '__txp_p=1' — the same logical partition would split across
-        # path keys and compact/vacuum(partition=)/maintain()'s
-        # path-parsed cohorts would silently miss sink-written files
-        # (ADVICE r13).  as_py() preserves int, and None maps to the
-        # Hive null marker inside _part_seg.
+    # group row indices by the ARROW values, not a pandas groupby:
+    # pandas promotes an int64 column with any NULL to float64, so
+    # (a) the pdf value would write '__txp_p=1.0' where the engine
+    # writes '__txp_p=1' (ADVICE r13, fixed r14 for segment values)
+    # and (b) two distinct int64 values >= 2^53 that collide in
+    # float64 would GROUP into one file under one path key (ADVICE
+    # r14) — grouping and segment naming must use the same exact
+    # values.  NaN normalizes to None so all null-ish rows share the
+    # Hive null partition, as the pandas dropna=False grouping did.
+    key_cols = [
+        tbl.column(phys.get(c, c)).to_pylist() for c in partition_by
+    ]
+
+    def _norm_key(v):
+        try:
+            if v != v:
+                return None  # NaN/NaT -> the null partition
+        except Exception:
+            pass
+        return v
+
+    groups: dict[tuple, list[int]] = {}
+    for j in range(tbl.num_rows):
+        groups.setdefault(
+            tuple(_norm_key(col[j]) for col in key_cols), []
+        ).append(j)
+    for i, (_key, seq) in enumerate(groups.items()):
         segs = [
             _part_seg(
                 phys.get(c, c), tbl.column(phys.get(c, c))[seq[0]].as_py()

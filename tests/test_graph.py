@@ -263,3 +263,130 @@ def test_closure_deep_chain_uses_log_rounds(spark):
     ).collect()[0]
     assert (agg.n, agg.k, agg.mx) == (n, 1, 0)  # all chase to root 0
     assert time.time() - t0 < 120, "doubling must stay in log-depth rounds"
+
+
+# -- r15: scale-adaptive local finish ---------------------------------
+# Broadcast-class graphs resolve on the driver (union-find /
+# pointer-chase); the env knob forces the distributed loops so the two
+# executions can be pinned EQUAL on the same graphs.
+
+
+def _force_distributed(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_ROWS", "0")
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_local_matches_distributed_min_label(spark, monkeypatch):
+    """connected_components: the driver union-find must equal the
+    distributed min-label loop row-for-row, including orphan edges
+    (an endpoint outside the vertex set propagates no label)."""
+    import random as _r
+
+    from etl_pipeline_fresh_picked_leads_spark.operators import graph as G
+
+    rng = _r.Random(15)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges += [(3, 999), (999, 17)]  # orphan endpoint 999: no bridge
+    verts = spark.createDataFrame([(v,) for v in range(60)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    local = _rows_set(G.connected_components(verts, edf))
+    assert G.LAST_EXECUTION == "local"
+    _force_distributed(monkeypatch)
+    dist = _rows_set(G.connected_components(verts, edf))
+    assert G.LAST_EXECUTION == "distributed"
+    assert local == dist
+
+
+def test_local_matches_distributed_star(spark, monkeypatch):
+    """connected_components_star: driver union-find == distributed
+    star contraction, including NON-vertex endpoints (contraction
+    passes through them, so they bridge and can BE the minimum)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators import graph as G
+
+    verts = spark.createDataFrame([(10,), (20,), (30,), (40,)], "id long")
+    # 10-5-20 bridges through non-vertex 5 (also the component min);
+    # 30 isolated by an edge to itself; 40 fully isolated
+    edf = spark.createDataFrame(
+        [(10, 5), (5, 20), (30, 30)], "src long, dst long"
+    )
+    local = _rows_set(G.connected_components_star(verts, edf))
+    assert G.LAST_EXECUTION == "local"
+    _force_distributed(monkeypatch)
+    dist = _rows_set(G.connected_components_star(verts, edf))
+    assert G.LAST_EXECUTION == "distributed"
+    assert local == dist == {(10, 5), (20, 5), (30, 30), (40, 40)}
+
+
+def test_local_matches_distributed_closure_forest(spark, monkeypatch):
+    """closure() on a forest whose roots are NOT component minima:
+    the driver pointer-chase must return the same true pointer roots
+    as the distributed doubling loop."""
+    import random as _r
+
+    from etl_pipeline_fresh_picked_leads_spark.operators import graph as G
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    rng = _r.Random(42)
+    # two trees rooted at 500 and 700 (max ids, so root != min)
+    rows, ids = [], {500: [500], 700: [700]}
+    for root in (500, 700):
+        for i in range(60):
+            child = root - 1 - i
+            rows.append((child, rng.choice(ids[root])))
+            ids[root].append(child)
+    verts = spark.createDataFrame(
+        [(v,) for vs in ids.values() for v in vs], "id long"
+    )
+    edf = spark.createDataFrame(rows, "child long, parent long")
+    local = _rows_set(closure(verts, edf))
+    assert G.LAST_EXECUTION == "local" and G.LAST_BACKEND == "doubling"
+    _force_distributed(monkeypatch)
+    dist = _rows_set(closure(verts, edf))
+    assert G.LAST_EXECUTION == "distributed" and G.LAST_BACKEND == "doubling"
+    assert local == dist
+    assert {r for _, r in local} == {500, 700}
+
+
+def test_local_closure_cycle_falls_back_to_star(spark, monkeypatch):
+    """The driver pointer-chase must honor the cycle => None contract:
+    a cyclic graph routes to the star backend in BOTH executions."""
+    from etl_pipeline_fresh_picked_leads_spark.operators import graph as G
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import closure
+
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    # 3-cycle (odd length: doubling never fixpoints) plus a feeder
+    edf = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "child long, parent long"
+    )
+    local = _rows_set(closure(verts, edf))
+    assert G.LAST_BACKEND == "star"
+    _force_distributed(monkeypatch)
+    dist = _rows_set(closure(verts, edf))
+    assert G.LAST_BACKEND == "star"
+    assert local == dist == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_local_matches_distributed_string_ids(spark, monkeypatch):
+    """dedup pair graphs key on STRING doc ids: Python str comparison
+    must agree with Spark's UTF8-binary min for the cluster id."""
+    from etl_pipeline_fresh_picked_leads_spark.operators import graph as G
+
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("Doc-C",), ("doc-d",), ("zzz",)],
+        "doc_id string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "Doc-C")],
+        "doc_id_a string, doc_id_b string",
+    )
+    local = _rows_set(dedup_clusters(docs, pairs))
+    assert G.LAST_EXECUTION == "local"
+    _force_distributed(monkeypatch)
+    dist = _rows_set(dedup_clusters(docs, pairs))
+    assert G.LAST_EXECUTION == "distributed"
+    assert local == dist
+    # capital C sorts below lowercase: the cluster id is "Doc-C"
+    assert ("doc-a", "Doc-C", 3, False) in local

@@ -305,13 +305,17 @@ def test_ivf_join_final_plan_single_shuffle(spark):
             p.unpersist()
 
 
-def test_cluster_star_bounded_lineage(spark):
+def test_cluster_star_bounded_lineage(spark, monkeypatch):
     """Star CC localCheckpoints per round, so the final plan's
     exchange count is bounded by the LAST round's shape (label join +
     group) — NOT proportional to the number of rounds.  A lineage
     leak would blow this bound on any multi-round input.  Pinned on
     the OPERATOR composition (r7: the registered query checkpoints to
-    release shingle caches, hiding the lineage from its plan)."""
+    release shingle caches, hiding the lineage from its plan).
+    r15: forces the DISTRIBUTED loop — the scale-adaptive local
+    finish would otherwise take over on this broadcast-class graph
+    and there would be no round lineage to bound."""
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_ROWS", "0")
     from etl_pipeline_fresh_picked_leads_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )

@@ -658,3 +658,56 @@ def test_merge_source_backslash_escaped_paren_literal(spark, tmp_path):
     )
     assert res["inserted"] == 2
     assert t.read().filter(F.col("pri") == "a')").count() == 2
+
+
+def test_execute_sql_advice_r14_fixes(spark, tmp_path):
+    """ADVICE r14: quoted CTE definitions shadow (a backtick-quoted
+    CTE previously slipped the guard and its bare references were
+    silently rewritten to the table); a bare alias equal to a
+    registered name is not a table reference; /* */ block comments
+    strip quote-aware (an apostrophe inside one must not
+    desynchronize the mask)."""
+    from etl_pipeline_fresh_picked_leads_spark.sources.sqldml import (
+        _strip,
+        execute_sql,
+    )
+
+    t = _mk(spark, tmp_path)  # keys 0..9
+    # backtick-quoted CTE definition, bare reference: must refuse,
+    # never silently read the table
+    with pytest.raises(ValueError, match="shadows"):
+        execute_sql(
+            spark,
+            "WITH `t` AS (SELECT 1 AS a) SELECT a FROM t",
+            {"t": t},
+        )
+    with pytest.raises(ValueError, match="shadows"):
+        execute_sql(
+            spark,
+            'WITH "t" AS (SELECT 1 AS a) SELECT a FROM t',
+            {"t": t},
+        )
+    # bare alias position: "FROM sub t" aliases the subquery — the
+    # trailing bare t must NOT be rewritten into a table reference
+    got = execute_sql(
+        spark,
+        "SELECT t.k FROM (SELECT 1 AS k) t WHERE t.k = 1",
+        {"t": t},
+    ).collect()
+    assert [r.k for r in got] == [1]
+    # block comments: stripped, token separation kept, apostrophe
+    # inside one leaves the quote mask in sync
+    assert _strip("SELECT/*x*/1").strip() == "SELECT 1"
+    got = execute_sql(
+        spark,
+        "SELECT /* don't */ COUNT(*) AS n FROM t /* it's fine */",
+        {"t": t},
+    ).collect()
+    assert got[0].n == 10
+    # a comment marker inside a string literal is content
+    got = execute_sql(
+        spark,
+        "SELECT '/* keep */' AS s, COUNT(*) AS n FROM t",
+        {"t": t},
+    ).collect()
+    assert got[0].s == "/* keep */" and got[0].n == 10

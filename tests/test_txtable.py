@@ -2034,3 +2034,60 @@ def test_clone_carries_generated_columns(spark, tmp_path):
                 [(3, "x", 7)], "k int, name string, name_len int"
             ).coalesce(1)
         )
+
+
+# -- r15: parquet-footer stats fast path ------------------------------
+
+
+def test_footer_stats_match_scan_stats(spark, tmp_path, monkeypatch):
+    """_stats_for's footer fast path (no Spark job) must produce
+    byte-identical entries to the aggregate-scan path for every type
+    it accepts — int (with NULLs), string, double, date."""
+    from datetime import date as _d
+
+    root = str(tmp_path / "t")
+    rows = [
+        (1, "aa", 1.5, _d(2024, 1, 2)),
+        (None, "zz", -3.25, _d(2024, 3, 4)),
+        (7, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, s string, x double, d date"
+    ).coalesce(1)
+    t = TxTable.create(
+        spark, root, df, stats_cols=["k", "s", "x", "d"]
+    )
+    files = list(t.snapshot().files)
+    footer = t._stats_from_footers(files, {})
+    assert footer is not None and set(footer) == set(files)
+    monkeypatch.setattr(
+        TxTable, "_stats_from_footers", lambda self, f, p: None
+    )
+    scan = t._stats_for(files)
+    assert footer == scan
+
+
+def test_footer_stats_fall_back_on_untrusted_bounds(spark, tmp_path):
+    """Bounds the fast path cannot prove equal to the aggregate form
+    (timestamps, NaN doubles, ±0.0 doubles — the last measured
+    row-order-dependent in the Spark aggregate) must return None so
+    the scan path stays authoritative; table stats stay correct."""
+    from datetime import datetime as _dt
+
+    root = str(tmp_path / "ts")
+    df = spark.createDataFrame(
+        [(1, _dt(2024, 1, 1, 12))], "k int, ts timestamp"
+    ).coalesce(1)
+    t = TxTable.create(spark, root, df, stats_cols=["k", "ts"])
+    assert t._stats_from_footers(list(t.snapshot().files), {}) is None
+    st = t.snapshot().stats[t.snapshot().files[0]]
+    assert st["min"]["k"] == 1  # scan fallback still produced stats
+
+    for name, vals in (
+        ("nan", [(float("nan"),), (1.0,)]),
+        ("negz", [(-0.0,), (0.0,)]),
+    ):
+        r2 = str(tmp_path / name)
+        d2 = spark.createDataFrame(vals, "x double").coalesce(1)
+        t2 = TxTable.create(spark, r2, d2, stats_cols=["x"])
+        assert t2._stats_from_footers(list(t2.snapshot().files), {}) is None
