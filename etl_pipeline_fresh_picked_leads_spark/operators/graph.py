@@ -110,7 +110,7 @@ def _uf_component_min(pairs) -> dict:
 
 
 def _labels_out(
-    vertices: DataFrame,
+    ids: DataFrame,
     id_col: str,
     comp: dict,
     label_type,
@@ -118,10 +118,18 @@ def _labels_out(
 ) -> DataFrame:
     """(id, out_col) for every vertex: computed labels via one
     broadcast join, untouched vertices their own id — the exact output
-    contract of the distributed loops."""
+    contract of the distributed loops.  ``ids`` is a single-column
+    ``vid`` frame (pre-checkpointed by callers so the vertices lineage
+    runs ONCE).  The result is eagerly localCheckpoint-ed: the
+    distributed loops return selects over per-round checkpoints, so
+    consumers re-run only a cheap scan — without this the local path's
+    broadcast join re-ran the full vertices lineage per consumer
+    (measured: q_dedup_pipeline's CC stayed at ~7 s local because its
+    vertex frame is the exact-collapse semi-join, re-evaluated by
+    every downstream aggregate)."""
     from pyspark.sql.types import StructField, StructType
 
-    spark = vertices.sparkSession
+    spark = ids.sparkSession
     schema = StructType(
         [
             StructField("vid", label_type),
@@ -129,10 +137,13 @@ def _labels_out(
         ]
     )
     ldf = spark.createDataFrame(list(comp.items()), schema)
-    ids = vertices.select(F.col(id_col).alias("vid"))
-    return ids.join(F.broadcast(ldf), "vid", "left").select(
-        F.col("vid").alias(id_col),
-        F.coalesce(F.col("_lbl"), F.col("vid")).alias(out_col),
+    return (
+        ids.join(F.broadcast(ldf), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.coalesce(F.col("_lbl"), F.col("vid")).alias(out_col),
+        )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -169,7 +180,11 @@ def connected_components(
         # endpoint outside the vertex set carries no label), so filter
         # before collecting.
         LAST_EXECUTION = "local"
-        vin = vertices.select(F.col(id_col).alias("vid"))
+        # checkpoint the id frame so the vertices lineage runs ONCE
+        # (it feeds two semi-joins here plus the output join below)
+        vin = vertices.select(F.col(id_col).alias("vid")).localCheckpoint(
+            eager=True
+        )
         filt = und.join(
             vin.withColumnRenamed("vid", "d"), "d", "left_semi"
         ).join(vin.withColumnRenamed("vid", "s"), "s", "left_semi")
@@ -177,7 +192,7 @@ def connected_components(
             (r.s, r.d) for r in filt.select("s", "d").collect()
         )
         return _labels_out(
-            vertices, id_col, comp, vertices.schema[id_col].dataType
+            vin, id_col, comp, vertices.schema[id_col].dataType
         )
     LAST_EXECUTION = "distributed"
     # Convergence probe = count of rows the round CHANGED (nmin <
@@ -279,7 +294,12 @@ def connected_components_star(
         comp = _uf_component_min(
             (r.u, r.v) for r in e.select("u", "v").collect()
         )
-        return _labels_out(vertices, id_col, comp, e.schema["u"].dataType)
+        return _labels_out(
+            vertices.select(F.col(id_col).alias("vid")),
+            id_col,
+            comp,
+            e.schema["u"].dataType,
+        )
     LAST_EXECUTION = "distributed"
     probe_prev = None
     for _ in range(max_iter):
