@@ -7,6 +7,7 @@ from .explain import (
     has_take_ordered,
     has_wholestage_codegen,
     n_exchanges,
+    n_exchanges_in,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "has_take_ordered",
     "has_wholestage_codegen",
     "n_exchanges",
+    "n_exchanges_in",
 ]

@@ -56,9 +56,16 @@ def n_exchanges(df: DataFrame) -> int:
     exchanges, which move only the small side).  Counts the numbered
     node-detail headers so each node is counted exactly once (the tree
     section at the top repeats node names)."""
+    return n_exchanges_in(formatted_plan(df))
+
+
+def n_exchanges_in(plan: str) -> int:
+    """``n_exchanges`` over an ALREADY-FORMATTED plan string — for
+    probe sites that test several fingerprints of one plan (r15:
+    each ``formatted_plan`` is a full driver-side plan compile; the
+    IVF probe paid it four times for four booleans)."""
     import re
 
-    plan = formatted_plan(df)
     return sum(
         1
         for line in plan.splitlines()

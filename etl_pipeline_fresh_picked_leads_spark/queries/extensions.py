@@ -158,7 +158,7 @@ def _band_plan_ok(docs: DataFrame) -> bool:
     operator's shuffle budget, all-JVM.  Explain-only: no job runs;
     a de-optimization now fails the DRIVER gate, not just pytest."""
     from ..operators.dedup import _band_candidates, minhash_signatures
-    from ..plans import formatted_plan, n_exchanges
+    from ..plans import formatted_plan, n_exchanges_in
 
     reps = (
         minhash_signatures(docs, 3)
@@ -166,11 +166,14 @@ def _band_plan_ok(docs: DataFrame) -> bool:
         .select("doc_id", F.array_sort("shingles").alias("sh"), "sig")
     )
     cand = _band_candidates(reps)
+    # ONE plan compile feeds every fingerprint (r15: n_exchanges(df)
+    # re-ran formatted_plan — a second full driver-side compile of the
+    # 64-hash signature tree)
     plan = formatted_plan(cand)
     return (
         "CartesianProduct" not in plan
         and "BroadcastNestedLoopJoin" not in plan
-        and n_exchanges(cand) <= 4
+        and n_exchanges_in(plan) <= 4
         and "ArrowEval" not in plan
         and "BatchEvalPython" not in plan
     )
@@ -559,12 +562,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the shuffle count stays at the operator's minimum.  Computed
     explain-only from the LAZY ivf_topk frame; TRUE on the oracle
     side, so a plan regression fails the hash gate."""
-    from ..plans import (
-        formatted_plan,
-        has_broadcast_join,
-        has_take_ordered,
-        n_exchanges,
-    )
+    from ..plans import formatted_plan, n_exchanges_in
 
     emb = read_table(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb, 0, k=10)
@@ -572,12 +570,14 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # released via _release_after (r14 cache hygiene — pin-less calls
     # checkpoint, which would truncate the probed plan)
     approx_full = ivf_topk(emb, 0, k=10, nlist=16, nprobe=4, pins=pins)
+    # ONE plan compile feeds every fingerprint (r15: the helper-per-
+    # boolean form re-ran formatted_plan four times)
     plan = formatted_plan(approx_full)
     plan_ok = (
         "CartesianProduct" not in plan
-        and has_broadcast_join(approx_full)
-        and has_take_ordered(approx_full)
-        and n_exchanges(approx_full) <= 3
+        and "BroadcastHashJoin" in plan
+        and "TakeOrderedAndProject" in plan
+        and n_exchanges_in(plan) <= 3
     )
     approx = approx_full.select("vec_id")
     rec = exact.join(approx, "vec_id", "left_semi").agg(
