@@ -650,9 +650,15 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     not total — degree (the standard degree-reduction; at 100 TB
     orient by (degree, id) instead of raw id to shave hubs).  Two
     self-joins on edge endpoints; no Python."""
+    # the edge table is referenced FIVE times below (degree union 2x,
+    # triangle join 3x): materialize once or an expensive pair source
+    # (the exact gram self-join) re-runs per reference — measured 43 s
+    # at sf0.01 for q_graph_triangles, the CLAUDE.md
+    # persist-before-self-join trap (r15).  localCheckpoint, not
+    # persist: pair-table-sized, no cache pin to leak.
     e = pairs.select(
         F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -2268,34 +2268,40 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor semi-join — materialize once
     n_groups = out["exact_groups"].count()
     n_surv = out["survivors"].count()
+    # one aggregate job over the persisted clusters frame (r15: the
+    # planted-pile checks previously ran a SECOND agg over a filter of
+    # the same cache — conditional aggregates fold them in; values
+    # identical, NULL-skipping count_distinct/min/max over the
+    # when()-masked columns equals the filtered form)
+    planted_c = F.when(F.col("doc_id") >= 400000, F.col("cluster_id"))
     cl_agg = clusters.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("doc_id").alias("n_ids"),
         F.count(F.when(F.col("is_canonical"), 1)).alias("n_canon"),
         F.min(F.col("doc_id") >= F.col("cluster_id")).alias("min_ok"),
+        F.count_distinct(planted_c).alias("n_cl"),
+        F.min(planted_c).alias("cid"),
+        F.max(
+            F.when(F.col("doc_id") >= 400000, F.col("cluster_size"))
+        ).alias("csize"),
     ).first()
-    planted = clusters.filter(F.col("doc_id") >= 400000)
-    p_agg = planted.agg(
-        F.count_distinct("cluster_id").alias("n_cl"),
-        F.min("cluster_id").alias("cid"),
-        F.max("cluster_size").alias("csize"),
-    ).first()
+    n_mixed = mixed.count()  # r15: was computed twice (two jobs)
     out_row = spark.createDataFrame(
         [
             (
-                mixed.count(),
+                n_mixed,
                 n_groups,
                 bool(n_surv <= n_groups),
                 bool(
-                    cl_agg.n_rows == mixed.count()
+                    cl_agg.n_rows == n_mixed
                     and cl_agg.n_ids == cl_agg.n_rows
                     and cl_agg.n_canon == n_surv
                     and cl_agg.min_ok
                 ),
                 bool(
-                    p_agg.n_cl == 1
-                    and p_agg.cid == 400000
-                    and p_agg.csize == 200
+                    cl_agg.n_cl == 1
+                    and cl_agg.cid == 400000
+                    and cl_agg.csize == 200
                 ),
             )
         ],
