@@ -390,3 +390,54 @@ def test_local_matches_distributed_string_ids(spark, monkeypatch):
     assert local == dist
     # capital C sorts below lowercase: the cluster id is "Doc-C"
     assert ("doc-a", "Doc-C", 3, False) in local
+
+
+def test_local_cc_output_is_lineage_truncated(spark):
+    """r15: the local finish's labels frame must be a checkpoint scan,
+    not a live broadcast join over the caller's vertices lineage —
+    otherwise every downstream consumer re-runs that lineage
+    (measured: q_dedup_pipeline's CC stayed at ~7 s because its vertex
+    frame is the exact-collapse semi-join, re-evaluated per
+    aggregate)."""
+    from etl_pipeline_fresh_picked_leads_spark.operators import graph as G
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    verts = spark.range(6).select(F.col("id").cast("long"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "src long, dst long"
+    )
+    for cc in (connected_components, connected_components_star):
+        out = cc(verts, edges)
+        assert G.LAST_EXECUTION == "local"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan  # checkpoint scan only
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_triangle_stats_materializes_edges_once(spark):
+    """r15: triangle_stats references its pair input five times — the
+    edge table must be a checkpoint so an expensive pair source (the
+    exact gram self-join) runs once, not per reference."""
+    from etl_pipeline_fresh_picked_leads_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    calls = {"n": 0}
+
+    def counting_pairs():
+        calls["n"] += 1
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)],
+            "doc_id_a long, doc_id_b long",
+        )
+
+    out = triangle_stats(counting_pairs())
+    rows = {(r.doc_id, r.degree, r.triangles) for r in out.collect()}
+    assert rows == {(1, 2, 1), (2, 2, 1), (3, 3, 1), (4, 1, 0)}
+    # the source DataFrame was built once and the plan references the
+    # checkpointed edge table, not five copies of the source lineage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") == 0 or "ExistingRDD" in plan
