@@ -441,8 +441,10 @@ def closure(
     outgoing parent edge — a 2^k-cycle converges to self-pointers)
     and falls back to star.  All probes are scalar aggregates — no
     corpus-sized driver traffic."""
+    global LAST_BACKEND, LAST_EXECUTION
     ch, pa = F.col(child_col), F.col(parent_col)
     verts = vertices.select(F.col(id_col).alias("id"))
+    obs_e = Observation()
     e_norm = (
         edges.select(ch.alias("child"), pa.alias("parent"))
         .filter(F.col("child") != F.col("parent"))
@@ -450,18 +452,71 @@ def closure(
         .join(verts.withColumnRenamed("id", "child"), "child", "left_semi")
         .join(verts.withColumnRenamed("id", "parent"), "parent", "left_semi")
         .select("child", "parent")
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    star = lambda: connected_components_star(  # noqa: E731
+        vertices, e_norm, id_col=id_col, src_col="child", dst_col="parent"
+    ).withColumnRenamed("component", "root")
+    if (obs_e.get["n"] or 0) <= _local_rows_limit():
+        # broadcast-class edge set (r15, observed during the e_norm
+        # checkpoint job): every probe the distributed path pays as a
+        # separate Spark job (multi-parent groupBy-max, the all-cycle
+        # root count, the doubling init spill) is answerable on the
+        # driver from ONE collect of the checkpointed edges — a forest
+        # has <= |V| edges, so this gate subsumes the old |V|-gated
+        # local path in _pointer_double.  Backend SELECTION semantics
+        # are bit-identical: a duplicate child == multi_parent > 1 ->
+        # star; a cycle in the chase == the doubling loop's
+        # no-fixpoint/fake-root detection -> star; else the memoized
+        # chase IS the doubling fixpoint.
+        LAST_EXECUTION = "local"
+        rows = e_norm.collect()
+        nx: dict = {}
+        multi = False
+        for r in rows:
+            if r.child in nx:
+                multi = True
+                break
+            nx[r.child] = r.parent
+        roots: dict | None = {}
+        if multi:
+            roots = None
+        else:
+            for v0 in nx:
+                chain = []
+                x = v0
+                while x not in roots:
+                    if x not in nx:
+                        roots[x] = x  # chase terminus: a true root
+                        break
+                    chain.append(x)
+                    if len(chain) > len(nx):
+                        roots = None  # cycle: not a forest
+                        break
+                    x = nx[x]
+                if roots is None:
+                    break
+                rt = roots[x]
+                for c in chain:
+                    roots[c] = rt
+        if roots is None:
+            LAST_BACKEND = "star"
+            return star()
+        LAST_BACKEND = "doubling"
+        return _labels_out(
+            verts.select(F.col("id").alias("vid")),
+            id_col,
+            roots,
+            verts.schema["id"].dataType,
+            out_col="root",
+        )
     multi_parent = (
         e_norm.groupBy("child")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n").alias("mx"))
         .collect()[0][0]
     )
-    star = lambda: connected_components_star(  # noqa: E731
-        vertices, e_norm, id_col=id_col, src_col="child", dst_col="parent"
-    ).withColumnRenamed("component", "root")
-    global LAST_BACKEND
     if multi_parent is not None and multi_parent > 1:
         LAST_BACKEND = "star"
         return star()
@@ -542,42 +597,10 @@ def _pointer_double(
             "init",
         )
         n = obs0.get["n"]  # |V|, free: counted during the init write
-        if (n or 0) <= _local_rows_limit():
-            # broadcast-class pointer table: memoized pointer-chase on
-            # the driver (module threshold note) — the exact doubling
-            # fixpoint (root = chase terminus; only parentless nodes
-            # self-point at init, so a self-pointer IS a genuine root)
-            # with the same cycle ⇒ None contract (a walk longer than
-            # |V| cannot happen in a forest).
-            LAST_EXECUTION = "local"
-            nx = {r.id: r.nxt for r in nxt.collect()}
-            roots: dict = {}
-            for v0 in nx:
-                chain = []
-                x = v0
-                while x not in roots:
-                    step = nx.get(x, x)
-                    if step == x:
-                        roots[x] = x
-                        break
-                    chain.append(x)
-                    if len(chain) > len(nx):
-                        return None  # cycle: not a forest
-                    x = step
-                r = roots[x]
-                for c in chain:
-                    roots[c] = r
-            from pyspark.sql.types import StructField, StructType
-
-            id_t = nxt.schema["id"].dataType
-            # no checkpoint needed: the frame is driver-local data
-            # with no lineage into the spill dir the finally removes
-            return spark.createDataFrame(
-                list(roots.items()),
-                StructType(
-                    [StructField("id", id_t), StructField("root", id_t)]
-                ),
-            )
+        # NOTE (r15): no local fast path HERE — closure() gates on the
+        # observed EDGE count (a forest has <= |V| edges, so any graph
+        # the old |V|-gated path here could catch is caught earlier,
+        # before the init spill is even built).
         LAST_EXECUTION = "distributed"
         # Depth <= |V|, so a forest is at fixpoint within
         # ceil(log2 |V|) rounds (+1 to OBSERVE the fixpoint via a
