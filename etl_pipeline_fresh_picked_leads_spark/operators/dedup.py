@@ -27,7 +27,7 @@ corpus; at 100 TB the 256 MB defaults trip on the same shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import shingles, tokens
@@ -757,9 +757,11 @@ def dedup_pipeline(
         F.count(F.lit(1)).alias("n_copies"),
     )
     rep_of = ex.join(groups, "content_md5").select("doc_id", "rep_id")
-    rep_ids = rep_of.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id"
-    )
+    # the rep-id set IS groups' rep_id column (one min per disjoint
+    # md5 group) — deriving it from the groups agg over the cached
+    # fingerprints skips the rep_of join + equality filter the r1-r14
+    # form paid in every lineage that consumed rep_ids (r15)
+    rep_ids = groups.select(F.col("rep_id").alias("doc_id"))
     s1_docs = docs.join(rep_ids, "doc_id", "left_semi")
 
     base = minhash_signatures(s1_docs, n).persist()
@@ -771,20 +773,27 @@ def dedup_pipeline(
 
     from .graph import dedup_clusters
 
-    rep_clusters = dedup_clusters(s1_docs, rep_pairs)
+    # the vertex set of the rep-level graph is exactly rep_ids —
+    # derived from the cached fingerprints, so the CC vertex
+    # checkpoint never re-scans `docs` via the s1 semi-join (r15;
+    # identical set: every rep_id is a docs doc_id)
+    rep_clusters = dedup_clusters(rep_ids, rep_pairs)
     full = rep_of.join(
         rep_clusters.select(
             F.col("doc_id").alias("rep_id"), "cluster_id"
         ),
         "rep_id",
     ).select("doc_id", "cluster_id")
-    sizes = full.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    clusters = full.join(sizes, "cluster_id").select(
+    # cluster_size via a keyed window: one pass over `full` instead of
+    # the groupBy + rejoin form, whose plan computed the full
+    # membership subtree TWICE (guide §2.4; values identical —
+    # count over the cluster_id partition == the joined group count)
+    clusters = full.select(
         "doc_id",
         "cluster_id",
-        "cluster_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
     survivors = docs.join(

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions.fingerprint import fingerprint_cols
@@ -392,13 +392,20 @@ def dedup_clusters(
         src_col="doc_id_a",
         dst_col="doc_id_b",
     ).withColumnRenamed("component", "cluster_id")
-    sizes = comps.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return comps.join(sizes, "cluster_id").select(
+    # cluster_size via a keyed window: one exchange over the labels
+    # instead of groupBy + rejoin (r15, guide §2.4) — at corpus scale
+    # the sizes side is cluster-count-sized (NOT broadcast-class), so
+    # the join form degrades to a second full shuffle + sort-merge;
+    # the window shuffles the labels once.  A consumer that drops
+    # cluster_size also drops the window (column pruning), which the
+    # join form never could.  Values identical: count over the
+    # cluster_id partition == the joined group count.
+    return comps.select(
         "doc_id",
         "cluster_id",
-        "cluster_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
