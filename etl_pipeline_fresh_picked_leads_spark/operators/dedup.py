@@ -44,6 +44,33 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 _LONG_MAX = (1 << 63) - 1
 
 
+# Module-level memo of CONSTANT Column expression trees (r16, guide
+# §1.2 step 2 — driver-side per-task... per-QUERY work): building the
+# 16-hash signature fold / 8-band key trees is pure Py4J traffic,
+# measured 0.4-1.1 s PER CONSTRUCTION on the bench box and paid at
+# every call site every run (q_dedup_fuzzy builds the signature tree
+# twice per run: plan probe + pipeline).  The memoized values are
+# UNRESOLVED Column plan fragments over fixed column names — pure
+# functions of engine constants, reusable across frames and queries,
+# carrying no data and no results (a memo of RESULT rows would be the
+# banned precomputation pattern; a Column is the same class of object
+# as a compiled regex).  Keyed on the live SparkContext so a context
+# restart (fresh JVM gateway) rebuilds instead of dereferencing stale
+# JVM handles.
+_COL_MEMO: dict = {}
+
+
+def _memo_col(key: tuple, build):
+    from pyspark import SparkContext
+
+    k = (id(SparkContext._active_spark_context),) + key
+    col = _COL_MEMO.get(k)
+    if col is None:
+        _COL_MEMO.clear()  # at most one live context; drop stale keys
+        col = _COL_MEMO[k] = build()
+    return col
+
+
 # NOTES on expression shape (both measured ~10-25x at 5k docs):
 #
 # 1. Token arrays are ALWAYS projected as a real column before
@@ -58,21 +85,83 @@ _LONG_MAX = (1 << 63) - 1
 #    jaccard >= tau condition (NULL for 0/0) filters out naturally.
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-string ('134217728', '128m', '1g') -> bytes."""
+    v = v.strip().lower()
+    for suf, mul in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suf + "b"):
+            v = v[:-1]
+        if v.endswith(suf):
+            return int(float(v[:-1]) * mul)
+    if v.endswith("b"):
+        v = v[:-1]
+    return int(v)
+
+
 def _parallel(docs: DataFrame) -> DataFrame:
     """Single-file inputs arrive as one partition; fan out before
     per-row-expensive work.  No-op when the source is already split
-    (the 100 TB case — there the extra shuffle would be harmful)."""
+    (the 100 TB case — there the extra shuffle would be harmful).
+
+    The probe is driver METADATA, not planning (r16, guide §1.2 step
+    2): ``.rdd.getNumPartitions()`` builds a full QueryExecution plus
+    a Python RDD conversion per FRESH frame — measured 0.3-1.3 s per
+    construction site on the bench box, paid twice per LSH query run
+    (probe + pipeline).  Scan parallelism is estimated instead from
+    ``inputFiles()`` + file sizes vs ``maxPartitionBytes`` (~40 ms).
+    The estimate matches the old probe on every layout that matters:
+    many files -> no-op either way; one small file -> fan out either
+    way.  It diverges only on shapes that cannot occur at scale (a
+    shuffle-derived frame whose scan is a single small file may now
+    fan out where a sort-merge plan already had shuffle partitions —
+    an extra small exchange at toy scale, values identical).  Any
+    surprise (empty/remote file list, unreadable sizes) falls back to
+    the exact RDD probe."""
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(2, target // 2):
+    floor = max(2, target // 2)
+    try:
+        files = docs.inputFiles()
+        if len(files) >= floor:
+            return docs
+        if files:
+            import os as _os
+            from urllib.parse import unquote, urlparse
+
+            mpb = _parse_bytes(
+                docs.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes",
+                    str(128 * 1024 * 1024),
+                )
+            )
+            total = sum(
+                _os.path.getsize(unquote(urlparse(f).path)) for f in files
+            )
+            if max(len(files), -(-total // mpb)) >= floor:
+                return docs
         return docs.repartition(target)
-    return docs
+    except Exception:  # pragma: no cover - non-local/opaque sources
+        if docs.rdd.getNumPartitions() < floor:
+            return docs.repartition(target)
+        return docs
 
 
 def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     toked = _parallel(
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
     ).select("doc_id", tokens(F.col("text")).alias("toks"))
-    return toked.select("doc_id", shingles(F.col("toks"), n).alias("sh"))
+    sh = _memo_col(("str_sh", n), lambda: shingles(F.col("toks"), n))
+    return toked.select("doc_id", sh.alias("sh"))
+
+
+def _hashed_shingles_col(n: int):
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def _with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -83,14 +172,7 @@ def _with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     toked = _parallel(
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
     ).select("doc_id", tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = lambda i: F.xxhash64(  # noqa: E731
-        *[F.element_at(toks, i + k + 1) for k in range(n)]
-    )
-    sh = F.when(
-        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<bigint>"))
+    sh = _memo_col(("hashed_sh", n), lambda: _hashed_shingles_col(n))
     return toked.select("doc_id", sh.alias("sh"))
 
 
@@ -170,13 +252,18 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     callers must exclude them from banding (see minhash_lsh_pairs).
     """
     sh = _with_hashed_shingles(docs, n)
-    sig = F.aggregate(
-        F.col("sh"),
-        F.array_repeat(F.lit(_LONG_MAX), N_HASHES),
-        lambda acc, x: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(x, F.lit(s)) for s in range(N_HASHES)]),
-            lambda a, b: F.least(a, b),
+    sig = _memo_col(
+        ("minhash_sig",),
+        lambda: F.aggregate(
+            F.col("sh"),
+            F.array_repeat(F.lit(_LONG_MAX), N_HASHES),
+            lambda acc, x: F.zip_with(
+                acc,
+                F.array(
+                    *[F.xxhash64(x, F.lit(s)) for s in range(N_HASHES)]
+                ),
+                lambda a, b: F.least(a, b),
+            ),
         ),
     )
     return sh.select("doc_id", F.col("sh").alias("shingles"), sig.alias("sig"))
@@ -274,9 +361,9 @@ def _band_candidates(reps: DataFrame) -> DataFrame:
     # the self-join needs a single join column; a cross-band key
     # collision is ~2^-64 and harmless anyway — candidates are exactly
     # verified downstream.
-    bands = reps.select(
-        "doc_id",
-        F.explode(
+    band_key = _memo_col(
+        ("band_key",),
+        lambda: F.explode(
             F.array(
                 *[
                     F.xxhash64(
@@ -289,8 +376,9 @@ def _band_candidates(reps: DataFrame) -> DataFrame:
                     for b in range(N_BANDS)
                 ]
             )
-        ).alias("key"),
+        ),
     )
+    bands = reps.select("doc_id", band_key.alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -589,19 +677,27 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             "hashes"
         ),
     )
-    bit_votes = lambda j: F.aggregate(  # noqa: E731
-        F.col("hashes"),
-        F.lit(0),
-        lambda acc, h: acc
-        + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        sig = sig.bitwiseOR(
-            F.when(
-                bit_votes(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
+    def _simhash_col():
+        bit_votes = lambda j: F.aggregate(  # noqa: E731
+            F.col("hashes"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
         )
+        sig = F.lit(0).cast("long")
+        for j in range(SIMHASH_BITS):
+            sig = sig.bitwiseOR(
+                F.when(
+                    bit_votes(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return sig
+
+    # 64 per-bit vote folds: by far the heaviest constant Column tree
+    # in the engine — memoized like the minhash fold above
+    sig = _memo_col(("simhash_sig",), _simhash_col)
     return hashed.select("doc_id", sig.alias("simhash"))
 
 

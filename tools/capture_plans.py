@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") for bench queries into plans/r15/.
+"""Capture .explain("formatted") for bench queries into plans/r16/.
 
 Usage: python tools/capture_plans.py <suffix> [query_id ...]
   suffix: "before" or "after" — file name becomes
-          plans/r15/<query>_<suffix>.txt
+          plans/r16/<query>_<suffix>.txt
   with no query ids, captures every bench HEADLINE query.
 
 Explain-only where possible: building the DataFrame may run the
@@ -29,7 +29,7 @@ def main() -> None:
     suffix = sys.argv[1]
     qids = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r15")
+    out_dir = os.path.join(REPO, "plans", "r16")
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(app_name="capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
