@@ -630,3 +630,75 @@ def test_sink_commit_refuses_mid_stream_spec_change(spark, tmp_path):
         src._commit_append(
             root2, df.schema, [path], txn=None, wrote_pby=None
         )
+
+
+def test_native_sink_split_vectorized_exactness(tmp_path):
+    """The r16 vectorized partition split (pyarrow group_by replacing
+    the r15 per-row Python loop) must keep the loop's exact-value
+    semantics: two int64 keys >= 2^53 that collide in float64 write
+    SEPARATE files; NaN joins None in the Hive null partition; -0.0
+    groups WITH +0.0 (Python equality, not Arrow's bitwise hash); and
+    group order / in-group row order stay first-appearance/ascending
+    (file contents byte-stable vs the loop)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_pipeline_fresh_picked_leads_spark.streaming.txtable_source import (
+        _write_task,
+    )
+
+    big = 2**53
+    schema = StructType(
+        [StructField("k", LongType()), StructField("p", LongType())]
+    )
+    batch = pa.record_batch(
+        {
+            "k": pa.array([0, 1, 2], type=pa.int64()),
+            "p": pa.array([big, big + 1, big], type=pa.int64()),
+        }
+    )
+    wf = _write_task(
+        str(tmp_path / "a"), schema, iter([batch]), partition_by=["p"]
+    )
+    segs = sorted(f.split("/")[-2] for f in wf.files)
+    assert segs == [f"__txp_p={big}", f"__txp_p={big}", f"__txp_p={big+1}"] or (
+        len(wf.files) == 2
+        and segs == [f"__txp_p={big}", f"__txp_p={big+1}"]
+    )
+    by_seg = {}
+    for f in wf.files:
+        by_seg[f.split("/")[-2]] = pq.read_table(f)
+    assert by_seg[f"__txp_p={big}"].column("k").to_pylist() == [0, 2]
+    assert by_seg[f"__txp_p={big+1}"].column("k").to_pylist() == [1]
+
+    schema_f = StructType(
+        [StructField("k", LongType()), StructField("p", DoubleType())]
+    )
+    batch_f = pa.record_batch(
+        {
+            "k": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "p": pa.array([-0.0, float("nan"), 0.0, None, 2.5]),
+        }
+    )
+    wf2 = _write_task(
+        str(tmp_path / "b"), schema_f, iter([batch_f]), partition_by=["p"]
+    )
+    got = {
+        f.split("/")[-2]: pq.read_table(f).column("k").to_pylist()
+        for f in wf2.files
+    }
+    # -0.0 and 0.0 one group (seg from the first occurrence, like the
+    # loop); NaN and None share the null partition
+    assert got == {
+        "__txp_p=-0.0": [0, 2],
+        "__txp_p=__HIVE_DEFAULT_PARTITION__": [1, 3],
+        "__txp_p=2.5": [4],
+    }
