@@ -70,12 +70,35 @@ LAST_EXECUTION: str | None = None
 # graphs.
 _LOCAL_ROWS_ENV = "SPARK_GRAFT_GRAPH_LOCAL_ROWS"
 
+# Per-operator defaults from the r16 measured crossover (VERDICT r15
+# #6; 32 cores, diameter-2 clique graphs — the DISTRIBUTED loops' best
+# case, so these are conservative).  Observed-row threshold at which
+# local (Arrow collect + driver fixpoint + broadcast ship-back) and
+# distributed (iterative loop) break even:
+#
+#   min-label CC   ~250k-375k rows (local 2.15 vs 2.54 s at 150k und
+#                  rows; 4.01 vs 3.80 at 375k) -> default 250k
+#   large/small-star ~750k rows (2.77 vs 4.80 at 190k; 10.6 vs 9.7 at
+#                  750k — star pays two passes/round) -> default 500k
+#   closure        local still 2.3x faster at 4M edges (8.9 vs
+#                  20.1 s; one chase vs log-depth spill rounds), but
+#                  the default stays 2M: a 4M-entry Python dict is
+#                  ~0.5 GB of driver heap, the wrong default for a
+#                  shared driver -> default 2M
+#
+# The env knob still overrides ALL of them (0 disables, huge forces
+# local — how tests pin both executions); the measured table lives in
+# PLANS.md round-16.
+_LOCAL_ROWS_CC = 250_000
+_LOCAL_ROWS_STAR = 500_000
+_LOCAL_ROWS_CLOSURE = 2_000_000
 
-def _local_rows_limit() -> int:
+
+def _local_rows_limit(default: int = 2_000_000) -> int:
     try:
-        return int(os.environ.get(_LOCAL_ROWS_ENV, str(2_000_000)))
+        return int(os.environ.get(_LOCAL_ROWS_ENV, str(default)))
     except ValueError:  # pragma: no cover - malformed override
-        return 2_000_000
+        return default
 
 
 def _uf_component_min(pairs) -> dict:
@@ -136,7 +159,27 @@ def _labels_out(
             StructField("_lbl", label_type),
         ]
     )
-    ldf = spark.createDataFrame(list(comp.items()), schema)
+    if comp:
+        # ship the labels back through Arrow, not pickled Rows (r16,
+        # VERDICT r15 #6): at the 2M-row threshold the row path is
+        # seconds of driver serialization; an Arrow table is one
+        # columnar copy
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        at = to_arrow_type(label_type)
+        ldf = spark.createDataFrame(
+            pa.table(
+                {
+                    "vid": pa.array(list(comp.keys()), type=at),
+                    "_lbl": pa.array(list(comp.values()), type=at),
+                }
+            ),
+            schema,
+        )
+    else:
+        ldf = spark.createDataFrame([], schema)
     return (
         ids.join(F.broadcast(ldf), "vid", "left")
         .select(
@@ -173,7 +216,7 @@ def connected_components(
         .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if (obs_e.get["n"] or 0) <= _local_rows_limit():
+    if (obs_e.get["n"] or 0) <= _local_rows_limit(_LOCAL_ROWS_CC):
         # broadcast-class frontier: finish on the driver (see the
         # module threshold note).  Min-label semantics: only edges
         # whose BOTH endpoints are labeled vertices propagate (an
@@ -188,8 +231,15 @@ def connected_components(
         filt = und.join(
             vin.withColumnRenamed("vid", "d"), "d", "left_semi"
         ).join(vin.withColumnRenamed("vid", "s"), "s", "left_semi")
+        # Arrow collect (r16, VERDICT r15 #6): near the 2M-row gate the
+        # pickled-Row path is seconds of driver deserialization; Arrow
+        # moves two columns and to_pylist yields plain ints/strs
+        edges_t = filt.select("s", "d").toArrow()
         comp = _uf_component_min(
-            (r.s, r.d) for r in filt.select("s", "d").collect()
+            zip(
+                edges_t.column("s").to_pylist(),
+                edges_t.column("d").to_pylist(),
+            )
         )
         return _labels_out(
             vin, id_col, comp, vertices.schema[id_col].dataType
@@ -285,14 +335,18 @@ def connected_components_star(
         .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if (obs_e.get["n"] or 0) <= _local_rows_limit():
+    if (obs_e.get["n"] or 0) <= _local_rows_limit(_LOCAL_ROWS_STAR):
         # broadcast-class edge set: the star fixpoint IS component =
         # min id over the undirected graph (including non-vertex
         # endpoint ids, which contraction passes through) — compute it
         # on the driver (module threshold note) and join out.
         LAST_EXECUTION = "local"
+        edges_t = e.select("u", "v").toArrow()  # r16: Arrow, not Rows
         comp = _uf_component_min(
-            (r.u, r.v) for r in e.select("u", "v").collect()
+            zip(
+                edges_t.column("u").to_pylist(),
+                edges_t.column("v").to_pylist(),
+            )
         )
         return _labels_out(
             vertices.select(F.col(id_col).alias("vid")),
@@ -465,7 +519,7 @@ def closure(
     star = lambda: connected_components_star(  # noqa: E731
         vertices, e_norm, id_col=id_col, src_col="child", dst_col="parent"
     ).withColumnRenamed("component", "root")
-    if (obs_e.get["n"] or 0) <= _local_rows_limit():
+    if (obs_e.get["n"] or 0) <= _local_rows_limit(_LOCAL_ROWS_CLOSURE):
         # broadcast-class edge set (r15, observed during the e_norm
         # checkpoint job): every probe the distributed path pays as a
         # separate Spark job (multi-parent groupBy-max, the all-cycle
@@ -478,14 +532,16 @@ def closure(
         # no-fixpoint/fake-root detection -> star; else the memoized
         # chase IS the doubling fixpoint.
         LAST_EXECUTION = "local"
-        rows = e_norm.collect()
+        et = e_norm.toArrow()  # r16: Arrow, not pickled Rows
         nx: dict = {}
         multi = False
-        for r in rows:
-            if r.child in nx:
+        for c, p in zip(
+            et.column("child").to_pylist(), et.column("parent").to_pylist()
+        ):
+            if c in nx:
                 multi = True
                 break
-            nx[r.child] = r.parent
+            nx[c] = p
         roots: dict | None = {}
         if multi:
             roots = None
