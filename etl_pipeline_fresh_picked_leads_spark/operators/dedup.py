@@ -883,7 +883,9 @@ def dedup_pipeline(
     # cluster_size via a keyed window: one pass over `full` instead of
     # the groupBy + rejoin form, whose plan computed the full
     # membership subtree TWICE (guide §2.4; values identical —
-    # count over the cluster_id partition == the joined group count)
+    # count over the cluster_id partition == the joined group count).
+    # Mega-cluster skew is bounded by WindowExec spill — measured and
+    # pinned in test_dedup_clusters_mega_cluster_window_bounded (r16)
     clusters = full.select(
         "doc_id",
         "cluster_id",

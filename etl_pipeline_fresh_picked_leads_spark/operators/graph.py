@@ -453,7 +453,13 @@ def dedup_clusters(
     # the window shuffles the labels once.  A consumer that drops
     # cluster_size also drops the window (column pruning), which the
     # join form never could.  Values identical: count over the
-    # cluster_id partition == the joined group count.
+    # cluster_id partition == the joined group count.  Mega-cluster
+    # skew (one boilerplate cluster owning the corpus -> one window
+    # partition, which AQE skew handling never splits) is bounded by
+    # WindowExec's external-sort spill — measured r16: a single
+    # 2M-row cluster's window costs ~0.8 s, the same as the join form
+    # (whose sizes side is ONE row there), pinned by
+    # test_dedup_clusters_mega_cluster_window_bounded.
     return comps.select(
         "doc_id",
         "cluster_id",
