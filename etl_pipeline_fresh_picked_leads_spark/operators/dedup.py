@@ -63,10 +63,12 @@ _COL_MEMO: dict = {}
 def _memo_col(key: tuple, build):
     from pyspark import SparkContext
 
-    k = (id(SparkContext._active_spark_context),) + key
+    ctx = id(SparkContext._active_spark_context)
+    k = (ctx,) + key
     col = _COL_MEMO.get(k)
     if col is None:
-        _COL_MEMO.clear()  # at most one live context; drop stale keys
+        if any(ek[0] != ctx for ek in _COL_MEMO):
+            _COL_MEMO.clear()  # context restarted: drop stale JVM refs
         col = _COL_MEMO[k] = build()
     return col
 
